@@ -1,0 +1,6 @@
+from sensor_data_pipeline_spark.plans.registry import REGISTRY, QuerySpec, all_oracle_sql, all_queries  # noqa: F401
+
+# importing the modules populates REGISTRY
+from sensor_data_pipeline_spark.plans import relational  # noqa: F401,E402
+from sensor_data_pipeline_spark.plans import sensor  # noqa: F401,E402
+from sensor_data_pipeline_spark.plans import northstar  # noqa: F401,E402

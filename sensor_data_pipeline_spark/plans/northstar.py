@@ -1,0 +1,368 @@
+"""North-star queries: dedup, similarity search, text analysis,
+multimodal plumbing (BASELINE.json "north_star").
+
+These run on the `documents` and `embeddings` tables. Every hash used
+is md5-derived so the DuckDB oracle reproduces it bit-for-bit; vector
+math is done in double precision with index-order summation on both
+sides so rounded values hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline_spark.functions.text import (
+    doc_fingerprint,
+    mean_token_len,
+    punct_count,
+    quality_score,
+    stopword_count,
+    token_count,
+    tokenize,
+    word_hash32,
+)
+from sensor_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from sensor_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_bucket_topk,
+)
+from sensor_data_pipeline_spark.plans.registry import register
+from sensor_data_pipeline_spark.sources.tables import load_table
+
+# DuckDB fragment: distinct word-3-gram shingles of `text` (1-based lists).
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(w)-2), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+)
+_DUCK_WORDS = "regexp_split_to_array(text, '\\s+')"
+_DUCK_HASH32 = "CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+@register(
+    "q40_dedup_exact",
+    category="dedup",
+    oracle="""
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id)  AS keep_id,
+       count(*)     AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY keep_id
+""",
+)
+def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint (hash-groupBy; one
+    shuffle with map-side combine)."""
+    d = load_table(spark, "documents", sf_dir)
+    return exact_dedup(d, "doc_id", "text").orderBy("keep_id")
+
+
+@register(
+    "q41_dedup_jaccard",
+    category="dedup",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+  FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM docs),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM docs),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       n_shared / (sa.n + sb.n - n_shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def q41_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.5 via
+    inverted-index join (never a cross join)."""
+    d = load_table(spark, "documents", sf_dir)
+    return jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@register(
+    "q42_dedup_minhash_lsh",
+    category="dedup",
+    oracle=f"""
+WITH inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle
+  FROM (SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents))
+),
+hashes AS (
+  SELECT doc_id, k,
+         min({_DUCK_HASH32.format(expr="CAST(k AS VARCHAR) || ':' || shingle")}) AS mh
+  FROM inv CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k)
+  GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, k // 4 AS band_id,
+         md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY k)) AS band_hash
+  FROM hashes GROUP BY doc_id, k // 4
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def q42_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 perms) + LSH banding (4 bands x 4 rows) candidate
+    pairs. Signature build is K min-aggs over exploded shingles;
+    candidates join on (band_id, band_hash)."""
+    d = load_table(spark, "documents", sf_dir)
+    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=16, n=3)
+    return lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, bands=4).orderBy("id_a", "id_b")
+
+
+@register(
+    "q43_dedup_simhash",
+    category="dedup",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, {_DUCK_HASH32.format(expr="'0:' || w")} AS h
+  FROM (SELECT doc_id, unnest({_DUCK_WORDS}) AS w FROM documents)
+),
+per_bit AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM words CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM per_bit
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q43_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (per-bit majority over
+    occurrence-weighted word hashes)."""
+    d = load_table(spark, "documents", sf_dir)
+    return simhash(d, "doc_id", "text", bits=32).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family
+# ---------------------------------------------------------------------------
+@register(
+    "q44_doc_fingerprint",
+    category="text",
+    oracle="""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+       CAST(('0x' || substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 8)) AS BIGINT) AS fp32
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q44_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint (md5 of normalized text) plus
+    its 32-bit prefix form used as a join/shard key."""
+    d = load_table(spark, "documents", sf_dir)
+    fp = doc_fingerprint(F.col("text"))
+    return d.select(
+        "doc_id",
+        fp.alias("fp"),
+        F.conv(F.substring(fp, 1, 8), 16, 10).cast("bigint").alias("fp32"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q45_token_stats",
+    category="text",
+    oracle="""
+SELECT doc_id,
+       CAST(len(w) AS BIGINT)                         AS n_tokens,
+       CAST(len(list_distinct(w)) AS BIGINT)          AS n_distinct,
+       list_aggregate(list_transform(w, x -> length(x)), 'sum') / CAST(len(w) AS DOUBLE) AS mean_tok_len,
+       CAST(length(text) AS BIGINT)                   AS n_chars
+FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS w FROM documents)
+ORDER BY doc_id
+""",
+)
+def q45_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: total / distinct tokens, mean token length,
+    char count — all codegen'd higher-order functions."""
+    d = load_table(spark, "documents", sf_dir)
+    w = tokenize(F.col("text"))
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct"),
+        mean_token_len(w).alias("mean_tok_len"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q46_quality_score",
+    category="text",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id, lang, text,
+         CAST(len(w) AS DOUBLE) AS ntok,
+         list_aggregate(list_transform(w, x -> length(x)), 'sum') / CAST(len(w) AS DOUBLE) AS mean_len,
+         len(list_filter(w, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) / CAST(len(w) AS DOUBLE) AS sw_ratio,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / CAST(length(text) AS DOUBLE) AS punct_ratio
+  FROM (SELECT doc_id, lang, text, regexp_split_to_array(text, '\\s+') AS w FROM documents)
+)
+SELECT doc_id,
+       CAST(0.4 AS DOUBLE) * least(ntok / 64.0, 1.0)
+         + CAST(0.3 AS DOUBLE) * least(mean_len / 6.0, 1.0)
+         + CAST(0.2 AS DOUBLE) * (1 - sw_ratio)
+         + CAST(0.1 AS DOUBLE) * (1 - least(punct_ratio * 10, 1.0)) AS quality
+FROM feats
+ORDER BY doc_id
+""",
+)
+def q46_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length/token/stopword/punctuation
+    features), the filter stage of a training-data pipeline."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality")).orderBy("doc_id")
+
+
+@register(
+    "q47_lang_signal",
+    category="text",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(list_filter(w, x -> x IN ('the','a','an','and','or','of','to','in','is','it')))) AS BIGINT)
+         / CAST(sum(len(w)) AS BIGINT) AS sw_token_share,
+       CAST(sum(CASE WHEN len(list_filter(w, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) / CAST(len(w) AS DOUBLE) > CAST(0.08 AS DOUBLE)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
+FROM (SELECT lang, regexp_split_to_array(text, '\\s+') AS w FROM documents)
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q47_lang_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID signal: stopword-profile ratio per document, with a
+    threshold classifier aggregated against the labeled `lang` column
+    (the n-gram-heuristic family of language ID)."""
+    d = load_table(spark, "documents", sf_dir)
+    w = tokenize(F.col("text"))
+    sw_ratio = stopword_count(w) / F.size(w).cast("double")
+    return (
+        d.select("lang", sw_ratio.alias("swr"), stopword_count(w).alias("n_sw"), F.size(w).cast("bigint").alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_sw").cast("bigint") / F.sum("n_tok").cast("bigint")).alias("sw_token_share"),
+            F.sum(F.when(F.col("swr") > 0.08, 1).otherwise(0)).cast("bigint").alias("n_pred_en"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search family
+# ---------------------------------------------------------------------------
+_DUCK_COSINE = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "q48_cosine_topk",
+    category="similarity",
+    oracle=f"""
+WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS match_id,
+         {_DUCK_COSINE.format(a="q.qv", b="c.v")} AS cosine
+  FROM q, emb c
+  WHERE c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT query_id, match_id, cosine, rk
+FROM ranked WHERE rk <= 5
+ORDER BY query_id, rk
+""",
+)
+def q48_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: broadcast the
+    query set, codegen'd zip_with/aggregate dot products, ranking
+    window for top-k. The exact-NN correctness baseline."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(queries, emb, k=5).orderBy("query_id", "rk")
+
+
+@register(
+    "q49_lsh_bucket_ann",
+    category="similarity",
+    oracle=f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST(list_aggregate(list_transform(generate_series(1, 8),
+              i -> CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END), 'sum') AS BIGINT) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM emb WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, q.bucket, c.vec_id AS match_id,
+         {_DUCK_COSINE.format(a="q.qv", b="c.v")} AS cosine
+  FROM q JOIN emb c ON q.bucket = c.bucket
+  WHERE c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT query_id, bucket, match_id, cosine, rk
+FROM ranked WHERE rk <= 5
+ORDER BY query_id, rk
+""",
+)
+def q49_lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via sign-LSH bucketing (the scale path: equi-join
+    on bucket id instead of scoring the whole corpus)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucket_topk(queries, emb, k=5, n_bits=8).orderBy("query_id", "rk")
+
+
+@register(
+    "q50_embedding_neardup",
+    category="similarity",
+    oracle=f"""
+WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_DUCK_COSINE.format(a="a.v", b="b.v")} AS cosine
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE {_DUCK_COSINE.format(a="a.v", b="b.v")} >= CAST(0.4 AS DOUBLE)
+ORDER BY id_a, id_b
+""",
+)
+def q50_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")

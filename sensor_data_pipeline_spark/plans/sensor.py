@@ -1,0 +1,466 @@
+"""Reference-shaped queries (SURVEY.md §2.1-§2.7) over the `events` table.
+
+Each query re-expresses a concrete reference operator — scalar decode
+chains, JSON wire serde, sentinel defaults, explode+filter (HKO),
+sign-flip sessionization, the staleness watermark, the as-of fan-in —
+as a batch DataFrame plan with a DuckDB oracle. Streaming twins of the
+stateful ones live in ``streaming/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from sensor_data_pipeline_spark.functions.scalar import (
+    clamp,
+    linear_derive,
+    sentinel_default,
+    shift_scale,
+    twos_complement,
+)
+from sensor_data_pipeline_spark.functions.timefn import iso8601_format, iso8601_parse
+from sensor_data_pipeline_spark.operators.joins import asof_join
+from sensor_data_pipeline_spark.operators.sessionize import session_rates, sessionize_by_sign_flip
+from sensor_data_pipeline_spark.plans.registry import register
+from sensor_data_pipeline_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Scalar decode chain (P2-P7): synthesize a deterministic uint16
+# "register" from event_id, then run the reference's exact INA219
+# decode arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "q20_register_decode",
+    category="sensor-scalar",
+    oracle="""
+SELECT event_id,
+       reg,
+       decoded,
+       round((reg >> 3) * CAST(0.004 AS DOUBLE), 6)            AS bus_voltage,
+       round(decoded * CAST(0.1 AS DOUBLE), 6)                 AS current_ma,
+       least(100.0, greatest(0.0, ((reg >> 3) * CAST(0.004 AS DOUBLE) * 25 - 6) / 2.4 * 100)) AS batt_pct
+FROM (
+  SELECT event_id,
+         CAST(event_id * 2654435761 % 65536 AS BIGINT) AS reg,
+         CAST(CASE WHEN event_id * 2654435761 % 65536 > 32768
+                   THEN event_id * 2654435761 % 65536 - 65535
+                   ELSE event_id * 2654435761 % 65536 END AS BIGINT) AS decoded
+  FROM events
+)
+ORDER BY event_id
+""",
+)
+def q20_register_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INA219-style register decode: two's-complement (P6), shift+scale
+    (P5, bus = (reg>>3)*0.004, module_rpi_ups_hat.c:150), linear battery
+    derive (P3, :252) and clamp (P4, :260-262)."""
+    e = load_table(spark, "events", sf_dir)
+    reg = (F.col("event_id") * F.lit(2654435761)) % 65536
+    df = e.select("event_id", reg.cast("bigint").alias("reg"))
+    df = df.withColumn("decoded", twos_complement(F.col("reg")).cast("bigint"))
+    bus_v = shift_scale(F.col("reg"), 3, 0.004)
+    return (
+        df.withColumn("bus_voltage", F.round(bus_v, 6))
+        .withColumn("current_ma", F.round(F.col("decoded") * 0.1, 6))
+        .withColumn("batt_pct", clamp(linear_derive(bus_v * 25, 6.0, 2.4), 0.0, 100.0))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON wire: extraction, defaults, corrupt routing (S6/E2/P13)
+# ---------------------------------------------------------------------------
+@register(
+    "q21_json_extract",
+    category="json",
+    oracle="""
+SELECT event_type,
+       count(*)                                                   AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         / CAST(count(json_extract_string(props, '$.k')) AS BIGINT)           AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q21_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-wire field extraction (the consumer's JSON-pointer
+    reads, consumer.cpp:124-131) with aggregation."""
+    e = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            (F.sum(k).cast("bigint") / F.count(k).cast("bigint")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q22_sentinel_default",
+    category="json",
+    oracle="""
+SELECT event_id,
+       coalesce(CAST(json_extract_string(props, '$.missing_key') AS DOUBLE), 888.8) AS reading,
+       coalesce(CAST(json_extract_string(props, '$.k') AS DOUBLE), 888.8)           AS k_reading
+FROM events
+WHERE event_id < 100
+ORDER BY event_id
+""",
+)
+def q22_sentinel_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default-on-missing (P13): absent JSON keys become the 888.8
+    sentinel exactly as the consumer substitutes (consumer.cpp:124-131)."""
+    e = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 100)
+    return e.select(
+        "event_id",
+        sentinel_default(F.get_json_object("props", "$.missing_key").cast("double"), 888.8).alias("reading"),
+        sentinel_default(F.get_json_object("props", "$.k").cast("double"), 888.8).alias("k_reading"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q23_corrupt_routing",
+    category="json",
+    oracle="""
+SELECT event_type,
+       count(*) FILTER (WHERE NOT json_valid(p))  AS n_corrupt,
+       count(*) FILTER (WHERE json_valid(p))      AS n_ok
+FROM (SELECT event_type,
+             CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 3) ELSE props END AS p
+      FROM events)
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q23_corrupt_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-payload rejection (E2, consumer.cpp:116-122): corrupt
+    ~1/7 of payloads, parse permissively, count routed rows per type."""
+    e = load_table(spark, "events", sf_dir)
+    p = F.when(F.col("event_id") % 7 == 0, F.substring("props", 1, 3)).otherwise(F.col("props"))
+    schema = T.StructType([T.StructField("k", T.LongType()), T.StructField("_corrupt", T.StringType())])
+    parsed = e.select(
+        "event_type",
+        F.from_json(p, schema, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}).alias("rec"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("rec._corrupt").isNotNull(), 1)).alias("n_corrupt"),
+            F.count(F.when(F.col("rec._corrupt").isNull(), 1)).alias("n_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q24_iso8601_roundtrip",
+    category="time",
+    oracle="""
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%SZ')                              AS wire_ts,
+       CAST(epoch(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), '%Y-%m-%dT%H:%M:%SZ')) AS BIGINT) AS epoch_sec
+FROM events
+WHERE event_id < 500
+ORDER BY event_id
+""",
+)
+def q24_iso8601_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 wire stamp/parse roundtrip (T1/T2, producer.c:129-134,
+    consumer.cpp:133-144): format to the wire string, parse back,
+    take epoch seconds (sub-second truncation is wire-faithful)."""
+    e = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 500)
+    wire = iso8601_format(F.col("ts"))
+    return e.select(
+        "event_id",
+        wire.alias("wire_ts"),
+        F.unix_timestamp(iso8601_parse(wire)).alias("epoch_sec"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# HKO nested-document shape (P10/P11): explode array-of-structs, filter
+# ---------------------------------------------------------------------------
+@register(
+    "q25_explode_filter",
+    category="json",
+    oracle="""
+SELECT region, place, round(reading, 2) AS reading
+FROM (
+  SELECT r.r_name AS region,
+         n.n_name AS place,
+         n.n_nationkey * 1.5 + 10 AS reading
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+WHERE place IN ('NATION_3', 'NATION_7', 'NATION_12')
+ORDER BY region, place
+""",
+)
+def q25_explode_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HKO pattern (hko.cpp:102-107): build one nested document per
+    region — an array of {place, reading} observations — then explode
+    and keep only the wanted places. The array construction + explode
+    is the point; the oracle flattens algebraically."""
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    obs = F.struct(F.col("n_name").alias("place"), (F.col("n_nationkey") * 1.5 + 10).alias("reading"))
+    docs = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.collect_list(obs).alias("data"))
+    )
+    exploded = docs.select("region", F.explode("data").alias("o")).select(
+        "region", F.col("o.place").alias("place"), F.col("o.reading").alias("reading")
+    )
+    return (
+        exploded.filter(F.col("place").isin("NATION_3", "NATION_7", "NATION_12"))
+        .select("region", "place", F.round("reading", 2).alias("reading"))
+        .orderBy("region", "place")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (A1-A5) on a signed signal derived from events
+# ---------------------------------------------------------------------------
+@register(
+    "q26_signflip_sessions",
+    category="stateful",
+    oracle="""
+WITH signal AS (
+  SELECT user_id, event_id, ts, value - 100 AS sig,
+         CAST(round(value * 100, 0) AS BIGINT) - 10000 AS sig_c
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts, sig, sig_c,
+         CASE WHEN lag(sig) OVER w IS NULL
+                   OR lag(sig) OVER w * sig <= 0 THEN 1 ELSE 0 END AS new_session
+  FROM signal
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, event_id, sig, sig_c,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*)                                               AS n_ticks,
+       sum(sig_c) / 100.0 + 0.0                               AS session_sum,
+       sum(sig_c) / (100.0 * count(*)) + 0.0                  AS session_avg
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def q26_signflip_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-flip sessionization (A2, module_rpi_ups_hat.c:253-258):
+    ``prev*cur <= 0`` opens a session; aggregate per session."""
+    e = (
+        load_table(spark, "events", sf_dir)
+        .withColumn("sig", F.col("value") - 100)
+        .withColumn("sig_c", F.round(F.col("value") * 100, 0).cast("bigint") - 10000)
+    )
+    sess = sessionize_by_sign_flip(e, ["user_id"], ["ts", "event_id"], "sig")
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            (F.sum("sig_c") / 100.0 + 0.0).alias("session_sum"),
+            (F.sum("sig_c") / (100.0 * F.count(F.lit(1))) + 0.0).alias("session_avg"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "q27_session_rate_eta",
+    category="stateful",
+    oracle="""
+WITH signal AS (
+  SELECT user_id, event_id, ts, value - 100 AS sig, value AS pct
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(sig) OVER w IS NULL OR lag(sig) OVER w * sig <= 0 THEN 1 ELSE 0 END AS new_session
+  FROM signal
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+), rated AS (
+  SELECT user_id, event_id, session_id, pct,
+         (first_value(pct) OVER ws - pct)
+           / (floor(epoch(ts)) - first_value(floor(epoch(ts))) OVER ws + 1) AS use_per_sec
+  FROM sessions
+  WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, session_id,
+       use_per_sec + 0.0 AS use_per_sec,
+       (CASE WHEN use_per_sec != 0 THEN pct / use_per_sec END) + 0.0 AS eta_sec
+FROM rated
+ORDER BY user_id, event_id
+""",
+)
+def q27_session_rate_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rate + ETA with the divide-by-zero NA guard
+    (A3/A4/A5, module_rpi_ups_hat.c:200-219)."""
+    e = (
+        load_table(spark, "events", sf_dir)
+        .withColumn("sig", F.col("value") - 100)
+        .withColumn("pct", F.col("value"))
+    )
+    sess = sessionize_by_sign_flip(e, ["user_id"], ["ts", "event_id"], "sig")
+    rated = session_rates(sess, ["user_id"], ["ts", "event_id"], "ts", "pct")
+    return rated.select(
+        "user_id",
+        "event_id",
+        "session_id",
+        (F.col("use_per_sec") + 0.0).alias("use_per_sec"),
+        (F.col("eta_sec") + 0.0).alias("eta_sec"),
+    ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Staleness (T3) — broadcast-scalar frontier formulation
+# ---------------------------------------------------------------------------
+@register(
+    "q28_staleness_sentinel",
+    category="stateful",
+    oracle="""
+WITH frontier AS (SELECT max(ts) AS max_ts FROM events)
+SELECT event_id,
+       CASE WHEN floor(epoch(max_ts)) - floor(epoch(ts)) > 3600 THEN TRUE ELSE FALSE END AS is_stale,
+       round(CASE WHEN floor(epoch(max_ts)) - floor(epoch(ts)) > 3600 THEN 888.8 ELSE value END, 2) AS reading
+FROM events, frontier
+WHERE user_id = 7
+ORDER BY event_id
+""",
+)
+def q28_staleness_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staleness watermark, batch form (T3, consumer.cpp:241-268):
+    readings older than 3600 s behind the stream frontier are reset to
+    the 888.8 sentinel. The frontier is a broadcast 1-row aggregate —
+    no single-partition window, so the plan scales."""
+    e = load_table(spark, "events", sf_dir).filter(F.col("user_id") == 7)
+    frontier = load_table(spark, "events", sf_dir).agg(F.max("ts").alias("max_ts"))
+    age = F.unix_timestamp("max_ts") - F.unix_timestamp("ts")
+    return (
+        e.join(F.broadcast(frontier))
+        .select(
+            "event_id",
+            (age > 3600).alias("is_stale"),
+            F.round(F.when(age > 3600, F.lit(888.8)).otherwise(F.col("value")), 2).alias("reading"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (J1 generalized): latest click at or before each purchase
+# ---------------------------------------------------------------------------
+@register(
+    "q29_asof_join",
+    category="join",
+    oracle="""
+SELECT p.event_id,
+       p.user_id,
+       round(p.value, 2)  AS purchase_value,
+       c.event_id         AS click_event_id,
+       round(c.value, 2)  AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+""",
+)
+def q29_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J1 generalized, producer.c:236-265): attach the most
+    recent click at-or-before each purchase per user. Implemented as
+    union + last-non-null window — one shuffle, no cross join; matches
+    DuckDB ASOF LEFT JOIN semantics."""
+    e = load_table(spark, "events", sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_event_id"), F.col("value").alias("click_value"))
+    )
+    joined = asof_join(purchases, clicks, on="user_id", left_ts="ts", right_ts="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        "click_event_id",
+        F.round("click_value", 2).alias("click_value"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Time-bucket aggregation (§2.5 generalization: tumbling window)
+# ---------------------------------------------------------------------------
+@register(
+    "q30_tumbling_window",
+    category="time",
+    oracle="""
+SELECT date_trunc('hour', ts)        AS bucket,
+       event_type,
+       count(*)                      AS n,
+       round(sum(value), 2)          AS total
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q30_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window as a batch groupBy on the truncated
+    timestamp (streaming twin: ``window(ts, '1 hour')`` with watermark,
+    see streaming/pipeline.py)."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("bucket", "event_type")
+    )
+
+
+@register(
+    "q31_wire_roundtrip",
+    category="json",
+    oracle="""
+SELECT event_id,
+       user_id,
+       round(value, 2) AS value,
+       event_type
+FROM events
+WHERE event_id % 5 = 0
+ORDER BY event_id
+""",
+)
+def q31_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full wire roundtrip (K1 producer serialize -> S6 consumer parse):
+    to_json(struct(...)) then from_json back; values must survive
+    unchanged. The oracle reads the fields directly — equality proves
+    the serde is lossless."""
+    e = load_table(spark, "events", sf_dir).filter(F.col("event_id") % 5 == 0)
+    wire_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    serialized = e.select(
+        F.to_json(F.struct("event_id", "user_id", "value", "event_type")).alias("payload")
+    )
+    parsed = serialized.select(F.from_json("payload", wire_schema).alias("rec")).select("rec.*")
+    return parsed.select(
+        "event_id", "user_id", F.round("value", 2).alias("value"), "event_type"
+    ).orderBy("event_id")

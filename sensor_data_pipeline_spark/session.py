@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+The reference resolves all configuration once at startup
+(``src/utils.c:12-44`` loads a JSON config into globals before the loop
+starts); the engine analog is a single, explicitly-configured
+SparkSession. Defaults are tuned for the test harness (local[N]) but
+every knob matters at cluster scale:
+
+- AQE on: runtime re-planning (skew joins, coalesced shuffle
+  partitions) is the single cheapest scale insurance.
+- ``spark.sql.shuffle.partitions`` small locally; on a real cluster
+  AQE coalesces from a high initial number, so we set the initial
+  partition count instead of disabling it.
+- Arrow on: every pandas_udf / applyInPandas transfer is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_spark(
+    app_name: str = "sensor-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    On a cluster, drop ``master`` and submit normally; these configs are
+    master-agnostic.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{DEFAULT_CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
+        # parquet reader rejects; read as long and convert in the source
+        # layer (sources/tables.py) — same truncation DuckDB applies.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet scans: keep splits big enough that sf0.1 doesn't
+        # explode into thousands of tiny tasks, small enough that a
+        # 100 TB table still parallelizes across every executor.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

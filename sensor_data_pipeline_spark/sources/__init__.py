@@ -1,0 +1,1 @@
+from sensor_data_pipeline_spark.sources.tables import load_table, load_tables, register_views  # noqa: F401
