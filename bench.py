@@ -1,0 +1,62 @@
+"""Benchmark harness: run every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing covers the full query lifecycle (plan + execute + collect); the
+JVM/session startup and a warm-up action are excluded so the numbers
+reflect engine throughput, not process spin-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def infer_sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> int:
+    from sensor_data_pipeline_spark.plans import REGISTRY
+    from sensor_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    # warm-up: JVM + parquet footer caches, outside the timed region
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, spec in sorted(REGISTRY.items()):
+        t0 = time.perf_counter()
+        try:
+            rows = spec.spark(spark, SF_DIR).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            del rows
+        except Exception as e:  # keep benching; surface the failure in the line
+            failures[name] = str(e).splitlines()[0][:200]
+
+    out = {
+        "metric": "declared_query_suite_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": infer_sf(SF_DIR),
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sensor_data_pipeline_spark.functions.vector import cosine, sign_lsh_bucket
+from sensor_data_pipeline_spark.functions.vector import cosine_arrow, sign_lsh_bucket
 
 
 def _scored(queries: DataFrame, corpus: DataFrame, query_id: str, corpus_id: str, vec_col: str) -> DataFrame:
@@ -28,7 +28,7 @@ def _scored(queries: DataFrame, corpus: DataFrame, query_id: str, corpus_id: str
     return (
         c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("match_id"))
-        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn("cosine", cosine_arrow(F.col("_qv"), F.col("_cv")))
     )
 
 
@@ -78,7 +78,7 @@ def lsh_bucket_topk(
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("match_id"))
-        .withColumn("cos_r", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn("cos_r", cosine_arrow(F.col("_qv"), F.col("_cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), F.col("match_id"))
     return (
@@ -102,7 +102,7 @@ def embedding_neardup_pairs(
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn("cosine", cosine_arrow(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
