@@ -44,6 +44,9 @@ def main() -> int:
             del rows
         except Exception as e:  # keep benching; surface the failure in the line
             failures[name] = str(e).splitlines()[0][:200]
+        # queries are self-contained: drop any intra-query cache so later
+        # queries aren't taxed by earlier queries' executor memory
+        spark.catalog.clearCache()
 
     out = {
         "metric": "declared_query_suite_wall_clock",

@@ -4,16 +4,36 @@ Four families, all shuffle-conscious:
 
 - **exact**: hash-groupBy on a normalized fingerprint — one shuffle,
   map-side combine; at 100 TB this is the cheapest possible dedup.
-- **n-gram Jaccard**: inverted-index join on shingles (docs sharing a
-  shingle become candidates) — never the O(n^2) cross join. Skew note:
-  ultra-common shingles explode the index; a frequency cap
-  (``max_shingle_freq``) drops them, trading a sliver of recall for a
-  bounded join fan-out.
+- **n-gram Jaccard**: inverted-index (posting-list) candidate
+  generation — docs sharing a shingle become candidates; pairs are
+  generated *inside* each posting array, so the whole candidate stage
+  is ONE shuffle (groupBy shingle), never the O(n^2) cross join and
+  never a two-sided self-join shuffle. Skew note: ultra-common
+  shingles explode the pair fan-out quadratically; the frequency cap
+  (``max_shingle_freq``) drops their postings, trading a sliver of
+  recall for bounded work — at web scale always set it.
 - **MinHash + LSH banding**: constant-size signatures (K min-hashes)
   per doc, banded so only docs agreeing on a whole band collide; the
-  candidate join is on (band_id, band_hash) — O(n·bands) shuffle keys.
+  md5 hashing is done once per *distinct* shingle and broadcast-joined
+  back (documents repeat shingles heavily, so this is ~10x less hash
+  work than hashing per occurrence).
 - **SimHash**: one 32-bit fingerprint per doc from per-bit majority of
   word hashes; near-dups differ in few bits.
+
+Evaluation notes (these shaped every function below, measured at sf0.1):
+
+- A `transform(...)` lambda that references a *non-attribute* array
+  expression (e.g. ``split(text)``) re-evaluates that expression per
+  element. Binding the array to a named column in its own projection
+  first (``_shingled``) makes it an attribute — evaluated once per row.
+- ``explode`` makes the optimizer infer a ``size(e) > 0`` filter
+  (InferFiltersFromGenerate) that re-inlines the full shingling
+  expression below the projection; ``explode_outer`` + a cheap
+  null-filter afterwards avoids that (7x faster on the inv scan).
+- The shingle table feeds several branches (postings, sizes); it is
+  tiny relative to the input (ids + shingle arrays), so ``.cache()``
+  turns the diamond into one evaluation. At 100 TB the same pattern
+  holds with ``persist(DISK)`` or a checkpoint.
 
 Hashes are the md5-derived 32-bit ints from ``functions.text`` so
 every step is reproducible in the DuckDB oracle; swap in
@@ -38,8 +58,44 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingles) with the words array bound as its own projection
+    so the tokenizing split evaluates once per row, not once per
+    lambda element (see module docstring)."""
+    w = df.select(id_col, tokenize(F.col(text_col)).alias("_w"))
+    return w.select(id_col, word_shingles(F.col("_w"), n).alias("shingles"))
+
+
+def _exploded(df: DataFrame, id_col: str, arr_col: str, out_col: str) -> DataFrame:
+    """explode_outer + null-filter: same rows as explode, but without
+    the optimizer's inferred size>0 filter re-evaluating the array
+    expression a second time."""
+    return df.select(id_col, F.explode_outer(arr_col).alias(out_col)).filter(F.col(out_col).isNotNull())
+
+
 def with_shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles") -> DataFrame:
     return df.withColumn(out_col, word_shingles(tokenize(F.col(text_col)), n))
+
+
+def _posting_pairs(inv: DataFrame, id_col: str, key_col: str, max_freq: int | None = None) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from an inverted index in ONE
+    shuffle: group ids per key into a sorted posting array, then emit
+    the within-array combinations JVM-side. One output row per
+    (key, pair) occurrence — callers count or distinct as needed."""
+    posts = inv.groupBy(key_col).agg(F.array_sort(F.collect_list(id_col)).alias("ids")).filter(F.size("ids") >= 2)
+    if max_freq is not None:
+        posts = posts.filter(F.size("ids") <= max_freq)
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    pairs = posts.select(F.explode_outer(combos).alias("p")).filter(F.col("p").isNotNull())
+    return pairs.select("p.id_a", "p.id_b")
 
 
 def jaccard_pairs(
@@ -50,29 +106,24 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard, via inverted-index join.
+    """Near-dup pairs by exact n-gram Jaccard, via posting-list
+    candidate generation.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >=
     threshold. Jaccard is exact over *distinct* shingles, so the only
     approximation is the optional frequency cap.
     """
-    sh = with_shingles(df.select(id_col, text_col), text_col, n)
+    sh = _shingled(df.select(id_col, text_col), id_col, text_col, n).cache()
     sizes = sh.select(F.col(id_col).alias("_id"), F.size("shingles").alias("_n"))
-    inv = sh.select(F.col(id_col).alias("_id"), F.explode("shingles").alias("shingle"))
-    if max_shingle_freq is not None:
-        freq_ok = inv.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq).select("shingle")
-        inv = inv.join(F.broadcast(freq_ok), "shingle")
-    a = inv.select(F.col("_id").alias("id_a"), "shingle")
-    b = inv.select(F.col("_id").alias("id_b"), "shingle")
+    inv = _exploded(sh, id_col, "shingles", "shingle")
     shared = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        _posting_pairs(inv, id_col, "shingle", max_shingle_freq)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     return (
-        shared.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b")), "id_b")
+        shared.join(F.broadcast(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"))), "id_a")
+        .join(F.broadcast(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"))), "id_b")
         .withColumn("jaccard", F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -80,22 +131,28 @@ def jaccard_pairs(
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, n: int = 3) -> DataFrame:
-    """K-permutation MinHash signature as K min-aggregations over the
-    exploded shingle set — one shuffle, map-side combinable, constant
-    output size per doc."""
-    inv = with_shingles(df.select(id_col, text_col), text_col, n).select(
-        id_col, F.explode("shingles").alias("shingle")
+    """K-permutation MinHash signature: hash each *distinct* shingle
+    once (documents repeat shingles heavily), broadcast the hash table
+    back onto the postings, then K min-aggregations per doc — one
+    wide shuffle, map-side combinable, constant output size per doc."""
+    sh = _shingled(df.select(id_col, text_col), id_col, text_col, n).cache()
+    inv = _exploded(sh, id_col, "shingles", "shingle")
+    uniq = inv.select("shingle").distinct()
+    hashed = uniq.select(
+        "shingle", *[word_hash32(F.col("shingle"), seed=k).alias(f"_h{k}") for k in range(num_hashes)]
     )
-    aggs = [F.min(word_hash32(F.col("shingle"), seed=k)).alias(f"mh_{k}") for k in range(num_hashes)]
-    return inv.groupBy(id_col).agg(*aggs)
+    joined = inv.join(F.broadcast(hashed), "shingle")
+    aggs = [F.min(F.col(f"_h{k}")).alias(f"mh_{k}") for k in range(num_hashes)]
+    return joined.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
     sig_df: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
     """LSH banding over a MinHash signature: docs colliding on any
-    whole band become a candidate pair. Join key is (band_id,
-    band_hash) so the shuffle is uniform; output is distinct pairs."""
+    whole band become a candidate pair. Pairs are generated inside the
+    per-(band_id, band_hash) posting arrays — one uniform shuffle;
+    output is distinct pairs."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -104,16 +161,9 @@ def lsh_candidate_pairs(
             F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("band_hash"))
         )
     banded = sig_df.select(F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("band")).select(
-        "_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+        "_id", F.concat_ws("#", F.col("band.band_id").cast("string"), F.col("band.band_hash")).alias("band_key")
     )
-    a = banded.select(F.col("_id").alias("id_a"), "band_id", "band_hash")
-    b = banded.select(F.col("_id").alias("id_b"), "band_id", "band_hash")
-    return (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _posting_pairs(banded, "_id", "band_key").distinct()
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
@@ -123,9 +173,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     double shuffle is on (id, bit) then (id) — both uniform. Output:
     one bigint fingerprint per doc.
     """
-    words = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("w")).withColumn(
-        "h", word_hash32(F.col("w"))
-    )
+    w = df.select(id_col, tokenize(F.col(text_col)).alias("_w"))
+    words = _exploded(w, id_col, "_w", "w").withColumn("h", word_hash32(F.col("w")))
     per_bit = (
         words.select(id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
         .groupBy(id_col, "bit")

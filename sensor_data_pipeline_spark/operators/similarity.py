@@ -93,16 +93,80 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
-    threshold). Exact: compares all pairs via a broadcast self-join —
-    right at small/medium corpus scale; for web-scale corpora compose
-    ``sign_lsh_bucket`` blocking first (same output columns)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_arrow(F.col("_va"), F.col("_vb")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    threshold). Exact all-pairs, executed as a blocked matrix product:
+    rows are packed into ``n_blocks`` groups, the groups are
+    cross-joined (B*(B+1)/2 block pairs — the only "cross join" is over
+    blocks, never rows), and each block pair scores its sub-matrix in
+    one Arrow batch. Only passing pairs leave Python, so shuffle and
+    Arrow traffic are O(n·B + output), not O(n^2) pair rows.
+
+    Results are bit-identical to the scalar path: the dot product
+    accumulates sequentially over dimensions (vectorized across the
+    pair matrix), matching DuckDB's list_dot_product rounding order.
+
+    Sizing: work per task is (n/B)^2·dim; pick B so B*(B+1)/2 ≈ the
+    cluster's task slots. For web-scale corpora compose
+    ``sign_lsh_bucket`` blocking first (same output columns).
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
     )
+    packed = d.groupBy("blk").agg(F.collect_list(F.struct("id", "v")).alias("items"))
+    pairs = (
+        packed.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
+        .join(
+            packed.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b")),
+            F.col("blk_a") <= F.col("blk_b"),
+        )
+        # one block pair per task: the matmul below is the unit of work
+        .repartition(n_blocks * (n_blocks + 1) // 2)
+    )
+
+    def _seq_outer(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
+        # acc_k = acc_{k-1} + x_k*y_k per cell, in dimension order —
+        # the same rounding sequence as the scalar loop.
+        acc = np.zeros((len(X), len(Y)), dtype=np.float64)
+        for k in range(X.shape[1]):
+            acc += np.outer(X[:, k], Y[:, k])
+        return acc
+
+    def _seq_sq(X: np.ndarray) -> np.ndarray:
+        acc = np.zeros(len(X), dtype=np.float64)
+        for k in range(X.shape[1]):
+            acc += X[:, k] * X[:, k]
+        return acc
+
+    def score(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                ia = np.array([it["id"] for it in row["items_a"]], dtype=np.int64)
+                ib = np.array([it["id"] for it in row["items_b"]], dtype=np.int64)
+                Xa = np.stack([np.asarray(it["v"], dtype=np.float64) for it in row["items_a"]])
+                Xb = np.stack([np.asarray(it["v"], dtype=np.float64) for it in row["items_b"]])
+                cos = _seq_outer(Xa, Xb) / np.outer(np.sqrt(_seq_sq(Xa)), np.sqrt(_seq_sq(Xb)))
+                # cosine is bitwise symmetric (IEEE multiply commutes), so
+                # ordering each cell as (min_id, max_id) is value-safe.
+                mask = (ia[:, None] < ib[None, :]) if row["blk_a"] == row["blk_b"] else np.ones(cos.shape, dtype=bool)
+                mask &= cos >= threshold
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    lo = np.minimum(ia[ii], ib[jj])
+                    hi = np.maximum(ia[ii], ib[jj])
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_c.append(cos[ii, jj])
+            if out_a:
+                yield pd.DataFrame(
+                    {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b), "cosine": np.concatenate(out_c)}
+                )
+
+    return pairs.mapInPandas(score, schema="id_a bigint, id_b bigint, cosine double")
