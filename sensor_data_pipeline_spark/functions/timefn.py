@@ -20,8 +20,11 @@ def iso8601_format(ts: Column) -> Column:
 
 def iso8601_parse(s: Column) -> Column:
     """ISO-8601 UTC wire string -> timestamp (T2). Unparseable input
-    yields null (the consumer's reject path, consumer.cpp:133-144)."""
-    return F.to_timestamp(s, ISO8601_WIRE)
+    yields null (the consumer's reject path, consumer.cpp:133-144).
+    ``try_to_timestamp``, not ``to_timestamp``: under ANSI mode
+    (Spark 4 default) the latter aborts the job on the first malformed
+    wire string — the opposite of the reference's drop-and-continue."""
+    return F.try_to_timestamp(s, F.lit(ISO8601_WIRE))
 
 
 def dual_stamp(df_cols: dict[str, Column], source_ts: Column) -> dict[str, Column]:

@@ -1,0 +1,135 @@
+"""Operator-level invariant tests: as-of join, sessionization,
+staleness, top-k, dedup families, similarity — on small synthetic
+frames where the expected output is hand-computable."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from sensor_data_pipeline_spark.operators.joins import asof_join
+from sensor_data_pipeline_spark.operators.sessionize import session_rates, sessionize_by_sign_flip
+from sensor_data_pipeline_spark.operators.similarity import brute_force_topk
+from sensor_data_pipeline_spark.operators.staleness import apply_staleness
+from sensor_data_pipeline_spark.operators.topk import topk_per_group
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [("a", ts("2024-01-01 00:00:05")), ("a", ts("2024-01-01 00:00:10")), ("a", ts("2024-01-01 00:00:00"))],
+        "k string, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", ts("2024-01-01 00:00:05"), 1.0), ("a", ts("2024-01-01 00:00:08"), 2.0)],
+        "k string, rts timestamp, v double",
+    )
+    out = {r.lts: r.v for r in asof_join(left, right, on="k", left_ts="lts", right_ts="rts").collect()}
+    assert out[ts("2024-01-01 00:00:00")] is None  # no prior right row
+    assert out[ts("2024-01-01 00:00:05")] == 1.0  # equal ts matches (inclusive)
+    assert out[ts("2024-01-01 00:00:10")] == 2.0  # latest prior
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([("a", ts("2024-01-01 02:00:00"))], "k string, lts timestamp")
+    right = spark.createDataFrame([("a", ts("2024-01-01 00:00:00"), 7.0)], "k string, rts timestamp, v double")
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts", tolerance_sec=3600).first()
+    assert out.v is None  # match is 2h old > 1h tolerance
+
+
+def test_sessionize_sign_flip(spark):
+    # current: + + - - + => sessions 1 1 2 2 3
+    rows = [("u", i, v) for i, v in enumerate([5.0, 4.0, -3.0, -2.0, 6.0])]
+    df = spark.createDataFrame(rows, "k string, t int, cur double")
+    out = sessionize_by_sign_flip(df, ["k"], ["t"], "cur")
+    got = [r.session_id for r in out.orderBy("t").collect()]
+    assert got == [1, 1, 2, 2, 3]
+
+
+def test_sessionize_zero_starts_new_session(spark):
+    # prev * cur <= 0 includes zero-crossing touches
+    df = spark.createDataFrame([("u", 0, 5.0), ("u", 1, 0.0), ("u", 2, 3.0)], "k string, t int, cur double")
+    got = [r.session_id for r in sessionize_by_sign_flip(df, ["k"], ["t"], "cur").orderBy("t").collect()]
+    assert got == [1, 2, 3]  # 5*0<=0 new session; 0*3<=0 new session
+
+
+def test_session_rates_reference_arithmetic(spark):
+    # pct drains 100 -> 90 over 9 s within one session:
+    # rate = (100-90)/(9-0+1) = 1.0 ; eta = 90/1 = 90
+    rows = [("u", ts("2024-01-01 00:00:00"), 100.0, 1), ("u", ts("2024-01-01 00:00:09"), 90.0, 1)]
+    df = spark.createDataFrame(rows, "k string, tick_ts timestamp, pct double, session_id int")
+    out = session_rates(df, ["k"], ["tick_ts"], "tick_ts", "pct").orderBy("tick_ts").collect()
+    assert out[0].eta_sec is None  # rate 0 at t0 => NA path
+    assert abs(out[1].use_per_sec - 1.0) < 1e-9
+    assert abs(out[1].eta_sec - 90.0) < 1e-9
+
+
+def test_staleness_sentinel(spark):
+    rows = [("a", ts("2024-01-01 12:00:00"), 21.5), ("a", ts("2024-01-01 10:00:00"), 19.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, temp double")
+    out = {r.ts: r for r in apply_staleness(df, "ts", ["temp"], partition_by=["k"]).collect()}
+    fresh, stale = out[ts("2024-01-01 12:00:00")], out[ts("2024-01-01 10:00:00")]
+    assert not fresh.is_stale and fresh.temp == 21.5
+    assert stale.is_stale and stale.temp == 888.8  # 2h behind frontier > 3600s
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame([("g", i, float(i)) for i in range(10)], "g string, id int, v double")
+    out = topk_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], k=3).collect()
+    assert sorted(r.id for r in out) == [7, 8, 9]
+    assert all(r.rk <= 3 for r in out)
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "Hello  World"), (3, "different doc")], "doc_id int, text string"
+    )
+    out = {r.keep_id: r.n_copies for r in exact_dedup(df, "doc_id", "text").collect()}
+    assert out == {1: 2, 3: 1}  # 1 and 2 collapse (case/space-normalized), keep min id
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"
+    other = "one two three four five six seven eight"
+    df = spark.createDataFrame([(1, base), (2, near), (3, other)], "doc_id int, text string")
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(df, "doc_id", "text", threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.4
+    assert all(3 not in p for p in pairs)
+
+
+def test_minhash_lsh_recall_on_identical_docs(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame([(1, text), (2, text), (3, "totally unrelated words here xyzzy")], "doc_id int, text string")
+    sigs = minhash_signatures(df, "doc_id", "text")
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert (1, 2) in pairs  # identical docs always collide in every band
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    df = spark.createDataFrame([(1, base), (2, near)], "doc_id int, text string")
+    out = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    hamming = bin(out[1] ^ out[2]).count("1")
+    assert hamming <= 12  # near-dups differ in few of 32 bits
+
+
+def test_brute_force_topk_self_excluded_and_ranked(spark):
+    vecs = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+    out = brute_force_topk(df.filter("vec_id = 1"), df, k=2).orderBy("rk").collect()
+    assert [r.match_id for r in out] == [2, 3]  # nearest first, self excluded
+    assert out[0].cosine > out[1].cosine
