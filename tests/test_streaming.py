@@ -1,0 +1,207 @@
+"""Streaming-layer tests, driven deterministically: parquet file
+source → availableNow trigger → memory/collecting sink →
+processAllAvailable. Correctness of the column logic is already proven
+by the batch oracle tests; these prove the streaming plumbing
+(trigger, wire serde round-trip, corrupt routing, keyed state,
+publisher lifecycle)."""
+
+from __future__ import annotations
+
+import json
+import time
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline_spark.schemas import MQTT_MESSAGE, READINGS
+from sensor_data_pipeline_spark.streaming import (
+    FileSpoolPublisher,
+    consumer_pipeline,
+    producer_pipeline,
+    publish_stream,
+    sessionize_stream,
+    windowed_event_stats,
+)
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture
+def stream_dir(tmp_path):
+    """Write a batch DataFrame to parquet and read it back as a file
+    stream — the deterministic micro-batch driver for tests."""
+
+    def make(df, schema):
+        path = str(tmp_path / "in")
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.readStream.schema(schema).parquet(path)
+
+    return make
+
+
+def drain(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def test_producer_consumer_wire_roundtrip(spark, stream_dir):
+    readings = spark.createDataFrame(
+        [(ts("2024-12-23 10:00:00"), 21.53, 22.17, 60.2)],
+        "timestamp_utc timestamp, temp_outdoor_celsius double, temp_indoor_celsius double, rh_outdoor double",
+    )
+    msgs = drain(producer_pipeline(stream_dir(readings, READINGS)), "wire_out")
+    rows = msgs.collect()
+    assert len(rows) == 1
+    payload = json.loads(rows[0].payload)
+    # the wire stamp is ISO-8601 Z and values are rounded to 1 decimal
+    # (producer.c:131-141 %.1f formatting)
+    assert payload["timestamp_utc"] == "2024-12-23T10:00:00Z"
+    assert payload["temp_outdoor_celsius"] == 21.5
+    assert rows[0].topic == "sensor/readings" and rows[0].qos == 1
+
+    # consumer side: parse back, event time survives the round trip
+    parsed, corrupt = consumer_pipeline(stream_dir(msgs, MQTT_MESSAGE))
+    out = drain(parsed, "consumer_out").collect()
+    assert len(out) == 1
+    assert out[0].event_ts == ts("2024-12-23 10:00:00")
+    assert out[0].temp_outdoor_celsius == 21.5
+    assert drain(corrupt, "corrupt_out").count() == 0
+
+
+def test_consumer_corrupt_routing_and_sentinel(spark, stream_dir):
+    msgs = spark.createDataFrame(
+        [
+            ("t", 1, '{"timestamp_utc":"2024-12-23T10:00:00Z","rh_outdoor":60.0}'),  # missing temp
+            ("t", 1, "{not json"),  # corrupt
+        ],
+        MQTT_MESSAGE,
+    )
+    parsed, corrupt = consumer_pipeline(stream_dir(msgs, MQTT_MESSAGE))
+    good = drain(parsed, "good_msgs").collect()
+    bad = drain(corrupt, "bad_msgs").collect()
+    assert len(good) == 1 and len(bad) == 1
+    assert good[0].temp_outdoor_celsius == 888.8  # P13 sentinel default
+    assert good[0].rh_outdoor == 60.0
+    assert bad[0].payload == "{not json"  # E2: diverted, stream alive
+
+
+def test_windowed_event_stats(spark, stream_dir):
+    from sensor_data_pipeline_spark.schemas import TESTDATA_TABLES
+    from sensor_data_pipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    out = drain(
+        windowed_event_stats(stream_dir(events, TESTDATA_TABLES["events"])),
+        "win_stats",
+    )
+    # batch twin: same agg expressed directly
+    expected = (
+        events.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .count()
+    )
+    # availableNow + watermark: windows strictly behind the final
+    # watermark are emitted; the tail window may be withheld
+    assert expected - 10 <= out.count() <= expected
+
+
+def test_publish_stream_foreach_lifecycle(spark, stream_dir, tmp_path):
+    spool = str(tmp_path / "spool")
+    msgs = spark.createDataFrame([("top", 2, "payload-1"), ("top", 2, "payload-2")], MQTT_MESSAGE)
+    q = publish_stream(
+        stream_dir(msgs, MQTT_MESSAGE),
+        FileSpoolPublisher(spool),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(60)
+    got = sorted(FileSpoolPublisher.read_all(spool))
+    assert got == [("top", 2, "payload-1"), ("top", 2, "payload-2")]
+
+
+def test_staleness_monitor_passthrough(spark, stream_dir):
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from sensor_data_pipeline_spark.streaming import staleness_monitor_stream
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("event_ts", TimestampType()),
+            StructField("temp_outdoor_celsius", DoubleType()),
+            StructField("rh_outdoor", DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame([("d0", ts("2024-12-23 10:00:00"), 21.5, 60.0)], schema)
+    # 1 s tolerance so the processing-time timeout fires during the
+    # test. The engine keeps scheduling state-cleanup batches even
+    # after all timeouts fired (micro-batch availableNow behavior), so
+    # poll the sink for the expected rows and stop explicitly instead
+    # of draining to termination.
+    q = (
+        staleness_monitor_stream(stream_dir(df, schema), tolerance_sec=1)
+        .writeStream.format("memory")
+        .queryName("stale_out")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and spark.sql("SELECT * FROM stale_out").count() < 2:
+            time.sleep(1)
+        out = spark.sql("SELECT * FROM stale_out").orderBy("is_stale").collect()
+    finally:
+        q.stop()
+    # fresh pass-through + the sentinel reset row (consumer.cpp:251-266, T3)
+    assert [r.is_stale for r in out] == ["fresh", "stale-reset"]
+    assert out[0].temp_outdoor_celsius == 21.5
+    assert out[1].temp_outdoor_celsius == 888.8 and out[1].rh_outdoor == 888.8
+
+
+def test_sessionize_stream_matches_batch_twin(spark, stream_dir):
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("tick_ts", TimestampType()),
+            StructField("signal", DoubleType()),
+            StructField("pct", DoubleType()),
+        ]
+    )
+    # + + - - +  => sessions 1 1 2 2 3 (module_rpi_ups_hat.c:253-258)
+    rows = [
+        ("u", ts(f"2024-01-01 00:00:0{i}"), v, 100.0 - i)
+        for i, v in enumerate([5.0, 4.0, -3.0, -2.0, 6.0])
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = drain(sessionize_stream(stream_dir(df, schema)), "sessions").orderBy("tick_ts").collect()
+    assert [r.session_id for r in out] == [1, 1, 2, 2, 3]
+    # rate/eta arithmetic matches the batch twin's reference formula:
+    # within session 2, second row: rate = (98-97)/(3-2+1) = 0.5
+    assert abs(out[3].use_per_sec - 0.5) < 1e-9
+    assert abs(out[3].eta_sec - 97.0 / 0.5) < 1e-9
