@@ -4,3 +4,4 @@ from sensor_data_pipeline_spark.plans.registry import REGISTRY, QuerySpec, all_o
 from sensor_data_pipeline_spark.plans import relational  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import sensor  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import northstar  # noqa: F401,E402
+from sensor_data_pipeline_spark.plans import multimodal  # noqa: F401,E402
