@@ -18,6 +18,74 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Point-in-interval join: pairs where ``lo <= point <= hi``,
+    without the cross join Spark's planner would otherwise produce for
+    a pure theta join.
+
+    Both sides are bucketed by ``floor(x / bucket_width)``: each
+    interval explodes into the buckets it covers, each point lands in
+    exactly one bucket, and the join becomes an equi-join on bucket id
+    followed by the exact containment filter. Each matching pair meets
+    in precisely one bucket (the point's), so no dedup is needed.
+
+    Cost model: shuffle is O(points + intervals x avg_span/width); pick
+    ``bucket_width`` near the median interval span so most intervals
+    explode into ~2 buckets. This is the standard bucketed-range-join
+    strategy (cf. Databricks range-join hints; Spark OSS has no native
+    one).
+
+    Columns ``lo``/``hi``/``point`` must be numeric (cast timestamps
+    to epoch seconds first). Output: all left columns + all right
+    columns.
+    """
+    pt = F.col(left_point)
+    l_b = left.withColumn("_bucket", F.floor(pt / F.lit(bucket_width)).cast("bigint"))
+    span = F.sequence(
+        F.floor(F.col(right_lo) / F.lit(bucket_width)).cast("bigint"),
+        F.floor(F.col(right_hi) / F.lit(bucket_width)).cast("bigint"),
+    )
+    r_b = right.withColumn("_bucket", F.explode(span))
+    return (
+        l_b.join(r_b, "_bucket")
+        .filter((pt >= F.col(right_lo)) & (pt <= F.col(right_hi)))
+        .drop("_bucket")
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (large, possibly skewed) left
+    side into ``n_salts`` sub-keys and replicate the right side once
+    per salt, so one hot key spreads across ``n_salts`` reducers
+    instead of melting a single one.
+
+    Result is row-identical to the plain join (the differential oracle
+    checks exactly that). With AQE skew handling on this is usually
+    unnecessary — keep it for the cases AQE can't split (e.g. a single
+    key too hot even after partition splitting, or stream-static joins
+    where AQE doesn't apply).
+    """
+    salt = F.pmod(F.xxhash64(F.col(left_key), F.monotonically_increasing_id()), F.lit(n_salts))
+    l_s = left.withColumn("_salt", salt.cast("int"))
+    r_s = right.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    out = l_s.join(r_s, (F.col(left_key) == F.col(right_key)) & (l_s["_salt"] == r_s["_salt"]), how)
+    return out.drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

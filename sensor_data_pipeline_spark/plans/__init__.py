@@ -5,3 +5,4 @@ from sensor_data_pipeline_spark.plans import relational  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import sensor  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import northstar  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import multimodal  # noqa: F401,E402
+from sensor_data_pipeline_spark.plans import advanced  # noqa: F401,E402

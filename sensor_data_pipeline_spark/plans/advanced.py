@@ -1,0 +1,417 @@
+"""Advanced relational queries: range/salted joins, pivot/unpivot,
+grouping sets, percentiles, array/map functions, gap-and-islands,
+histogram binning, hierarchical time rollup, approximate aggregates.
+
+These fill out SURVEY.md §2.9's "inherited from Spark, exercised in
+tests" categories beyond the first registry wave (relational.py), plus
+two custom join strategies (operators/joins.py) the reference's
+generalization demands at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sensor_data_pipeline_spark.operators.joins import range_join, salted_join
+from sensor_data_pipeline_spark.plans.registry import register
+from sensor_data_pipeline_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# custom join strategies
+# ---------------------------------------------------------------------------
+@register(
+    "q55_range_join",
+    category="join",
+    oracle="""
+WITH iv AS (
+  SELECT event_id AS iv_id,
+         CAST(epoch(ts) AS DOUBLE) AS lo,
+         CAST(epoch(ts) AS DOUBLE) + 600 AS hi
+  FROM events WHERE event_type = 'purchase' AND user_id % 50 = 0
+),
+pts AS (SELECT event_id, CAST(epoch(ts) AS DOUBLE) AS pt FROM events)
+SELECT iv.iv_id,
+       CAST(count(*) AS BIGINT) AS n_in_window,
+       CAST(min(pts.event_id) AS BIGINT) AS first_event
+FROM iv JOIN pts ON pts.pt >= iv.lo AND pts.pt <= iv.hi
+GROUP BY iv.iv_id ORDER BY iv.iv_id
+""",
+)
+def q55_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via the bucketed strategy: every event
+    inside the 10-minute window after each sampled purchase. The
+    oracle runs the plain theta join; the engine runs the bucketed
+    equi-join (operators/joins.py range_join) — same rows, linear
+    shuffle instead of a cross product."""
+    ev = load_table(spark, "events", sf_dir)
+    intervals = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 50 == 0))
+        .select(
+            F.col("event_id").alias("iv_id"),
+            F.unix_timestamp("ts").cast("double").alias("lo"),
+            (F.unix_timestamp("ts").cast("double") + 600).alias("hi"),
+        )
+    )
+    points = ev.select("event_id", F.unix_timestamp("ts").cast("double").alias("pt"))
+    joined = range_join(points, intervals, "pt", "lo", "hi", bucket_width=600.0)
+    return (
+        joined.groupBy("iv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_in_window"),
+            F.min("event_id").cast("bigint").alias("first_event"),
+        )
+        .orderBy("iv_id")
+    )
+
+
+@register(
+    "q56_salted_join",
+    category="join",
+    oracle="""
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c.c_acctbal), 2) AS total_bal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+""",
+)
+def q56_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (nationkey is the classic low-cardinality hot
+    key): result must be row-identical to the plain join the oracle
+    runs — the salt only changes the shuffle layout."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    joined = salted_join(c, n, "c_nationkey", "n_nationkey", n_salts=8)
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# reshaping
+# ---------------------------------------------------------------------------
+@register(
+    "q57_pivot",
+    category="reshape",
+    oracle="""
+SELECT l_returnflag,
+       sum(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_quantity * 100, 0) AS BIGINT) ELSE 0 END) / 100.0 AS qty_f,
+       sum(CASE WHEN l_linestatus = 'O' THEN CAST(round(l_quantity * 100, 0) AS BIGINT) ELSE 0 END) / 100.0 AS qty_o
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def q57_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus into columns (sum of quantity per flag x
+    status). Values list is pinned so the plan needs no extra
+    distinct-scan pass — at scale always pass the pivot values."""
+    li = load_table(spark, "lineitem", sf_dir)
+    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("bigint")
+    return (
+        li.withColumn("_q", qty_c)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.coalesce(F.sum("_q"), F.lit(0)))
+        .select(
+            "l_returnflag",
+            (F.col("F") / 100.0).alias("qty_f"),
+            (F.col("O") / 100.0).alias("qty_o"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q58_unpivot",
+    category="reshape",
+    oracle="""
+WITH u AS (
+  SELECT o_orderpriority, 'totalprice' AS metric, o_totalprice AS v FROM orders
+  UNION ALL
+  SELECT o_orderpriority, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS v FROM orders
+)
+SELECT o_orderpriority, metric,
+       CAST(count(*) AS BIGINT) AS n,
+       sum(CAST(round(v * 100, 0) AS BIGINT)) / 100.0 AS total
+FROM u GROUP BY o_orderpriority, metric ORDER BY o_orderpriority, metric
+""",
+)
+def q58_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide columns into (metric, value) rows then
+    re-aggregate — the normalize step for metric-store shaped sinks."""
+    o = load_table(spark, "orders", sf_dir)
+    u = o.select("o_orderpriority", F.col("o_totalprice"), F.col("o_custkey").cast("double")).unpivot(
+        ["o_orderpriority"],
+        ["o_totalprice", "o_custkey"],
+        "metric",
+        "v",
+    )
+    metric = F.when(F.col("metric") == "o_totalprice", "totalprice").otherwise("custkey")
+    return (
+        u.withColumn("metric", metric)
+        .groupBy("o_orderpriority", "metric")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum(F.round(F.col("v") * 100, 0).cast("bigint")) / 100.0).alias("total"),
+        )
+        .orderBy("o_orderpriority", "metric")
+    )
+
+
+@register(
+    "q59_grouping_sets",
+    category="aggregation",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def q59_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than cube/rollup, q08/q09).
+    Uses the SQL form — DataFrame API has no grouping-sets builder."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               -- CAST: a bare 100.0 literal is DECIMAL in Spark SQL
+               -- (DOUBLE in DuckDB); decimal division would emit
+               -- Decimal values and hash-mismatch the oracle
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS revenue
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# statistics
+# ---------------------------------------------------------------------------
+@register(
+    "q60_percentiles",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5)  AS median,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       max(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def q60_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``: both compute
+    ``v[i] + frac * (v[i+1] - v[i])`` at ``(n-1)*p``)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.25).alias("q25"),
+            F.percentile("l_quantity", 0.5).alias("median"),
+            F.percentile("l_quantity", 0.75).alias("q75"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q61_histogram",
+    category="aggregation",
+    oracle="""
+SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi
+FROM orders GROUP BY 1 ORDER BY bucket
+""",
+)
+def q61_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning with a clamped overflow bucket —
+    one scan, map-side combinable."""
+    o = load_table(spark, "orders", sf_dir)
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000).cast("bigint"), F.lit(9).cast("bigint"))
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q62_approx_aggs",
+    category="aggregation",
+    # HLL / GK-sketch outputs are engine-specific by design; the
+    # rows-only check plus tests/test_advanced.py's error-bound
+    # invariants (vs exact counts) cover this one.
+    oracle=None,
+)
+def q62_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB interactive profiling:
+    approx_count_distinct (HLL++) and percentile_approx (GK) — exact
+    twins cost a full shuffle of the distinct sets; sketches are one
+    pass, mergeable, constant memory."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 1000).alias("approx_median_value"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequences
+# ---------------------------------------------------------------------------
+@register(
+    "q63_gap_islands",
+    category="window",
+    oracle="""
+WITH t AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 3600
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS brk,
+         event_id
+  FROM events
+),
+isl AS (
+  SELECT user_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM t
+),
+sized AS (
+  SELECT user_id, island_id, CAST(count(*) AS BIGINT) AS island_len
+  FROM isl GROUP BY user_id, island_id
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(max(island_len) AS BIGINT) AS longest_island
+FROM sized GROUP BY user_id
+HAVING count(*) > 1
+ORDER BY user_id
+""",
+)
+def q63_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-and-islands: sessions split on >1 h inactivity (lag ->
+    break flag -> running sum), the time-series form of the
+    reference's predicate sessionization (A2) with a gap predicate.
+    One shuffle on user_id serves both windows."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag(F.unix_timestamp("ts")).over(w)
+    brk = F.when(prev_ts.isNull() | (F.unix_timestamp("ts") - prev_ts > 3600), 1).otherwise(0)
+    islands = ev.withColumn("_brk", brk).withColumn(
+        "island_id",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    sized = islands.groupBy("user_id", "island_id").agg(F.count(F.lit(1)).cast("bigint").alias("island_len"))
+    return (
+        sized.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.max("island_len").cast("bigint").alias("longest_island"),
+        )
+        .filter(F.col("n_islands") > 1)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q64_hierarchical_rollup",
+    category="aggregation",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type
+""",
+)
+def q64_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: minute-grain partials
+    re-aggregated to hour grain (counts and scaled sums compose
+    losslessly). At scale the minute layer is a materialized
+    continuous aggregate; the hour query reads ~1/60th of the rows.
+    The oracle computes the hour grain directly — compositionality is
+    exactly what's being checked."""
+    ev = load_table(spark, "events", sf_dir)
+    minute = (
+        ev.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("minute_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("sum_c"),
+        )
+    )
+    return (
+        minute.groupBy(F.date_trunc("hour", F.col("minute_start")).alias("hour_start"), "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            (F.sum("sum_c") / 100.0).alias("sum_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# array / map functions
+# ---------------------------------------------------------------------------
+@register(
+    "q65_array_map_funcs",
+    category="functions",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(len(priorities) AS INT) AS n_distinct_priorities,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN list_contains(priorities, '1-URGENT') THEN 1 ELSE 0 END) AS BIGINT) AS with_urgent
+FROM per_cust GROUP BY 1 ORDER BY 1
+""",
+)
+def q65_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array pipeline: collect_set -> array_sort -> size /
+    array_contains, re-aggregated. Collection columns stay inside the
+    JVM (no Python); collect_set per customer is bounded (5
+    priorities) so no skew risk."""
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    return (
+        per_cust.groupBy(F.size("priorities").alias("n_distinct_priorities"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum(F.array_contains("priorities", "1-URGENT").cast("int")).cast("bigint").alias("with_urgent"),
+        )
+        .orderBy("n_distinct_priorities")
+    )
