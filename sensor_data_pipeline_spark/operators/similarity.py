@@ -88,6 +88,62 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are
+    assigned to their nearest centroid (the coarse quantizer); each
+    query scores only the posting lists of its ``n_probe`` nearest
+    centroids.
+
+    The quantizer here is deterministic — the first ``n_centroids``
+    corpus vectors by id — so the DuckDB oracle can replay the exact
+    partitioning; production would swap in MLlib KMeans centroids
+    without touching the dataflow. Scale shape: centroids broadcast to
+    both sides (tiny), corpus shuffles ONCE on centroid id, each query
+    joins ``n_probe`` posting lists instead of the whole corpus —
+    cost O(corpus + queries·n_probe·avg_list), the IVF trade
+    (recall < 1 when the true neighbor lives in an unprobed cell).
+    """
+    cents = corpus.orderBy(corpus_id).limit(n_centroids).select(
+        F.col(corpus_id).alias("cent_id"), F.col(vec_col).alias("_cent")
+    )
+
+    def nearest(side: DataFrame, id_alias: str, n_keep: int) -> DataFrame:
+        scored = side.join(F.broadcast(cents)).withColumn(
+            "_cent_cos", cosine_arrow(F.col("_v"), F.col("_cent"))
+        )
+        w = Window.partitionBy(id_alias).orderBy(F.col("_cent_cos").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n_keep)
+            .drop("_cent", "_cent_cos", "_rn")
+        )
+
+    c = nearest(corpus.select(F.col(corpus_id).alias("match_id"), F.col(vec_col).alias("_v")), "match_id", 1)
+    q = nearest(queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_v")), "query_id", n_probe)
+
+    scored = (
+        q.withColumnRenamed("_v", "_qv")
+        .join(c.withColumnRenamed("_v", "_cv"), "cent_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("cos_r", cosine_arrow(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), F.col("match_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", F.col("cos_r").alias("cosine"), "rk")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

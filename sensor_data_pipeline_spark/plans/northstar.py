@@ -32,6 +32,7 @@ from sensor_data_pipeline_spark.operators.dedup import (
 from sensor_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
+    ivf_topk,
     lsh_bucket_topk,
 )
 from sensor_data_pipeline_spark.plans.registry import register
@@ -366,3 +367,45 @@ def q50_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.4)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+@register(
+    "q66_ivf_ann",
+    category="similarity",
+    oracle=f"""
+WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM emb ORDER BY vec_id LIMIT 16),
+c_assign AS (
+  SELECT match_id, cent_id, v FROM (
+    SELECT e.vec_id AS match_id, c.cent_id, e.v,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_DUCK_COSINE.format(a="e.v", b="c.cv")} DESC, c.cent_id) AS rn
+    FROM emb e, cents c) WHERE rn = 1
+),
+q_assign AS (
+  SELECT query_id, cent_id, qv FROM (
+    SELECT e.vec_id AS query_id, c.cent_id, e.v AS qv,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_DUCK_COSINE.format(a="e.v", b="c.cv")} DESC, c.cent_id) AS rn
+    FROM emb e, cents c WHERE e.vec_id < 10) WHERE rn <= 2
+),
+scored AS (
+  SELECT q.query_id, a.match_id, {_DUCK_COSINE.format(a="q.qv", b="a.v")} AS cosine
+  FROM q_assign q JOIN c_assign a USING (cent_id)
+  WHERE a.match_id != q.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT query_id, match_id, cosine, rk FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+""",
+)
+def q66_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN: deterministic coarse quantizer (first 16
+    corpus vectors), corpus assigned to 1 cell, queries probe 2 —
+    the inverted-file scale path where each query scores ~2/16ths of
+    the corpus (operators/similarity.py ivf_topk)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=2).orderBy("query_id", "rk")

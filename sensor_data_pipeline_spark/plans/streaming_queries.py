@@ -1,0 +1,110 @@
+"""Declared queries that exercise the Structured-Streaming layer
+through the driver contract: each builds a file-source stream over the
+sf parquet, drains it with an availableNow trigger into a memory sink,
+and returns the sink's contents as the result DataFrame.
+
+The watermark-emission query has a real SQL oracle: with availableNow
+all data lands in one batch, so the final watermark is exactly
+``max(ts) - delay`` and append mode emits precisely the windows whose
+end is at or below it — a deterministic, SQL-reproducible subset.
+The stateful-sessionization query is non-SQL-expressible (keyed state
+across rows) → rows-only per the driver contract, with its semantics
+pinned by tests/test_streaming.py and the batch-twin oracle (q26/q27).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline_spark.plans.registry import register
+from sensor_data_pipeline_spark.schemas import TESTDATA_TABLES
+from sensor_data_pipeline_spark.streaming.pipelines import windowed_event_stats
+from sensor_data_pipeline_spark.streaming.stateful import sessionize_stream
+
+
+def _drain(stream_df: DataFrame, name: str) -> DataFrame:
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. events.parquet stores
+    TIMESTAMP(NANOS) (read as long under nanosAsLong, TESTDATA.md), so
+    the stream schema takes ts as long and converts — same truncation
+    as sources/tables.py."""
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # the sf tables are single parquet FILES; the file stream source
+    # requires a directory, so stream the dir with a glob filter
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@register(
+    "q67_stream_watermark_window",
+    category="streaming",
+    oracle="""
+WITH mx AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+agg AS (
+  SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT win_start, win_start + INTERVAL '10 minutes' AS win_end, event_type, n, sum_value
+FROM agg, mx
+WHERE win_start + INTERVAL '10 minutes' <= mx.wm
+ORDER BY win_start, event_type
+""",
+)
+def q67_stream_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 10-minute windows over the events stream, drained
+    with availableNow: append mode emits exactly the windows closed by
+    the final watermark (max ts - 1 h) — the oracle reproduces that
+    subset relationally. This differentially pins Spark's watermark
+    semantics, not just the agg."""
+    out = _drain(windowed_event_stats(_events_stream(spark, sf_dir)), "q67_mem")
+    return out.orderBy("win_start", "event_type")
+
+
+@register(
+    "q68_stream_sessionize",
+    category="streaming",
+    # keyed applyInPandasWithState across micro-batches is not
+    # SQL-expressible; batch twins q26/q27 carry the oracle for the
+    # same arithmetic, tests pin the state semantics.
+    oracle=None,
+)
+def q68_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-flip sessionization running as a real streaming query with
+    per-key state: events keyed by user bucket, `value` as the signed
+    signal, drained via availableNow."""
+    stream = _events_stream(spark, sf_dir).filter(F.col("user_id") < 32)
+    readings = stream.select(
+        F.col("user_id").cast("string").alias("k"),
+        F.col("ts").alias("tick_ts"),
+        (F.col("value") - 50.0).alias("signal"),  # centered so the sign flips
+        F.col("value").alias("pct"),
+    )
+    out = _drain(sessionize_stream(readings), "q68_mem")
+    return (
+        out.groupBy("k")
+        .agg(
+            F.max("session_id").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .orderBy("k")
+    )
