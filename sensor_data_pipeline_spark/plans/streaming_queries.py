@@ -18,7 +18,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sensor_data_pipeline_spark.plans.registry import register
-from sensor_data_pipeline_spark.schemas import TESTDATA_TABLES
 from sensor_data_pipeline_spark.streaming.pipelines import windowed_event_stats
 from sensor_data_pipeline_spark.streaming.stateful import sessionize_stream
 
