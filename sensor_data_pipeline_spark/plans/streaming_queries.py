@@ -107,3 +107,58 @@ def q68_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "q69_stream_dedup",
+    category="streaming",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q69_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on
+    event_id over the watermarked stream, then count per type. State
+    is bounded by the watermark (old keys age out) — the streaming
+    form of q40's batch dedup; the oracle is plain COUNT(DISTINCT)."""
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = stream.dropDuplicates(["event_id"])
+    out = _drain(deduped, "q69_mem")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q70_stream_static_join",
+    category="streaming",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(round(e.value * 100, 0) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+""",
+)
+def q70_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the
+    static customer dim per micro-batch (broadcast — no stream-side
+    shuffle, the standard dimension-enrichment shape at scale)."""
+    from sensor_data_pipeline_spark.sources.tables import load_table
+
+    customers = F.broadcast(load_table(spark, "customer", sf_dir))
+    stream = _events_stream(spark, sf_dir)
+    joined = stream.join(customers, stream.user_id == customers.c_custkey)
+    out = _drain(joined.select("c_mktsegment", "value"), "q70_mem")
+    return (
+        out.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / 100.0).alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -56,6 +56,12 @@ def get_spark(
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # managed tables (bucketing needs saveAsTable) go to scratch,
+        # never the repo working dir
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/sdp_spark_warehouse") + "/managed",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
