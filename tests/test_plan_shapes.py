@@ -18,8 +18,14 @@ def plan_of(df) -> str:
 def test_q01_pushdown_pruning_partial_agg(spark):
     from sensor_data_pipeline_spark.plans.relational import q01_pricing_summary
 
+    import contextlib
+    import io
+
     df = q01_pricing_summary(spark, SF)
-    plan = df._jdf.queryExecution().explainString("formatted")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     # the shipdate predicate reaches the parquet reader
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
     # column pruning: the 11-column table is read as 7 columns
