@@ -415,3 +415,35 @@ def q65_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_distinct_priorities")
     )
+
+
+@register(
+    "q73_subtokens_map_lookup",
+    category="functions",
+    oracle="""
+SELECT event_type,
+       CAST(sum(len(regexp_extract_all(props, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS n_subtokens,
+       sum(CASE event_type WHEN 'purchase' THEN 5.0 WHEN 'click' THEN 1.0 ELSE 0.5 END) AS weight_total
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q73_subtokens_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-token counting (letter runs / digit runs / single
+    punctuation — the pre-tokenizer split LLM tokenizers apply before
+    merges) over the events props JSON, plus a MapType literal lookup
+    (event_type -> weight) — the broadcast-free way to attach a tiny
+    dimension: the map rides the plan as a literal, no join at all."""
+    ev = load_table(spark, "events", sf_dir)
+    subtok = F.size(F.regexp_extract_all("props", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+    weights = F.create_map(
+        F.lit("purchase"), F.lit(5.0), F.lit("click"), F.lit(1.0)
+    )
+    weight = F.coalesce(weights[F.col("event_type")], F.lit(0.5))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(subtok).cast("bigint").alias("n_subtokens"),
+            F.sum(weight).alias("weight_total"),
+        )
+        .orderBy("event_type")
+    )
