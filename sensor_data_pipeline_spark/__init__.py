@@ -20,13 +20,14 @@ SURVEY.md), re-expressed Spark-first:
 Layout:
     session    SparkSession factory tuned for the engine
     schemas    explicit StructType registry (reference has compile-time schemas)
-    config     JSON-pointer config loading (reference src/utils.c:12-44)
-    sources/   table loaders, rate/synthetic sources, wire decoding
+    sources/   table loaders, config (JSON-pointer, src/utils.c:12-44),
+               partitioned/bucketed layout writers
     functions/ scalar/time/json/text/vector column function library
-    operators/ joins, sessionization, dedup, similarity, staleness, topk
+    operators/ joins (as-of/range/salted), sessionization, dedup,
+               similarity (brute-force/LSH/IVF), staleness, topk,
+               multimodal binary columns (stubbed codecs)
     plans/     the declared query registry (spark impl + DuckDB oracle SQL)
-    streaming/ structured-streaming twins: pipeline, watermarks, sinks
-    multimodal/ binary-column plumbing with stubbed codecs
+    streaming/ structured-streaming twins: pipelines, stateful ops, sinks
 """
 
 __version__ = "0.1.0"

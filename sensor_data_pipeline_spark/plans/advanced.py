@@ -73,7 +73,7 @@ def q55_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT n.n_name,
        CAST(count(*) AS BIGINT) AS n_customers,
-       round(sum(c.c_acctbal), 2) AS total_bal
+       sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS total_bal
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name ORDER BY n.n_name
 """,
@@ -89,7 +89,7 @@ def q56_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("n_name")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            (F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("bigint")) / 100.0).alias("total_bal"),
         )
         .orderBy("n_name")
     )

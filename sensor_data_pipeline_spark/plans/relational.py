@@ -94,7 +94,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_mktsegment,
        count(*)                       AS n_orders,
-       round(sum(o.o_totalprice), 2)  AS revenue
+       sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) / CAST(100.0 AS DOUBLE)  AS revenue
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 WHERE o.o_orderstatus = 'F'
 GROUP BY c.c_mktsegment
@@ -110,7 +110,7 @@ def q02_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0).alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )
@@ -273,7 +273,7 @@ def q07_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag, l_linestatus,
        CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
-       round(sum(l_quantity), 2) AS sum_qty,
+       sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS sum_qty,
        count(*)                  AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -287,7 +287,7 @@ def q08_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().cast("bigint").alias("gid"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            (F.sum(F.round(F.col("l_quantity") * 100, 0).cast("bigint")) / 100.0).alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
@@ -302,7 +302,7 @@ def q08_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderstatus, o_orderpriority,
        CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
        count(*)                      AS n,
-       round(sum(o_totalprice), 2)   AS revenue
+       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / CAST(100.0 AS DOUBLE)   AS revenue
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY gid, o_orderstatus, o_orderpriority
@@ -316,7 +316,7 @@ def q09_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("bigint").alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0).alias("revenue"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "revenue")
         .orderBy("gid", "o_orderstatus", "o_orderpriority")
@@ -517,7 +517,7 @@ def q16_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(year(o_orderdate) AS INT)    AS order_year,
        CAST(month(o_orderdate) AS INT)   AS order_month,
        count(*)                          AS n,
-       round(sum(o_totalprice), 2)       AS revenue
+       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / CAST(100.0 AS DOUBLE)       AS revenue
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
 GROUP BY 1, 2
@@ -533,7 +533,7 @@ def q17_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("order_year"),
             F.month("o_orderdate").cast("int").alias("order_month"),
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.count(F.lit(1)).alias("n"), (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0).alias("revenue"))
         .orderBy("order_year", "order_month")
     )
 

@@ -412,7 +412,7 @@ def q29_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT date_trunc('hour', ts)        AS bucket,
        event_type,
        count(*)                      AS n,
-       round(sum(value), 2)          AS total
+       sum(CAST(round(value * 100, 0) AS BIGINT)) / CAST(100.0 AS DOUBLE)          AS total
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -425,7 +425,7 @@ def q30_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
     return (
         e.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / 100.0).alias("total"))
         .orderBy("bucket", "event_type")
     )
 

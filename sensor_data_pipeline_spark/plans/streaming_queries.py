@@ -60,7 +60,7 @@ WITH mx AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
 agg AS (
   SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type,
          CAST(count(*) AS BIGINT) AS n,
-         round(sum(value), 2) AS sum_value
+         sum(CAST(round(value * 100, 0) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS sum_value
   FROM events GROUP BY 1, 2
 )
 SELECT win_start, win_start + INTERVAL '10 minutes' AS win_end, event_type, n, sum_value

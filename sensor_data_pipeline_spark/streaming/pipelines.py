@@ -89,7 +89,7 @@ def windowed_event_stats(
         .groupBy(win.alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / 100.0).alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("win_start"),

@@ -53,7 +53,13 @@ def main() -> int:
     from sensor_data_pipeline_spark.plans import REGISTRY
     from sensor_data_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="compare-oracle", master="local[8]", shuffle_partitions=8)
+    # override via env to sweep for partitioning/order-dependent
+    # nondeterminism (e.g. COMPARE_MASTER=local[32] COMPARE_PARTS=7)
+    spark = get_spark(
+        app_name="compare-oracle",
+        master=os.environ.get("COMPARE_MASTER", "local[8]"),
+        shuffle_partitions=int(os.environ.get("COMPARE_PARTS", "8")),
+    )
     con = duck_conn(sf_dir)
     n_pass = n_fail = 0
     for name, spec in sorted(REGISTRY.items()):
