@@ -166,6 +166,56 @@ def lsh_candidate_pairs(
     return _posting_pairs(banded, "_id", "band_key").distinct()
 
 
+def dedup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair list: every doc
+    gets the MINIMUM id reachable through the dup graph as its cluster
+    representative — the keep-one step after any candidate generator
+    (jaccard_pairs / lsh_candidate_pairs / embedding_neardup_pairs).
+
+    Iterative min-label propagation: each round joins labels across
+    edges and keeps the smaller label; converges in O(diameter) rounds
+    (dup clusters are near-cliques, so usually 2-3). Each iteration is
+    one shuffle on the node id; no driver-side graph materialization,
+    so a billion-edge dup graph distributes cleanly. Stops early when
+    a round changes nothing.
+
+    Returns (doc_id, cluster_id) for every id appearing in ``pairs``.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).distinct()
+    # undirected: propagate both ways. Materialize ONCE — the candidate
+    # generator upstream (LSH / neardup scoring) must not re-execute on
+    # every iteration's join.
+    both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).localCheckpoint(
+        eager=True
+    )
+    labels = both.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    for _ in range(max_iters):
+        # smallest neighbor label per node this round
+        neighbor = (
+            both.join(labels, both.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = labels.join(neighbor, "node", "left").select(
+            "node", F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label")
+        )
+        # convergence check: one tiny agg per round (driver sees one number)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        # localCheckpoint: truncate the growing iterative lineage so each
+        # round's plan stays O(1) instead of O(iterations)
+        labels = updated.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per-bit majority vote over word hashes.
 

@@ -447,3 +447,54 @@ def q73_subtokens_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q75_session_window",
+    category="window",
+    oracle="""
+WITH t AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 3600
+              THEN 1 ELSE 0 END AS brk,
+         event_id
+  FROM events
+),
+isl AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM t
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 1 HOUR AS session_end,
+       CAST(count(*) AS BIGINT) AS n,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS sum_value
+FROM isl GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def q75_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based session windows (session_window(ts, '1 hour')
+    per user) — the built-in complement to the predicate-based
+    sessionization the reference needs (q26). The oracle reconstructs
+    Spark's session semantics (merge while gap < 1 h; session end =
+    last event + gap) from first principles with window functions."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "1 hour").alias("sw"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / 100.0).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -23,6 +23,7 @@ from sensor_data_pipeline_spark.functions.text import (
     word_hash32,
 )
 from sensor_data_pipeline_spark.operators.dedup import (
+    dedup_components,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -409,3 +410,36 @@ def q66_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=2).orderBy("query_id", "rk")
+
+
+@register(
+    "q74_dedup_components",
+    category="dedup",
+    oracle=f"""
+WITH RECURSIVE
+emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE {_DUCK_COSINE.format(a="a.v", b="b.v")} >= CAST(0.4 AS DOUBLE)
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.dst AS node, reach.r FROM reach JOIN edges e ON e.src = reach.node
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+""",
+)
+def q74_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the embedding near-dup pair graph —
+    the keep-one clustering step after candidate generation. Spark runs
+    distributed min-label propagation (one shuffle per round,
+    localCheckpoint-truncated lineage, operators/dedup.py
+    dedup_components); the oracle computes the same transitive closure
+    with a recursive CTE."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = embedding_neardup_pairs(emb, threshold=0.4)
+    return dedup_components(pairs).orderBy("doc_id")

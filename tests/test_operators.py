@@ -127,6 +127,17 @@ def test_simhash_near_dup_small_hamming(spark):
     assert hamming <= 12  # near-dups differ in few of 32 bits
 
 
+def test_dedup_components_transitive(spark):
+    from sensor_data_pipeline_spark.operators.dedup import dedup_components
+
+    # two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a int, id_b int"
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
 def test_brute_force_topk_self_excluded_and_ranked(spark):
     vecs = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])]
     df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
