@@ -498,3 +498,110 @@ def q75_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "q76_range_frame_window",
+    category="window",
+    oracle="""
+SELECT o_custkey, o_orderdate,
+       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW) / CAST(100.0 AS DOUBLE)
+           AS trailing_90d_spend
+FROM orders
+ORDER BY o_custkey, o_orderdate
+""",
+)
+def q76_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-customer trailing-90-day spend. Unlike
+    ROWS frames (q13), the frame is defined by value distance on the
+    ordering key — Spark expresses interval ranges via rangeBetween on
+    the epoch-seconds ordering column."""
+    o = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderdate",
+            (F.sum(cents).over(w) / 100.0).alias("trailing_90d_spend"),
+        )
+        .orderBy("o_custkey", "o_orderdate")
+    )
+
+
+@register(
+    "q77_string_similarity",
+    category="text",
+    oracle="""
+WITH pairs AS (
+  SELECT a.p_brand,
+         a.p_partkey AS key_a, b.p_partkey AS key_b,
+         levenshtein(a.p_name, b.p_name) AS dist
+  FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY p_brand ORDER BY dist, key_a, key_b) AS BIGINT) AS rk
+  FROM pairs
+)
+SELECT p_brand, key_a, key_b, CAST(dist AS INT) AS dist, rk
+FROM ranked WHERE rk <= 3 ORDER BY p_brand, rk
+""",
+)
+def q77_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection: 3 most-similar part-name
+    pairs per brand by Levenshtein. The brand equi-key blocks the
+    pair space (the same blocking discipline as every dedup operator
+    here — never an unblocked cross join)."""
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_name")
+    a = p.select(F.col("p_brand"), F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_brand"), F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    pairs = (
+        a.join(b, "p_brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+    )
+    w = Window.partitionBy("p_brand").orderBy("dist", "key_a", "key_b")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "key_a", "key_b", F.col("dist").cast("int"), "rk")
+        .orderBy("p_brand", "rk")
+    )
+
+
+@register(
+    "q78_hash_sample",
+    category="sampling",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(min(event_id) AS BIGINT) AS first_id
+FROM events
+WHERE CAST(('0x' || substr(md5('7:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 = 0
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def q78_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/16 sampling by seeded hash of the row id — the
+    reproducible data-selection primitive a training pipeline needs
+    (same subset on every engine/run, unlike TABLESAMPLE). Filter is a
+    pure scan predicate: no shuffle, prunable, composable with any
+    downstream operator."""
+    from sensor_data_pipeline_spark.functions.text import word_hash32
+
+    ev = load_table(spark, "events", sf_dir)
+    sampled = ev.filter(F.pmod(word_hash32(F.col("event_id").cast("string"), seed=7), F.lit(16)) == 0)
+    return (
+        sampled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.min("event_id").cast("bigint").alias("first_id"),
+        )
+        .orderBy("event_type")
+    )
