@@ -539,11 +539,12 @@ def q76_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q77_string_similarity",
     category="text",
     oracle="""
-WITH pairs AS (
+WITH sub AS (SELECT p_partkey, p_brand, p_name FROM part WHERE p_partkey % 4 = 0),
+pairs AS (
   SELECT a.p_brand,
          a.p_partkey AS key_a, b.p_partkey AS key_b,
          levenshtein(a.p_name, b.p_name) AS dist
-  FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  FROM sub a JOIN sub b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
 ),
 ranked AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY p_brand ORDER BY dist, key_a, key_b) AS BIGINT) AS rk
@@ -557,8 +558,15 @@ def q77_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup detection: 3 most-similar part-name
     pairs per brand by Levenshtein. The brand equi-key blocks the
     pair space (the same blocking discipline as every dedup operator
-    here — never an unblocked cross join)."""
-    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_name")
+    here — never an unblocked cross join); a deterministic 1/4 subset
+    bounds the quadratic within-block cost, which is the knob a real
+    deployment would turn (tighter blocking) before brute-forcing
+    edit distance over wide blocks."""
+    p = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") % 4 == 0)
+        .select("p_partkey", "p_brand", "p_name")
+    )
     a = p.select(F.col("p_brand"), F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
     b = p.select(F.col("p_brand"), F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
     pairs = (
