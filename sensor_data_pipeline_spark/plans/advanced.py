@@ -613,3 +613,50 @@ def q78_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q80_grouped_agg_udf",
+    category="functions",
+    oracle="""
+WITH t AS (
+  SELECT user_id,
+         -- floor, not cast: epoch() keeps fractional seconds and a
+         -- plain CAST rounds, while Spark's unix_timestamp floors
+         CAST(floor(epoch(ts)) AS BIGINT) AS x,
+         CAST(round(value * 100, 0) AS BIGINT) AS y
+  FROM events
+),
+sums AS (
+  SELECT user_id,
+         count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM t GROUP BY user_id
+)
+SELECT user_id,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS value_slope_cents_per_sec,
+       CAST(n AS BIGINT) AS n
+FROM sums ORDER BY user_id
+""",
+)
+def q80_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregation as a pandas GROUPED_AGG UDF: per-user
+    OLS slope of (scaled) value over event time. The UDF accumulates
+    in exact integer arithmetic with one final float division, so the
+    closed-form SQL oracle is bit-identical under any row order —
+    the discipline that makes custom Python aggregates verifiable."""
+    from sensor_data_pipeline_spark.functions.grouped import ols_slope_int
+
+    ev = load_table(spark, "events", sf_dir)
+    t = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("x"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+    )
+    # a GROUPED_AGG pandas UDF cannot share an agg() with JVM-native
+    # aggregates — two single-shuffle aggs joined on the group key
+    slopes = t.groupBy("user_id").agg(ols_slope_int("x", "y").alias("value_slope_cents_per_sec"))
+    counts = t.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return slopes.join(counts, "user_id").orderBy("user_id")

@@ -443,3 +443,54 @@ def q74_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     pairs = embedding_neardup_pairs(emb, threshold=0.4)
     return dedup_components(pairs).orderBy("doc_id")
+
+
+@register(
+    "q79_corpus_prep",
+    category="text",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+         len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+  FROM documents
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS copy_rank
+    FROM scored WHERE lang IN ('en', 'de') AND n_tokens >= 20
+  ) WHERE copy_rank = 1
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS token_budget,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM kept GROUP BY lang ORDER BY lang
+""",
+)
+def q79_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus prep: language filter -> minimum
+    length gate -> exact dedup keeping the lowest doc_id -> per-lang
+    token budget. The composition every LLM data pipeline runs, as one
+    declarative plan: filters push into the scan, dedup is one
+    shuffle, the final agg is map-side combinable."""
+    d = load_table(spark, "documents", sf_dir)
+    scored = d.select(
+        "doc_id",
+        "lang",
+        doc_fingerprint(F.col("text")).alias("fp"),
+        token_count(F.col("text")).alias("n_tokens"),
+    ).filter(F.col("lang").isin("en", "de") & (F.col("n_tokens") >= 20))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = scored.withColumn("copy_rank", F.row_number().over(w)).filter(F.col("copy_rank") == 1)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("token_budget"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )

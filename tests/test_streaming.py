@@ -176,6 +176,25 @@ def test_staleness_monitor_passthrough(spark, stream_dir):
     assert out[1].temp_outdoor_celsius == 888.8 and out[1].rh_outdoor == 888.8
 
 
+def test_query_listener_sees_lifecycle(spark, stream_dir):
+    from sensor_data_pipeline_spark.streaming.listener import SyslogAnalogListener
+
+    listener = SyslogAnalogListener()
+    spark.streams.addListener(listener)
+    try:
+        msgs = spark.createDataFrame([("t", 1, "x"), ("t", 1, "y")], MQTT_MESSAGE)
+        drain(stream_dir(msgs, MQTT_MESSAGE), "listener_probe")
+        deadline = time.time() + 20
+        while time.time() < deadline and not listener.terminated:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    assert "listener_probe" in listener.started
+    assert listener.progress_events >= 1
+    assert listener.rows_processed >= 2
+    assert len(listener.terminated) >= 1
+
+
 def test_sessionize_stream_matches_batch_twin(spark, stream_dir):
     from pyspark.sql.types import (
         DoubleType,
