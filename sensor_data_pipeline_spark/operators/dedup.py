@@ -182,13 +182,12 @@ def dedup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", m
 
     Returns (doc_id, cluster_id) for every id appearing in ``pairs``.
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).distinct()
-    # undirected: propagate both ways. Materialize ONCE — the candidate
-    # generator upstream (LSH / neardup scoring) must not re-execute on
-    # every iteration's join.
-    both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).localCheckpoint(
-        eager=True
-    )
+    # Materialize the edge list ONCE, before the union mirrors it — the
+    # candidate generator upstream (LSH / neardup scoring) must not
+    # re-execute per union branch, let alone per iteration.
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).distinct().localCheckpoint(eager=True)
+    # undirected: propagate both ways
+    both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = both.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     for _ in range(max_iters):
         # smallest neighbor label per node this round
