@@ -166,19 +166,37 @@ def lsh_candidate_pairs(
     return _posting_pairs(banded, "_id", "band_key").distinct()
 
 
-def dedup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 20) -> DataFrame:
+def dedup_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 20, substeps: int = 2
+) -> DataFrame:
     """Connected components over a near-duplicate pair list: every doc
     gets the MINIMUM id reachable through the dup graph as its cluster
     representative — the keep-one step after any candidate generator
     (jaccard_pairs / lsh_candidate_pairs / embedding_neardup_pairs).
 
-    Iterative min-label propagation with pointer jumping: each round
+    Iterative min-label propagation with pointer jumping: each step
     (a) takes the min label across edges and (b) resolves every label
     through its own current label (path halving), so convergence is
-    O(log diameter) rounds instead of O(diameter) — long chains of
+    O(log diameter) steps instead of O(diameter) — long chains of
     borderline near-dups converge in a handful of shuffles. No
     driver-side graph materialization, so a billion-edge dup graph
-    distributes cleanly. Stops early when a round changes nothing.
+    distributes cleanly.
+
+    Per-round mechanics (each measured at sf0.1):
+
+    - ``substeps`` propagation steps are chained between
+      materializations, amortizing the fixed per-round cost
+      (checkpoint + convergence action) over more progress; 2 is the
+      sweet spot — at 3 the chained-join plan outgrows the saving.
+    - the round is materialized FIRST (eager localCheckpoint, which
+      also keeps each round's plan O(1) instead of O(iterations)),
+      then convergence reads the materialized result — never
+      execute-for-count followed by re-execute-for-checkpoint.
+    - convergence is one tiny agg, no join: labels are per-node
+      monotone non-increasing (every update is a ``least``), so the
+      label sum is strictly decreasing until fixpoint; an exact
+      decimal(38,0) sum (overflow-proof at any corpus size) equal to
+      the previous round's means no label moved.
 
     Returns (doc_id, cluster_id) for every id appearing in ``pairs``.
     """
@@ -188,36 +206,34 @@ def dedup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", m
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).distinct().localCheckpoint(eager=True)
     # undirected: propagate both ways
     both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    labels = both.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
-    for _ in range(max_iters):
-        # smallest neighbor label per node this round
+
+    def propagate(lbl: DataFrame) -> DataFrame:
         neighbor = (
-            both.join(labels, both.src == labels.node)
+            both.join(lbl, both.src == lbl.node)
             .select(F.col("dst").alias("node"), "label")
             .groupBy("node")
             .agg(F.min("label").alias("nbr_label"))
         )
-        prop = labels.join(neighbor, "node", "left").select(
+        prop = lbl.join(neighbor, "node", "left").select(
             "node", F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label")
         )
         # pointer jumping: label := min(label, label's own label)
         parents = prop.select(F.col("node").alias("label"), F.col("label").alias("parent"))
-        updated = prop.join(parents, "label", "left").select(
+        return prop.join(parents, "label", "left").select(
             "node", F.least(F.col("label"), F.coalesce("parent", F.col("label"))).alias("label")
         )
-        # convergence check: one tiny agg per round (driver sees one number)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .limit(1)
-            .count()
-        )
-        # localCheckpoint: truncate the growing iterative lineage so each
-        # round's plan stays O(1) instead of O(iterations)
+
+    labels = both.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    prev_sum = None
+    for _ in range(max_iters):
+        updated = labels
+        for _ in range(substeps):
+            updated = propagate(updated)
         labels = updated.localCheckpoint(eager=True)
-        if changed == 0:
+        label_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
