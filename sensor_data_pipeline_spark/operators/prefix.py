@@ -1,0 +1,64 @@
+"""Distributed global prefix sums (scan) without a single-partition window.
+
+``Window.orderBy(...)`` with no ``partitionBy`` collapses the whole
+dataset into ONE task — the canonical Spark scaling trap for running
+totals. The operator here computes the same result with the classic
+two-pass scan:
+
+1. range-repartition on the order key so partitions hold contiguous
+   key ranges,
+2. an intra-partition running sum (window partitioned by the physical
+   partition id — parallel, no global shuffle of the ordered stream),
+3. per-partition totals (one tiny row per partition) turned into
+   exclusive offsets on the driver and broadcast-joined back.
+
+The per-partition totals table has exactly ``numPartitions`` rows, so
+the driver-side cumulation is O(partitions), never O(rows) — this is a
+scan-combine, not a ``collect()`` of data.
+
+Reference analog: the reference keeps running state in a single-threaded
+loop (`src/modules/module_rpi_ups_hat.c:64,259`); this operator is the
+distributed generalization of "running accumulator over an ordered
+stream".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``sum(value) OVER (ORDER BY order_col)`` at scale.
+
+    ``order_col`` must be globally unique (a key): uniqueness is what
+    lets rows with the same key never straddle a partition boundary.
+    The result is identical to the single-partition window for any
+    range partitioning, because each row's prefix sum depends only on
+    the set of rows ordered before it, not on where the cuts fall.
+    """
+    parts = df.repartitionByRange(*( [num_partitions] if num_partitions else [] ), F.col(order_col))
+    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = with_pid.withColumn("_local_sum", F.sum(value_col).over(w))
+    totals = (
+        local.groupBy("_pid").agg(F.sum(value_col).alias("_part_total")).orderBy("_pid").collect()
+    )  # O(numPartitions) rows — a scan-combine, not a data collect
+    offsets, acc = [], 0
+    for row in totals:
+        offsets.append((row["_pid"], acc))
+        acc += row["_part_total"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, schema="_pid int, _offset bigint")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_local_sum") + F.col("_offset")).cast("bigint"))
+        .drop("_pid", "_local_sum", "_offset")
+    )

@@ -660,3 +660,107 @@ def q80_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     slopes = t.groupBy("user_id").agg(ols_slope_int("x", "y").alias("value_slope_cents_per_sec"))
     counts = t.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     return slopes.join(counts, "user_id").orderBy("user_id")
+
+
+@register(
+    "q87_rank_suite",
+    category="window",
+    oracle="""
+SELECT o_orderkey,
+       CAST(ntile(4) OVER w AS BIGINT)          AS quartile,
+       percent_rank() OVER w                    AS pr,
+       cume_dist() OVER w                       AS cd,
+       lead(o_orderkey) OVER w                  AS next_key,
+       first_value(o_orderkey) OVER w           AS cheapest_key
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+""",
+)
+def q87_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking-function surface (SURVEY §2.9): ntile, percent_rank,
+    cume_dist, lead, first_value over one per-priority window.
+    percent_rank/cume_dist are single divisions of row counts, so the
+    doubles hash-match across engines; the (price, key) ordering is
+    total, making every rank deterministic. One shuffle on the
+    partition key; the month filter pushes into the parquet scan."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.filter((F.col("o_orderdate") >= "1997-03-01") & (F.col("o_orderdate") < "1997-04-01"))
+        .select(
+            "o_orderkey",
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.lead("o_orderkey").over(w).alias("next_key"),
+            F.first("o_orderkey").over(w).alias("cheapest_key"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q88_stats_exact",
+    category="agg",
+    oracle="""
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity, 0) AS BIGINT)             AS q,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)  AS p
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(q)     AS sx,  sum(p)     AS sy,
+         sum(q * q) AS sxx, sum(p * p) AS syy, sum(q * p) AS sxy
+  FROM t GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qp,
+       CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))          AS covar_samp_qp,
+       sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))    AS stddev_q
+FROM s ORDER BY l_returnflag
+""",
+)
+def q88_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr / covar_samp / stddev_samp from explicit exact moment sums.
+
+    Built-in floating corr/stddev accumulate partials in engine- and
+    partition-order-dependent ways, so they can never hash-match across
+    engines. Here the five moments are exact decimal(38,0) sums of
+    integer-scaled values (associative and commutative — shuffle- and
+    AQE-safe at any scale), and the only floating-point happens in the
+    final per-group formula, identical on both sides. This is the §2.9
+    statistical-aggregate surface made bit-deterministic."""
+    li = load_table(spark, "lineitem", sf_dir)
+    q = F.round(F.col("l_quantity"), 0).cast("bigint")
+    p = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = (
+        li.select("l_returnflag", q.alias("q"), p.alias("p"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(dec(F.col("q"))).alias("sx"),
+            F.sum(dec(F.col("p"))).alias("sy"),
+            F.sum(dec(F.col("q") * F.col("q"))).alias("sxx"),
+            F.sum(dec(F.col("p") * F.col("p"))).alias("syy"),
+            F.sum(dec(F.col("q") * F.col("p"))).alias("sxy"),
+        )
+    )
+    nd = dec(F.col("n"))
+    num_xy = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    var_x = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_y = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    n_nm1 = F.col("n").cast("double") * (F.col("n") - 1).cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (num_xy / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_qp"),
+        (num_xy / n_nm1).alias("covar_samp_qp"),
+        F.sqrt(var_x / n_nm1).alias("stddev_q"),
+    ).orderBy("l_returnflag")

@@ -494,3 +494,327 @@ def q79_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus operations (vocabulary, sharding, contamination, sampling)
+# ---------------------------------------------------------------------------
+@register(
+    "q81_vocab_topk",
+    category="text",
+    oracle=f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest({_DUCK_WORDS}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
+""",
+)
+def q81_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build: global token frequencies, top 50 (heavy-hitter
+    scan). One shuffle with map-side combine over (token) — the partial
+    aggregation collapses each task's token stream to its local counts
+    before anything moves, so shuffle bytes are O(distinct tokens), not
+    O(corpus). The top-k is a TakeOrdered over the combined counts, no
+    global sort materialization. Tie-break on token keeps the LIMIT
+    deterministic."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "q82_doc_top_terms",
+    category="text",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_DUCK_WORDS}) AS token FROM documents)
+  GROUP BY doc_id, token
+),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token)
+SELECT doc_id, token, tf, df
+FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.token) AS r
+  FROM tf JOIN df USING (token)
+)
+WHERE r <= 3
+ORDER BY doc_id, tf DESC, df ASC, token
+""",
+)
+def q82_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style salient terms: per-document top-3 terms ranked by
+    term frequency, document frequency (rarer wins ties), then term.
+    The ranking keys are all integers, so the result hash-matches any
+    engine; the floating tf*log(N/df) score is deliberately left out of
+    the output (see registry docstring on float determinism). Two
+    uniform shuffles — (doc_id, token) then (token) — and a per-doc
+    window; no skew risk because doc_id is the window key."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    tf = (
+        d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("df").asc(), "token")
+    return (
+        tf.join(dfreq, "token")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 3)
+        .select("doc_id", "token", "tf", "df")
+        .orderBy("doc_id", F.col("tf").desc(), F.col("df").asc(), "token")
+    )
+
+
+@register(
+    "q83_token_shards",
+    category="text",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS start_offset
+  FROM toks
+)
+SELECT CAST(start_offset // 25000 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT)       AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)  AS shard_tokens,
+       CAST(min(doc_id) AS BIGINT)    AS first_doc,
+       CAST(max(doc_id) AS BIGINT)    AS last_doc
+FROM packed GROUP BY 1 ORDER BY shard_id
+""",
+)
+def q83_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sharding: docs are packed in doc_id order
+    into ~25k-token training shards by their cumulative start offset.
+    The running total uses operators/prefix.py::global_running_sum —
+    range-partitioned two-pass scan — NOT a single-partition global
+    window, so the prefix sum parallelizes at any corpus size."""
+    from sensor_data_pipeline_spark.operators.prefix import global_running_sum
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    packed = global_running_sum(toks, "doc_id", "n_tokens", out_col="cum").withColumn(
+        "shard_id", F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(25000)).cast("bigint")
+    )
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+@register(
+    "q84_contamination",
+    category="text",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, lang, {_DUCK_SHINGLES} AS shingles
+  FROM (SELECT doc_id, lang, {_DUCK_WORDS} AS w FROM documents)
+),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM docs WHERE doc_id % 97 = 0
+),
+corpus AS (SELECT doc_id, lang, shingles FROM docs WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM corpus) c
+  JOIN bench USING (shingle)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)                                    AS n_docs,
+       CAST(count(*) FILTER (doc_id IN (SELECT doc_id FROM hits)) AS BIGINT) AS n_contaminated
+FROM corpus GROUP BY lang ORDER BY lang
+""",
+)
+def q84_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: every held-out doc (doc_id % 97
+    == 0) contributes its distinct word-3-grams to a benchmark set;
+    corpus docs sharing any 3-gram are flagged. The benchmark n-gram
+    set is orders of magnitude smaller than the corpus, so it is
+    broadcast and the flagging is a broadcast LEFT SEMI join against
+    the exploded corpus shingles — no corpus-side shuffle at all.
+
+    Plan discipline: the full corpus is shingled exactly ONCE (inside
+    ``corpus_inv``; the benchmark side shingles only its own ~1% of
+    docs), and everything after the semi join moves narrow
+    (doc_id, lang) rows — never the shingle arrays. A first cut that
+    derived bench/corpus/flag branches from one shingled DataFrame
+    re-ran full-corpus shingling three times and shuffled the arrays
+    through the flag join: 23s at sf0.1 vs ~2s for this shape."""
+    from sensor_data_pipeline_spark.functions.text import word_shingles
+
+    d = load_table(spark, "documents", sf_dir)
+
+    def shingled(sub: DataFrame) -> DataFrame:
+        w = sub.select("doc_id", tokenize(F.col("text")).alias("_w"))
+        return w.select("doc_id", F.explode_outer(word_shingles(F.col("_w"), 3)).alias("shingle")).filter(
+            F.col("shingle").isNotNull()
+        )
+
+    bench = shingled(d.filter(F.col("doc_id") % 97 == 0)).select("shingle").distinct()
+    corpus_inv = shingled(d.filter(F.col("doc_id") % 97 != 0))
+    hits = corpus_inv.join(F.broadcast(bench), "shingle", "left_semi").select("doc_id").distinct()
+    meta = d.filter(F.col("doc_id") % 97 != 0).select("doc_id", "lang")
+    flagged = meta.join(hits.withColumn("_hit", F.lit(1)), "doc_id", "left")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_contaminated"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q85_stratified_sample",
+    category="text",
+    oracle=f"""
+SELECT doc_id, lang, CAST(r AS BIGINT) AS sample_rank
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_DUCK_HASH32.format(expr="'0:' || CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS r
+  FROM documents
+)
+WHERE r <= 20
+ORDER BY lang, sample_rank
+""",
+)
+def q85_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: 20 docs per language, chosen
+    by hash order — reproducible across runs/engines (unlike
+    ``rand()``), unbiased because the hash is uniform, and
+    rebalance-safe because rank depends only on (lang, doc_id). One
+    shuffle on the stratum key; the per-stratum window never sees more
+    than a stratum's rows."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    h = word_hash32(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= 20)
+        .orderBy("lang", "sample_rank")
+    )
+
+
+@register(
+    "q86_minhash_calibration",
+    category="dedup",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+  FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM docs),
+sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM docs),
+hashes AS (
+  SELECT doc_id, k,
+         min({_DUCK_HASH32.format(expr="CAST(k AS VARCHAR) || ':' || shingle")}) AS mh
+  FROM inv CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k)
+  GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, k // 4 AS band_id,
+         md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY k)) AS band_hash
+  FROM hashes GROUP BY doc_id, k // 4
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(count(*) FILTER (ha.mh = hb.mh) AS BIGINT) AS n_match
+  FROM cands c
+  JOIN hashes ha ON ha.doc_id = c.id_a
+  JOIN hashes hb ON hb.doc_id = c.id_b AND hb.k = ha.k
+  GROUP BY c.id_a, c.id_b
+),
+exact AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM cands c
+  JOIN inv a ON a.doc_id = c.id_a
+  JOIN inv b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT e.id_a, e.id_b,
+       e.n_match / CAST(16.0 AS DOUBLE) AS est_jaccard,
+       COALESCE(x.n_shared, 0) / CAST(sa.n + sb.n - COALESCE(x.n_shared, 0) AS DOUBLE) AS exact_jaccard
+FROM est e
+LEFT JOIN exact x ON x.id_a = e.id_a AND x.id_b = e.id_b
+JOIN sizes sa ON sa.doc_id = e.id_a
+JOIN sizes sb ON sb.doc_id = e.id_b
+ORDER BY e.id_a, e.id_b
+""",
+)
+def q86_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash error calibration: for every LSH candidate pair, the
+    estimated Jaccard (matching signature components / 16) next to the
+    exact shingle Jaccard. Both are single divisions of integers, so
+    the doubles hash-match bit-for-bit. This is the query that tells
+    you whether K=16 signatures are enough before you commit a 100 TB
+    dedup run to them. Exact counting happens only on LSH candidates
+    (the tiny surviving pair set), never all pairs."""
+    from sensor_data_pipeline_spark.operators.dedup import _shingled
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sh = _shingled(d, "doc_id", "text", 3).cache()
+    sizes = sh.select(F.col("doc_id").alias("_id"), F.size("shingles").cast("bigint").alias("_n"))
+    sig = minhash_signatures(d, "doc_id", "text", num_hashes=16, n=3)
+    cands = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    sig_a = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh_{k}").alias(f"a{k}") for k in range(16)])
+    sig_b = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh_{k}").alias(f"b{k}") for k in range(16)])
+    matches = sum(F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0) for k in range(16))
+    est = (
+        cands.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", (matches.cast("bigint") / F.lit(16.0)).alias("est_jaccard"))
+    )
+    pair_sh = (
+        cands.join(sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("n_shared"),
+            F.size("sh_a").cast("bigint").alias("n_a"),
+            F.size("sh_b").cast("bigint").alias("n_b"),
+        )
+    )
+    return (
+        est.join(pair_sh, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            (F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")).alias(
+                "exact_jaccard"
+            ),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -144,3 +144,27 @@ def test_brute_force_topk_self_excluded_and_ranked(spark):
     out = brute_force_topk(df.filter("vec_id = 1"), df, k=2).orderBy("rk").collect()
     assert [r.match_id for r in out] == [2, 3]  # nearest first, self excluded
     assert out[0].cosine > out[1].cosine
+
+
+def test_global_running_sum_matches_single_partition_window(spark):
+    from pyspark.sql.window import Window
+
+    from sensor_data_pipeline_spark.operators.prefix import global_running_sum
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.pmod(F.col("id") * 37 + 11, F.lit(100))).alias("v")
+    )
+    got = {r.k: r.running_sum for r in global_running_sum(df, "k", "v", num_partitions=7).collect()}
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r.k: r.rs for r in df.withColumn("rs", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_global_running_sum_is_partition_count_invariant(spark):
+    from sensor_data_pipeline_spark.operators.prefix import global_running_sum
+
+    df = spark.range(0, 200).select(F.col("id").alias("k"), F.lit(3).alias("v"))
+    a = {r.k: r.running_sum for r in global_running_sum(df, "k", "v", num_partitions=1).collect()}
+    b = {r.k: r.running_sum for r in global_running_sum(df, "k", "v", num_partitions=13).collect()}
+    assert a == b
+    assert a[199] == 600
