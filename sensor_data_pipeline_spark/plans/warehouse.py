@@ -1,0 +1,335 @@
+"""Warehouse-operations queries: profiling, CDC merge, SCD2 history,
+funnel analysis, ANN quality audit.
+
+The reference pipeline's consumer maintains "latest state per key with
+staleness semantics" (`src/modules/dd/consumer.cpp:124-144,241-268`);
+these queries are that capability generalized to the warehouse-side
+operations a production deployment of the engine runs: snapshot
+profiling, applying a change feed, keeping keyed history, analyzing
+ordered event sequences, and auditing an approximate index against the
+exact baseline.
+
+Float discipline matches the registry contract: every emitted double
+is either a single division of exact integers or an exact
+integer-scaled sum (see plans/registry.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sensor_data_pipeline_spark.plans.registry import register
+from sensor_data_pipeline_spark.sources.tables import load_table
+
+
+@register(
+    "q89_profile",
+    category="quality",
+    oracle="""
+SELECT * FROM (
+  SELECT 'o_orderkey' AS column_name,
+         CAST(count(*) AS BIGINT)                 AS n_rows,
+         CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT)   AS n_distinct,
+         CAST(min(o_orderkey) AS VARCHAR)         AS min_val,
+         CAST(max(o_orderkey) AS VARCHAR)         AS max_val
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(o_custkey) AS BIGINT),
+         CAST(count(DISTINCT o_custkey) AS BIGINT),
+         CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(o_orderpriority) AS BIGINT),
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+         min(o_orderpriority), max(o_orderpriority)
+  FROM orders
+)
+ORDER BY column_name
+""",
+)
+def q89_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (ANALYZE-style): per-column row/null/
+    distinct counts and min/max, emitted as one narrow row per column.
+    ONE pass over the table computes every column's stats together
+    (multi-aggregate, map-side combined) — not one scan per column;
+    the per-column rows are unpivoted from that single agg row.
+    count(DISTINCT a), count(DISTINCT b) in one agg expands to
+    Spark's expand-operator plan, still a single scan."""
+    o = load_table(spark, "orders", sf_dir)
+    stats = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("o_orderkey").cast("bigint").alias("nn_orderkey"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("nd_orderkey"),
+        F.min("o_orderkey").cast("string").alias("min_orderkey"),
+        F.max("o_orderkey").cast("string").alias("max_orderkey"),
+        F.count("o_custkey").cast("bigint").alias("nn_custkey"),
+        F.countDistinct("o_custkey").cast("bigint").alias("nd_custkey"),
+        F.min("o_custkey").cast("string").alias("min_custkey"),
+        F.max("o_custkey").cast("string").alias("max_custkey"),
+        F.count("o_orderpriority").cast("bigint").alias("nn_prio"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("nd_prio"),
+        F.min("o_orderpriority").alias("min_prio"),
+        F.max("o_orderpriority").alias("max_prio"),
+    )
+    cols = [
+        ("o_orderkey", "nn_orderkey", "nd_orderkey", "min_orderkey", "max_orderkey"),
+        ("o_custkey", "nn_custkey", "nd_custkey", "min_custkey", "max_custkey"),
+        ("o_orderpriority", "nn_prio", "nd_prio", "min_prio", "max_prio"),
+    ]
+    stack = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(nn)).cast("bigint").alias("n_nulls"),
+                F.col(nd).alias("n_distinct"),
+                F.col(mn).alias("min_val"),
+                F.col(mx).alias("max_val"),
+            )
+            for name, nn, nd, mn, mx in cols
+        ]
+    )
+    return stats.select(F.explode(stack).alias("s")).select("s.*").orderBy("column_name")
+
+
+@register(
+    "q90_merge_upsert",
+    category="cdc",
+    oracle="""
+WITH changes AS (
+  SELECT user_id AS key,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS delta_cents
+  FROM events GROUP BY user_id
+),
+merged AS (
+  SELECT COALESCE(c.c_custkey, ch.key) AS key,
+         CASE WHEN c.c_custkey IS NULL THEN 'insert'
+              WHEN ch.key IS NULL      THEN 'untouched'
+              ELSE 'update' END AS action,
+         CAST(round(COALESCE(c.c_acctbal, 0) * 100, 0) AS BIGINT)
+           + COALESCE(ch.delta_cents, 0) AS new_bal_cents
+  FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.key
+)
+SELECT action,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       sum(new_bal_cents) / CAST(100.0 AS DOUBLE) AS total_balance
+FROM merged GROUP BY action ORDER BY action
+""",
+)
+def q90_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet: a change feed (per-user
+    value deltas from events) applied to the customer snapshot —
+    matched rows update, unmatched changes insert, the rest pass
+    through. One full outer join on the key; both sides pre-aggregated
+    so the join is key-unique (no row explosion). Balances move as
+    integer cents, so the audit sums hash-match. This is the CDC-apply
+    pattern the engine runs where a table format's MERGE would sit."""
+    c = load_table(spark, "customer", sf_dir)
+    e = load_table(spark, "events", sf_dir)
+    changes = e.groupBy(F.col("user_id").alias("key")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("delta_cents")
+    )
+    base = c.select(F.col("c_custkey").alias("ckey"), F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal_cents"))
+    merged = base.join(changes, base.ckey == changes.key, "full_outer").select(
+        F.coalesce(F.col("ckey"), F.col("key")).alias("key"),
+        F.when(F.col("ckey").isNull(), "insert")
+        .when(F.col("key").isNull(), "untouched")
+        .otherwise("update")
+        .alias("action"),
+        (F.coalesce(F.col("bal_cents"), F.lit(0)) + F.coalesce(F.col("delta_cents"), F.lit(0))).alias(
+            "new_bal_cents"
+        ),
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.sum("new_bal_cents") / 100.0).alias("total_balance"),
+        )
+        .orderBy("action")
+    )
+
+
+@register(
+    "q91_scd2_history",
+    category="cdc",
+    oracle="""
+SELECT user_id, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
+       CAST(lead(ts) OVER w IS NULL AS BOOLEAN) AS is_current
+FROM events
+WHERE user_id < 25
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, valid_from, value_cents
+""",
+)
+def q91_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: every keyed reading becomes a
+    versioned row [valid_from, valid_to) with an is_current flag on
+    the open tail — the keyed-history generalization of the
+    reference's latest-state-per-key consumer. One shuffle on the
+    dimension key; (ts, event_id) makes the version order total, so
+    the intervals are deterministic."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.filter(F.col("user_id") < 25)
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("value_cents"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "value_cents")
+    )
+
+
+@register(
+    "q92_funnel",
+    category="analytics",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
+       CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_viewed_after,
+       CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchased_after
+""",
+)
+def q92_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup -> view -> purchase, each
+    strictly after the previous stage's first completion): per-stage
+    first-completion times via chained aggregate + join. Each stage is
+    one shuffle on user_id and the stage tables shrink monotonically —
+    the event log itself is scanned per stage with the event_type
+    filter pushed to parquet. The final counts are three tiny aggs
+    cross-joined (1-row frames, broadcast)."""
+    e = load_table(spark, "events", sf_dir)
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_signup"))
+        .join(s2.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewed_after")))
+        .join(s3.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchased_after")))
+    )
+
+
+_DUCK_COSINE = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "q93_ann_recall",
+    category="similarity",
+    oracle=f"""
+WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+exact_scored AS (
+  SELECT q.query_id, c.vec_id AS match_id,
+         {_DUCK_COSINE.format(a="q.qv", b="c.v")} AS cosine
+  FROM q, emb c WHERE c.vec_id != q.query_id
+),
+exact_top AS (
+  SELECT query_id, match_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rk
+    FROM exact_scored) WHERE rk <= 5
+),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM emb ORDER BY vec_id LIMIT 16),
+c_assign AS (
+  SELECT match_id, cent_id, v FROM (
+    SELECT e.vec_id AS match_id, c.cent_id, e.v,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_DUCK_COSINE.format(a="e.v", b="c.cv")} DESC, c.cent_id) AS rn
+    FROM emb e, cents c) WHERE rn = 1
+),
+q_assign AS (
+  SELECT query_id, cent_id, qv FROM (
+    SELECT e.vec_id AS query_id, c.cent_id, e.v AS qv,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_DUCK_COSINE.format(a="e.v", b="c.cv")} DESC, c.cent_id) AS rn
+    FROM emb e, cents c WHERE e.vec_id < 10) WHERE rn <= 2
+),
+ivf_scored AS (
+  SELECT q.query_id, a.match_id, {_DUCK_COSINE.format(a="q.qv", b="a.v")} AS cosine
+  FROM q_assign q JOIN c_assign a USING (cent_id)
+  WHERE a.match_id != q.query_id
+),
+ivf_top AS (
+  SELECT query_id, match_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rk
+    FROM ivf_scored) WHERE rk <= 5
+)
+SELECT e.query_id,
+       CAST(count(i.match_id) AS BIGINT) AS n_hits,
+       count(i.match_id) / CAST(5.0 AS DOUBLE) AS recall_at_5
+FROM exact_top e
+LEFT JOIN ivf_top i ON i.query_id = e.query_id AND i.match_id = e.match_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""",
+)
+def q93_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: recall@5 of the IVF index against the exact
+    brute-force baseline, per query. The join is on (query, match) id
+    pairs — tiny — so the audit costs one brute-force pass plus the
+    IVF probe, and the recall is a division of small integers
+    (hash-deterministic). Run this before trusting an approximate
+    index at 100 TB; q86 is the same audit for MinHash."""
+    from sensor_data_pipeline_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact_top = brute_force_topk(queries, emb, k=5).select("query_id", "match_id")
+    ivf_top = (
+        ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=2)
+        .select(F.col("query_id").alias("iq"), F.col("match_id").alias("im"))
+    )
+    return (
+        exact_top.join(
+            ivf_top,
+            (F.col("query_id") == F.col("iq")) & (F.col("match_id") == F.col("im")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("im").cast("bigint").alias("n_hits"),
+            (F.count("im") / F.lit(5.0)).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
