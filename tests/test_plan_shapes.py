@@ -80,3 +80,52 @@ def test_scan_layer_reads_events_with_pruning(spark):
     plan = plan_of(ev)
     # predicate pushdown survives the ts long->timestamp conversion layer
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in plan
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    from sensor_data_pipeline_spark.plans.northstar import q84_contamination
+
+    plan = plan_of(q84_contamination(spark, SF))
+    # the benchmark n-gram set rides a broadcast LEFT SEMI — the corpus
+    # side must never shuffle for the flagging join
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_shards_has_no_global_window(spark):
+    from sensor_data_pipeline_spark.plans.northstar import q83_token_shards
+
+    plan = plan_of(q83_token_shards(spark, SF))
+    # the running sum is the two-pass scan: a range repartition plus a
+    # window partitioned by _pid — never SinglePartition for the data
+    assert "rangepartitioning" in plan
+    # any Window in the plan must be keyed (by _pid), not global:
+    # a global running-total window would show 'Window [...]' fed by an
+    # 'Exchange SinglePartition' directly above the scan subtree
+    import re
+
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Window", plan), plan
+
+
+def test_merge_upsert_key_unique_join(spark):
+    from sensor_data_pipeline_spark.plans.warehouse import q90_merge_upsert
+
+    plan = plan_of(q90_merge_upsert(spark, SF))
+    # both sides pre-aggregated, then a single full-outer SMJ on the key
+    assert "FullOuter" in plan
+    assert "partial_sum" in plan  # change feed combines map-side
+    assert "CartesianProduct" not in plan
+
+
+def test_stats_exact_partial_aggregation(spark):
+    from sensor_data_pipeline_spark.plans.advanced import q88_stats_exact
+
+    plan = plan_of(q88_stats_exact(spark, SF))
+    # the five moment sums combine map-side (associative decimal sums),
+    # so shuffle bytes are O(groups), not O(rows)
+    assert "partial_sum" in plan
+    # only the two needed columns leave the parquet scan
+    import re
+
+    m = re.search(r"Scan parquet[^\n]*\n[^\n]*?\[(l_\w+(?:#\d+L?)?(?:, l_\w+#?\d*L?)*)\]", plan)
+    assert "ReadSchema" in plan or m, plan[:400]
