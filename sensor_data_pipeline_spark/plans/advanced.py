@@ -764,3 +764,86 @@ def q88_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num_xy / n_nm1).alias("covar_samp_qp"),
         F.sqrt(var_x / n_nm1).alias("stddev_q"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q94_udtf_expand",
+    category="udf",
+    oracle="""
+SELECT * FROM (
+  SELECT event_id, 'clamped' AS field, least(CAST(100 AS DOUBLE), greatest(CAST(0 AS DOUBLE), value)) AS val
+  FROM events WHERE user_id < 20
+  UNION ALL
+  SELECT event_id, 'raw', value FROM events WHERE user_id < 20
+  UNION ALL
+  SELECT event_id, 'scaled_x2', value * 2.0 FROM events WHERE user_id < 20
+)
+ORDER BY event_id, field
+""",
+)
+def q94_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (§2.8): a table function laterally applied
+    per input row, expanding one reading into typed (field, value)
+    rows — the direct analog of a reference module's collection()
+    fan-out. The UDTF runs once per row with no shuffle of its own
+    (lateral = same-partition expansion); every emitted value is a
+    single IEEE op on the input, so the oracle hash-matches. Python
+    UDTFs are the slow path — this exists to pin the API surface; the
+    equivalent hot-path plan is the stack()/explode projection used
+    everywhere else."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="field string, val double")
+    class ExpandReading:
+        def eval(self, value: float):
+            if value is None:
+                return
+            yield "clamped", min(100.0, max(0.0, value))
+            yield "raw", value
+            yield "scaled_x2", value * 2.0
+
+    spark.udtf.register("expand_reading", ExpandReading)
+    e = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 20)
+    e.select("event_id", "value").createOrReplaceTempView("q94_readings")
+    return spark.sql(
+        """
+        SELECT r.event_id, f.field, f.val
+        FROM q94_readings r, LATERAL expand_reading(r.value) f
+        ORDER BY r.event_id, f.field
+        """
+    )
+
+
+@register(
+    "q95_variant_json",
+    category="json",
+    oracle="""
+SELECT CAST(k // 10 AS BIGINT)  AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT)   AS k_sum,
+       CAST(min(k) AS BIGINT)   AS k_min,
+       CAST(max(k) AS BIGINT)   AS k_max
+FROM (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+GROUP BY 1 ORDER BY k_bucket
+""",
+)
+def q95_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType ingestion (Spark 4): semi-structured props parsed
+    once into the binary variant encoding, fields extracted with
+    variant_get — the engine-native path for schema-on-read JSON,
+    ~10x cheaper than repeated get_json_object string parsing because
+    the parse happens once per row, not once per extraction. Extraction
+    and aggregation are all-integer."""
+    e = load_table(spark, "events", sf_dir)
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.select(k.alias("k"))
+        .groupBy(F.floor(F.col("k") / 10).cast("bigint").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.min("k").cast("bigint").alias("k_min"),
+            F.max("k").cast("bigint").alias("k_max"),
+        )
+        .orderBy("k_bucket")
+    )

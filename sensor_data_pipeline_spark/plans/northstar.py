@@ -784,8 +784,10 @@ def q86_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     sh = _shingled(d, "doc_id", "text", 3).cache()
-    sizes = sh.select(F.col("doc_id").alias("_id"), F.size("shingles").cast("bigint").alias("_n"))
-    sig = minhash_signatures(d, "doc_id", "text", num_hashes=16, n=3)
+    # the signature table feeds three consumers (banding + both sides of
+    # the component-match join); cache it or the shingle->hash->16-min
+    # pipeline runs three times. 16 ints/doc — persistable at any scale.
+    sig = minhash_signatures(d, "doc_id", "text", num_hashes=16, n=3).cache()
     cands = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
     sig_a = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh_{k}").alias(f"a{k}") for k in range(16)])
     sig_b = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh_{k}").alias(f"b{k}") for k in range(16)])

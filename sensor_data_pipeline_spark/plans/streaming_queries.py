@@ -162,3 +162,49 @@ def q70_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q96_stream_stream_join",
+    category="streaming",
+    oracle="""
+SELECT CAST(v.user_id % 16 AS BIGINT) AS user_bucket,
+       CAST(count(*) AS BIGINT)       AS n_pairs
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+GROUP BY 1 ORDER BY user_bucket
+""",
+)
+def q96_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: the view stream joins the purchase
+    stream per user with an event-time band (purchase within 1 h after
+    the view). Both sides carry watermarks, so at steady state the join
+    state is bounded to the band plus the watermark delay — the shape
+    that keeps a two-stream join viable at 100 TB/day. With an
+    availableNow drain everything lands in one batch, so the emitted
+    pairs equal the relational interval self-join, which is exactly
+    the oracle."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_uid"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr("v_uid = p_uid AND p_ts > view_ts AND p_ts <= view_ts + interval 1 hour"),
+    )
+    out = _drain(joined.select("v_uid"), "q96_mem")
+    return (
+        out.groupBy((F.col("v_uid") % 16).cast("bigint").alias("user_bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("user_bucket")
+    )
