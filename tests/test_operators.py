@@ -168,3 +168,17 @@ def test_global_running_sum_is_partition_count_invariant(spark):
     b = {r.k: r.running_sum for r in global_running_sum(df, "k", "v", num_partitions=13).collect()}
     assert a == b
     assert a[199] == 600
+
+
+def test_observed_audit_rides_the_action(spark):
+    from sensor_data_pipeline_spark.operators.audit import observed_audit
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (None, 5.0)], "k int, v double"
+    )
+    audited, obs = observed_audit(df, key_cols=("k",), extra={"v_max": F.max("v")})
+    assert audited.count() == 3  # the action that materializes metrics
+    got = obs.get
+    assert got["n_rows"] == 3
+    assert got["n_null_k"] == 1
+    assert got["v_max"] == 10.0

@@ -224,3 +224,49 @@ def test_sessionize_stream_matches_batch_twin(spark, stream_dir):
     # within session 2, second row: rate = (98-97)/(3-2+1) = 0.5
     assert abs(out[3].use_per_sec - 0.5) < 1e-9
     assert abs(out[3].eta_sec - 97.0 / 0.5) < 1e-9
+
+
+def test_sessionize_state_survives_micro_batches(spark, tmp_path):
+    """Cross-batch keyed state: the same 5-tick sign pattern as the
+    single-batch twin, but delivered as three micro-batches
+    (maxFilesPerTrigger=1, one parquet file each). Session numbering
+    and in-session arithmetic must be identical — state (session id,
+    t0, pct_t0, prev sign) carries across batch boundaries."""
+    import os
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("tick_ts", TimestampType()),
+            StructField("signal", DoubleType()),
+            StructField("pct", DoubleType()),
+        ]
+    )
+    rows = [
+        ("u", ts(f"2024-01-01 00:00:0{i}"), v, 100.0 - i)
+        for i, v in enumerate([5.0, 4.0, -3.0, -2.0, 6.0])
+    ]
+    path = str(tmp_path / "batched")
+    os.makedirs(path)
+    # one file per chunk, written oldest-first so availableNow +
+    # maxFilesPerTrigger=1 replays them as 3 ordered micro-batches
+    for i, chunk in enumerate([rows[0:2], rows[2:4], rows[4:5]]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(f"{path}/f{i}")
+        time.sleep(1.1)  # distinct mtimes: file source orders by timestamp
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/f*")
+    )
+    out = drain(sessionize_stream(stream), "sessions_mb").orderBy("tick_ts").collect()
+    assert [r.session_id for r in out] == [1, 1, 2, 2, 3]
+    assert abs(out[3].use_per_sec - 0.5) < 1e-9
+    assert abs(out[3].eta_sec - 97.0 / 0.5) < 1e-9
