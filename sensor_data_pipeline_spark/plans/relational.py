@@ -607,3 +607,134 @@ def q19_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "q97_shipping_priority",
+    category="join",
+    oracle="""
+SELECT l_orderkey,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS revenue,
+       o_orderdate, CAST(1 AS BIGINT) * o_shippriority_stub AS o_shippriority
+FROM (
+  SELECT l.l_orderkey, l.l_extendedprice, l.l_discount, o.o_orderdate,
+         CAST(0 AS BIGINT) AS o_shippriority_stub
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1997-03-15'
+    AND l.l_shipdate > TIMESTAMP '1997-03-15'
+)
+GROUP BY l_orderkey, o_orderdate, o_shippriority_stub
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def q97_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment-filtered customer
+    broadcast into orders, date filters pushed to both fact scans,
+    revenue top-10. The selective dimension (one market segment) rides
+    a broadcast so the orders->lineitem join is the only big exchange;
+    the top-10 is TakeOrdered, not a global sort. (The testdata has no
+    o_shippriority column; a zero stub keeps the classic output shape.)"""
+    c = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate") < "1997-03-15")
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > "1997-03-15")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select("o_orderkey", "o_orderdate")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(cents * (100 - disc_c)) / 10000.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", F.lit(0).cast("bigint").alias("o_shippriority"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q98_local_supplier_volume",
+    category="join",
+    oracle="""
+SELECT n.n_name,
+       sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) / 10000.0 AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q98_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): a six-table join where
+    every dimension (region->nation->customer, supplier) broadcasts and
+    only the orders->lineitem fact-fact equi-join shuffles. The
+    same-nation constraint (s_nationkey = c_nationkey) rides the
+    supplier broadcast as a second join key — Catalyst keeps it a hash
+    join, no theta fallback."""
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, "nation", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    cust_side = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")),
+               c.c_nationkey == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust_side), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg((F.sum(cents * (100 - disc_c)) / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "q99_decimal_exact",
+    category="agg",
+    oracle="""
+SELECT l_linestatus,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,2))) AS total_price,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,2))
+           * CAST(CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,2)))    AS total_discount_amt
+FROM lineitem
+GROUP BY l_linestatus ORDER BY l_linestatus
+""",
+)
+def q99_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType end-to-end (§1.2 "inherited for free"): money cast
+    to exact decimals at the scan, aggregated without any floating
+    point. Decimal sums are associative — partial aggregation and AQE
+    re-splits cannot change a digit, unlike double sums. Output stays
+    DECIMAL so the oracle comparison is exact string equality."""
+    li = load_table(spark, "lineitem", sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(18,2)").cast("decimal(38,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)").cast("decimal(38,2)")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.sum(price).alias("total_price"),
+            F.sum(price * disc).alias("total_discount_amt"),
+        )
+        .orderBy("l_linestatus")
+    )
