@@ -60,3 +60,53 @@ def test_sessionize_matches_reference_loop(spark, signals):
     df = spark.createDataFrame(rows, "k string, t int, sig double")
     got = [r.session_id for r in sessionize_by_sign_flip(df, ["k"], ["t"], "sig").orderBy("t").collect()]
     assert got == _reference_sessions([float(s) for s in signals])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dedup_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation must agree with a driver-side
+    union-find on arbitrary small graphs (chains, stars, cycles,
+    disconnected islands — whatever hypothesis draws)."""
+    from sensor_data_pipeline_spark.operators.dedup import dedup_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {v for e in edges for v in e}
+    want = {n: find(n) for n in nodes}
+    # min-rep canonicalization: union-find roots are already minimal
+    # because unions always point the larger root at the smaller
+    df = spark.createDataFrame([(a, b) for a, b in edges], "id_a int, id_b int")
+    got = {r.doc_id: r.cluster_id for r in dedup_components(df).collect()}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60))
+def test_global_running_sum_matches_accumulate(spark, vals):
+    """The two-pass distributed scan must equal itertools.accumulate
+    for any value sequence and any partition count."""
+    from itertools import accumulate
+
+    from sensor_data_pipeline_spark.operators.prefix import global_running_sum
+
+    df = spark.createDataFrame(list(enumerate(vals)), "k int, v long")
+    got = {r.k: r.running_sum for r in global_running_sum(df, "k", "v", num_partitions=5).collect()}
+    want = dict(enumerate(accumulate(vals)))
+    assert got == want
