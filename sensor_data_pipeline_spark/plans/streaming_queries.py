@@ -22,17 +22,35 @@ from sensor_data_pipeline_spark.streaming.pipelines import windowed_event_stats
 from sensor_data_pipeline_spark.streaming.stateful import sessionize_stream
 
 
-def _drain(stream_df: DataFrame, name: str) -> DataFrame:
+def _drain(stream_df: DataFrame, name: str, state_partitions: int = 8) -> DataFrame:
+    """Start → availableNow → stop, returning the memory sink.
+
+    ``state_partitions`` pins the stateful-operator partition count for
+    THIS query's (fresh) checkpoint. State stores cost real per-
+    partition overhead (provider init, changelog files, commit fsync
+    per partition per batch), so their count must track state VOLUME —
+    at sf0.1 a handful; on a 100 TB/day stream, thousands. Inheriting
+    the session's batch shuffle setting (32 here) made every stateful
+    drain pay 4-8x its useful work: q96's two-sided join held 64 state
+    stores for ~40k rows. The conf is scoped: set at .start() (when the
+    streaming plan binds it) and restored immediately after."""
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # the setting is bound when the FIRST BATCH is planned (async, after
+    # start()), so it stays lowered until the drain completes
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {name}")
 
 
