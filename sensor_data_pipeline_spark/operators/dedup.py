@@ -224,16 +224,29 @@ def dedup_components(
         )
 
     labels = both.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
-    prev_sum = None
-    for _ in range(max_iters):
-        updated = labels
-        for _ in range(substeps):
-            updated = propagate(updated)
-        labels = updated.localCheckpoint(eager=True)
-        label_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
-        if label_sum == prev_sum:
-            break
-        prev_sum = label_sum
+
+    # size the loop's shuffles to the GRAPH, not the session default:
+    # the edge list is materialized, so its count is free, and a dup
+    # graph is orders of magnitude smaller than the corpus that
+    # produced it. ~500k edges per partition keeps tasks meaningful;
+    # the session setting stays authoritative for billion-edge graphs.
+    spark = pairs.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(4, min(int(prev_parts), edges.count() // 500_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        prev_sum = None
+        for _ in range(max_iters):
+            updated = labels
+            for _ in range(substeps):
+                updated = propagate(updated)
+            labels = updated.localCheckpoint(eager=True)
+            label_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
+            if label_sum == prev_sum:
+                break
+            prev_sum = label_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
