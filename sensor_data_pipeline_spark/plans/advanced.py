@@ -847,3 +847,57 @@ def q95_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_bucket")
     )
+
+
+@register(
+    "q100_gap_fill",
+    category="timeseries",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hour,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS v_cents
+  FROM events WHERE user_id < 8 GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR)) AS hour
+  FROM hourly GROUP BY user_id
+)
+SELECT s.user_id, s.hour, h.v_cents,
+       last_value(h.v_cents IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.hour ROWS UNBOUNDED PRECEDING) AS filled,
+       CAST(h.v_cents IS NULL AS BOOLEAN) AS is_gap
+FROM spine s LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hour = s.hour
+ORDER BY s.user_id, s.hour
+""",
+)
+def q100_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: hourly rollup per key, a dense hour
+    spine generated per key (sequence + explode — the spine never
+    leaves the executors), left join, and forward-fill via
+    last(ignorenulls) — the batch generalization of the reference's
+    hold-last-reading staleness display. Every stage shuffles on
+    user_id only; the spine join is key+hour equi. Gap rows are
+    flagged so downstream can distinguish observed from imputed."""
+    e = load_table(spark, "events", sf_dir)
+    hourly = (
+        e.filter(F.col("user_id") < 8)
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("v_cents"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select("user_id", F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"))
+    )
+    w = Window.partitionBy("user_id").orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            "v_cents",
+            F.last("v_cents", ignorenulls=True).over(w).alias("filled"),
+            F.col("v_cents").isNull().alias("is_gap"),
+        )
+        .orderBy("user_id", "hour")
+    )
