@@ -1,0 +1,56 @@
+"""Meta-tests on the declared-query registry: the driver contract
+(queries()/oracle_sql() in __spark_entry__.py) must stay structurally
+sound as the suite grows — every query named/documented, every oracle
+referencing only the pre-registered testdata views, and the adapter
+exposing exactly the registry."""
+
+from __future__ import annotations
+
+import re
+
+from sensor_data_pipeline_spark.plans import REGISTRY
+
+TABLES = {
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+}
+
+
+def test_names_follow_convention():
+    for name in REGISTRY:
+        assert re.fullmatch(r"q\d{2,3}_[a-z0-9_]+", name), name
+
+
+def test_every_query_documented_and_categorized():
+    for name, spec in REGISTRY.items():
+        assert spec.spark.__doc__, f"{name} has no docstring"
+        assert spec.category, f"{name} has no category"
+
+
+def test_oracles_reference_only_registered_views():
+    # FROM/JOIN targets must be the driver's pre-registered views or
+    # CTE names defined inside the oracle itself
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        ctes = set(
+            re.findall(r"(?:WITH(?:\s+RECURSIVE)?|,)\s*([a-z_][a-z0-9_]*)\s+AS\s*\(", spec.oracle, re.I)
+        )
+        targets = re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", spec.oracle, re.I)
+        for t in targets:
+            assert t.lower() in TABLES or t.lower() in {c.lower() for c in ctes}, (
+                f"{name}: oracle references unknown relation {t!r}"
+            )
+
+
+def test_driver_adapter_exposes_registry():
+    import __spark_entry__ as mod
+
+    qs = mod.queries()
+    os_ = mod.oracle_sql()
+    assert set(qs) == set(REGISTRY)
+    assert set(os_) == {n for n, s in REGISTRY.items() if s.oracle is not None}
+    rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
+    # the rows-only set is deliberate and documented — it must not grow
+    # silently
+    assert rows_only == {"q54_audio_features", "q62_approx_aggs", "q68_stream_sessionize"}, rows_only
