@@ -1,0 +1,251 @@
+"""Corpus-quality operators for training-data curation (north star).
+
+Extends the text-analysis family (q44-q47, q79) with the remaining
+filters every large-scale LLM data pipeline runs before training:
+
+- repetition gating (duplicate-bigram fraction, the Gopher-style
+  "rep" filters) — q107;
+- pattern scanning (per-document regex hit counts, the PII/contam
+  scan shape) — q108;
+- cohort retention over the event stream (warehouse-style user
+  analysis) — q109;
+- near-dup cluster representative selection (the "keep one per
+  cluster" step after q74's connected components) — q110.
+
+All four stay JVM-side: higher-order array functions and regexes are
+codegen'd Catalyst expressions, never Python UDFs, so the per-document
+work is a narrow map over the scan at any scale. Reference parity:
+the reference's only text handling is JSON field projection
+(``src/modules/dd/consumer.cpp:124-131``); this family is mandated by
+the north star (BASELINE.json), not ported.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sensor_data_pipeline_spark.operators.dedup import dedup_components
+from sensor_data_pipeline_spark.operators.similarity import embedding_neardup_pairs
+from sensor_data_pipeline_spark.plans.registry import register
+from sensor_data_pipeline_spark.sources.tables import load_table
+
+
+@register(
+    "q107_repetition_gate",
+    category="text",
+    oracle="""
+WITH g AS (
+  SELECT lang, source,
+         CAST(len(bg) AS BIGINT)                AS n_bigrams,
+         CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct
+  FROM (
+    SELECT lang, source,
+           list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS bg
+    FROM (SELECT lang, source, regexp_split_to_array(text, '\\s+') AS w FROM documents)
+  )
+  WHERE len(bg) > 0
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_bigrams - n_distinct > n_bigrams * 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       sum(n_bigrams - n_distinct) / CAST(sum(n_bigrams) AS DOUBLE) AS dup_bigram_share
+FROM g
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+)
+def q107_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter: fraction of duplicate word-bigrams per
+    document (high duplication => boilerplate/spam), flagged at 50%
+    and profiled per (lang, source).
+
+    The bigram build is `transform(sequence(...))` over the token
+    array — a codegen'd higher-order function, no shuffle and no
+    Python. The only exchange is the final small groupBy. Flag/share
+    math uses exact bigint counts so the oracle hash is stable."""
+    d = load_table(spark, "documents", sf_dir)
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    bg = F.expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    per_doc = (
+        d.select("lang", "source", w.alias("w"))
+        .select("lang", "source", bg.alias("bg"))
+        .filter(F.size("bg") > 0)
+        .select(
+            "lang",
+            "source",
+            F.size("bg").cast("bigint").alias("n_bigrams"),
+            F.size(F.array_distinct("bg")).cast("bigint").alias("n_distinct"),
+        )
+    )
+    dup = F.col("n_bigrams") - F.col("n_distinct")
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(dup > F.col("n_bigrams") * 0.5, 1).otherwise(0)).cast("bigint").alias("n_flagged"),
+            (F.sum(dup) / F.sum("n_bigrams").cast("double")).alias("dup_bigram_share"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "q108_pattern_scan",
+    category="text",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '\\b(dup|key|hash)\\b'))) AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN len(regexp_extract_all(text, '\\b(dup|key|hash)\\b')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+       CAST(max(len(regexp_extract_all(text, '\\b(dup|key|hash)\\b'))) AS BIGINT) AS max_hits
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q108_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern scan: per-document regex hit counts rolled up per
+    source — the shape of PII scans, contamination probes, and
+    blocklist audits over a corpus.
+
+    `regexp_count` is a codegen'd expression evaluated once per row
+    during the scan (the regex compiles once per task, not per row);
+    the rollup is map-side combinable. Swapping the pattern for an
+    email/SSN regex changes nothing structurally."""
+    d = load_table(spark, "documents", sf_dir)
+    hits = F.regexp_count(F.col("text"), F.lit(r"\b(dup|key|hash)\b"))
+    return (
+        d.select("source", hits.alias("_h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_h").cast("bigint").alias("n_hits"),
+            F.sum(F.when(F.col("_h") > 0, 1).otherwise(0)).cast("bigint").alias("n_docs_hit"),
+            F.max("_h").cast("bigint").alias("max_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q109_cohort_retention",
+    category="aggregation",
+    oracle="""
+WITH user_weeks AS (
+  SELECT user_id, date_trunc('week', ts) AS wk
+  FROM events GROUP BY user_id, date_trunc('week', ts)
+),
+cohorts AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM user_weeks GROUP BY user_id
+)
+SELECT c.cohort_wk AS cohort_week,
+       CAST(date_diff('day', c.cohort_wk, u.wk) / 7 AS BIGINT) AS week_offset,
+       count(DISTINCT u.user_id) AS n_users
+FROM user_weeks u JOIN cohorts c ON u.user_id = c.user_id
+GROUP BY c.cohort_wk, week_offset
+ORDER BY cohort_week, week_offset
+""",
+)
+def q109_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the event stream: users grouped by
+    first-active week, counted in each subsequent week offset.
+
+    Plan: events collapse to distinct (user, week) pairs first (the
+    big reduction), the per-user cohort week is a second aggregate of
+    that same pre-shuffled set, and the join back is user-keyed on
+    already-co-partitioned data. `date_trunc('week')` is Monday-start
+    in both engines; the offset is exact integer day-diff / 7."""
+    e = load_table(spark, "events", sf_dir)
+    user_weeks = e.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk")).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .select(
+            F.col("cohort_wk").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7).cast("bigint").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_DUCK_COSINE = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "q110_cluster_representatives",
+    category="dedup",
+    oracle=f"""
+WITH RECURSIVE
+emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE {_DUCK_COSINE.format(a="a.v", b="b.v")} >= CAST(0.4 AS DOUBLE)
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.dst AS node, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+clusters AS (
+  SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node
+),
+norms AS (
+  SELECT vec_id, round(sqrt(list_dot_product(v, v)) * 1000000, 0) AS norm_u
+  FROM emb
+)
+SELECT cluster_id, vec_id AS rep_id, CAST(cluster_size AS BIGINT) AS cluster_size
+FROM (
+  SELECT c.cluster_id, c.vec_id,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY n.norm_u DESC, c.vec_id) AS rk
+  FROM clusters c JOIN norms n ON n.vec_id = c.vec_id
+)
+WHERE rk = 1
+ORDER BY cluster_id
+""",
+)
+def q110_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster: after connected components over the
+    near-dup graph (q74), pick each cluster's representative — the
+    member with the largest embedding norm (a centrality proxy),
+    vec_id as tie-break — plus the cluster size for audit.
+
+    Plan: components come from distributed min-label propagation
+    (operators/dedup.py); the representative pick is one window over
+    cluster_id — the same shuffle key the components step already
+    produced, so AQE chains them without a second wide exchange. The
+    norm is rounded to 1e-6 on both sides to keep the float-ordering
+    tie-break deterministic across engines."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = embedding_neardup_pairs(emb, threshold=0.4)
+    clusters = dedup_components(pairs).select(F.col("doc_id").alias("vec_id"), "cluster_id")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norms = emb.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)) * 1000000, 0
+        ).alias("norm_u"),
+    )
+    w = Window.partitionBy("cluster_id")
+    wrank = w.orderBy(F.col("norm_u").desc(), F.col("vec_id"))
+    return (
+        clusters.join(norms, "vec_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("rk", F.row_number().over(wrank))
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", F.col("vec_id").alias("rep_id"), "cluster_size")
+        .orderBy("cluster_id")
+    )

@@ -1,0 +1,381 @@
+"""Classic analytic join shapes (TPC-H Q7/Q8/Q13/Q18/Q20 analogs).
+
+The reference's only join is the per-tick sensor fan-in
+(``src/modules/dd/producer.c:236-265``, SURVEY.md §2.3 J1); the engine
+inherits the full join surface from Spark. This module adds the
+remaining canonical decision-support shapes the core suite
+(q02-q06, q97-q99) does not yet cover:
+
+- outer-join count distribution (Q13): aggregate-before-join so the
+  outer join moves customer-sized, not orders-sized, data;
+- having-subquery semi reduction (Q18): the filter side is an
+  aggregate of the same fact, shuffled once on the join key;
+- anti join + scalar subquery (Q22): one-row broadcast for the global
+  average, aggregate-reduced anti side;
+- two-role dimension join (Q7): the same nation table broadcast twice
+  under different roles;
+- per-group share via window (Q20 adaptation): partial sums compared
+  against a window aggregate, no self-join.
+
+Scale notes (100 TB): every dimension rides an explicit
+``F.broadcast``; fact-fact joins are reduced by aggregation *before*
+the join wherever semantics allow, so the only wide exchanges are on
+the aggregation keys themselves. Money math uses integer-scaled cents
+(bit-deterministic under any partial-agg order — see registry
+docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sensor_data_pipeline_spark.plans.registry import register
+from sensor_data_pipeline_spark.sources.tables import load_table
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100, 0).cast("bigint")
+
+
+@register(
+    "q101_order_count_histogram",
+    category="join",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q101_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    including zero-order customers (the left join is the point).
+
+    Plan: aggregate orders down to one row per customer *first*, then
+    left-join customer to the aggregate — the outer join moves
+    |customer| + |distinct custkey| rows instead of |orders| rows, and
+    both sides arrive hash-partitioned on c_custkey from their own
+    shuffles, so the join itself is exchange-free under AQE."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_n"))
+    counts = (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q102_large_volume_customers",
+    category="join",
+    oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice * 100, 0) AS BIGINT) / 100.0 AS o_totalprice,
+       sum(CAST(round(l.l_quantity * 100, 0) AS BIGINT)) / 100.0 AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 21000
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT 100
+""",
+)
+def q102_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, re-joined to their lines and customers.
+
+    Plan: one shuffle of lineitem on l_orderkey produces the per-order
+    quantity aggregate; the HAVING filter reduces it to a small key
+    set that then *broadcasts* into both orders and lineitem — the
+    classic "aggregate, filter, semi-reduce the fact" pattern. At
+    100 TB the broadcast side is only the qualifying keys (rare by
+    construction), never the fact."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("bigint")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_c).alias("_sum_qty"))
+        .filter(F.col("_sum_qty") > 21000)
+        .select(F.col("l_orderkey").alias("_bigkey"))
+    )
+    return (
+        li.join(F.broadcast(big), li.l_orderkey == F.col("_bigkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg((F.sum(qty_c) / 100.0).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            (F.round(F.col("o_totalprice") * 100, 0).cast("bigint") / 100.0).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q103_idle_rich_customers",
+    category="join",
+    oracle="""
+SELECT bucket, count(*) AS numcust,
+       sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0 AS totacctbal
+FROM (
+  SELECT c_custkey % 7 AS bucket, c_acctbal
+  FROM customer
+  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+)
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def q103_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no
+    *recent* orders (every synthetic customer has some order, so the
+    anti-join predicate is date-restricted to stay non-trivial).
+
+    Plan: the global average is a one-row aggregate broadcast into the
+    customer scan (a cross join of 1 row — free); the NOT EXISTS is a
+    left-anti join against the *distinct custkeys of recent orders*,
+    i.e. the anti side is filter- and aggregate-reduced before it
+    shuffles. Both inputs hash-partition on custkey once."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate") >= "2000-01-01")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_avg"))
+    buyers = o.select(F.col("o_custkey").alias("_buyer")).distinct()
+    bal_c = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(buyers, c.c_custkey == F.col("_buyer"), "left_anti")
+        .select((F.col("c_custkey") % 7).alias("bucket"), "c_acctbal")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(bal_c) / 100.0).alias("totacctbal"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q104_nation_volume_shipping",
+    category="join",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l.l_shipdate) AS l_year,
+         l.l_extendedprice, l.l_discount
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q104_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between two nations by year, with the
+    nation dimension playing two roles (supplier side and customer
+    side).
+
+    Plan: nation is broadcast twice under different aliases; supplier
+    and customer reduce to (key, nation) pairs that also broadcast.
+    The nation-pair predicate is applied as soon as both roles are
+    bound — before the groupBy — so the only wide exchange is the
+    orders<->lineitem equi-join. Cast of year to bigint keeps the
+    schema identical to DuckDB's EXTRACT."""
+    s = load_table(spark, "supplier", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    n1 = n.filter(F.col("n_name").isin("NATION_1", "NATION_2")).withColumnRenamed("n_name", "supp_nation")
+    n2 = n.filter(F.col("n_name").isin("NATION_1", "NATION_2")).withColumnRenamed("n_name", "cust_nation")
+    supp = s.join(F.broadcast(n1), s.s_nationkey == n1.n_nationkey).select("s_suppkey", "supp_nation")
+    cust = c.join(F.broadcast(n2), c.c_nationkey == n2.n_nationkey).select("c_custkey", "cust_nation")
+    cents = _cents("l_extendedprice")
+    disc_c = _cents("l_discount")
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            cents.alias("_cents"),
+            disc_c.alias("_disc"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum(F.col("_cents") * (100 - F.col("_disc"))) / 10000.0).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q105_dominant_part_suppliers",
+    category="window",
+    oracle="""
+SELECT s.s_name, s.s_suppkey, t.n_parts
+FROM (
+  SELECT l_suppkey, count(*) AS n_parts
+  FROM (
+    SELECT l_partkey, l_suppkey,
+           sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS part_supp_qty,
+           sum(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)))
+             OVER (PARTITION BY l_partkey) AS part_total_qty
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+  )
+  WHERE part_supp_qty * 5 > part_total_qty
+  GROUP BY l_suppkey
+) t
+JOIN supplier s ON s.s_suppkey = t.l_suppkey
+ORDER BY t.n_parts DESC, s.s_suppkey
+LIMIT 50
+""",
+)
+def q105_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adaptation (no partsupp table in the fixture):
+    suppliers who shipped over 20% of some part's total
+    quantity (the fixture's supplier shares top out near 0.25), counted per supplier.
+
+    Plan: one shuffle of lineitem on (l_partkey, l_suppkey) produces
+    the partial sums; the per-part total is a window over l_partkey —
+    a prefix of the same grouping key, so AQE reuses the existing
+    hash partitioning instead of a second wide exchange. The majority
+    test is a local filter; no self-join of the fact."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("bigint")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty_c).alias("part_supp_qty"))
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per_ps.withColumn("part_total_qty", F.sum("part_supp_qty").over(w))
+        .filter(F.col("part_supp_qty") * 5 > F.col("part_total_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    return (
+        dominant.join(F.broadcast(s.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "s_suppkey", "n_parts")
+        .orderBy(F.col("n_parts").desc(), "s_suppkey")
+        .limit(50)
+    )
+
+
+@register(
+    "q106_market_share",
+    category="join",
+    oracle="""
+SELECT o_year,
+       CAST(round(
+         sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+         / sum(volume), 6) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS volume,
+         n2.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+  JOIN region r   ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type LIKE '%PROMO%'
+)
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q106_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional revenue for a
+    part family, per order year. Numerator and denominator come out of
+    the *same* aggregation via a conditional sum — one pass, no
+    second scan or self-join.
+
+    Plan: part (filtered by type), supplier+nation, and the
+    region-restricted customer side all broadcast; lineitem<->orders
+    is the single wide join. The share division happens on the
+    grouped (tiny) result."""
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_type").like("%PROMO%"))
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    cust_region = (
+        c.join(
+            F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_nationkey")),
+            c.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = (
+        s.join(F.broadcast(n.select(F.col("n_nationkey").alias("_nk2"), F.col("n_name").alias("supp_nation"))),
+               s.s_nationkey == F.col("_nk2"))
+        .select("s_suppkey", "supp_nation")
+    )
+    volume = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0)))
+                / F.sum("volume"),
+                6,
+            ).cast("double").alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )

