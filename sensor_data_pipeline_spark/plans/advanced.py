@@ -901,3 +901,41 @@ def q100_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+@register(
+    "q112_sliding_window",
+    category="time",
+    oracle="""
+WITH assigned AS (
+  SELECT event_type, value,
+         unnest([ts - to_microseconds(CAST(epoch_us(ts) % 1800000000 AS BIGINT)),
+                 ts - to_microseconds(CAST(epoch_us(ts) % 1800000000 AS BIGINT)) - INTERVAL 30 MINUTE]) AS win_start
+  FROM events
+)
+SELECT win_start,
+       event_type,
+       count(*) AS n,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS total
+FROM assigned
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+""",
+)
+def q112_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (1 h length, 30 min slide): every event
+    lands in exactly two windows. Spark's `window()` generates the
+    window assignments as a generator expression (no join against a
+    window table); the oracle mirrors it by unnesting the two
+    epoch-aligned starts. Streaming twin: the same expression under a
+    watermark (q67). Aggregates stay integer-scaled for hash parity."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / 100.0).alias("total"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total")
+        .orderBy("win_start", "event_type")
+    )

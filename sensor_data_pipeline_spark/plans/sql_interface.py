@@ -1,0 +1,68 @@
+"""SQL-text interface (SURVEY.md §2.9: the reference has no SQL parser;
+the engine inherits Spark SQL whole).
+
+The strongest possible demonstration: ONE ANSI-SQL string, executed
+verbatim by both engines — ``spark.sql(SQL)`` over temp views on the
+Spark side, the exact same text as the DuckDB oracle. CTEs, a
+dimension join, conditional aggregation, and a ranking window all go
+through the parser/optimizer instead of the DataFrame builder, proving
+the two front ends hit the same Catalyst plan space.
+
+Scale note: views registered by ``register_views`` are plain parquet
+scans — SQL text gets identical predicate pushdown / pruning /
+broadcast treatment as the DataFrame API (same logical plan), so
+nothing here costs more than its q0x DataFrame twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sensor_data_pipeline_spark.plans.registry import register
+from sensor_data_pipeline_spark.sources.tables import register_views
+
+# Engine-portable ANSI SQL: runs unmodified on Spark SQL and DuckDB.
+# Integer-scaled money sums keep the hash bit-deterministic (registry
+# docstring); CAST(... AS BIGINT) after round matches both engines.
+_PORTABLE_SQL = """
+WITH order_revenue AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS rev_scaled,
+         count(*) AS n_lines
+  FROM lineitem
+  GROUP BY l_orderkey
+),
+ranked AS (
+  SELECT o.o_orderpriority,
+         r.rev_scaled,
+         r.n_lines,
+         row_number() OVER (PARTITION BY o.o_orderpriority
+                            ORDER BY r.rev_scaled DESC, o.o_orderkey) AS rk
+  FROM order_revenue r
+  JOIN orders o ON o.o_orderkey = r.l_orderkey
+)
+SELECT o_orderpriority,
+       count(*) AS n_top,
+       sum(rev_scaled) / CAST(10000.0 AS DOUBLE) AS top_revenue,
+       sum(CASE WHEN n_lines >= 4 THEN 1 ELSE 0 END) AS n_wide_orders
+FROM ranked
+WHERE rk <= 100
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "q111_sql_text_interface",
+    category="sql",
+    oracle=_PORTABLE_SQL,
+)
+def q111_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact oracle SQL string executed by ``spark.sql`` over temp
+    views — zero DataFrame code, so any divergence from DuckDB is a
+    parser/semantics bug, not a translation bug. Covers CTE chaining,
+    fact self-aggregation before the join, a per-group ranking window,
+    and conditional aggregation in one statement."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PORTABLE_SQL)

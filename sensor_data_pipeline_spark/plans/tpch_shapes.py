@@ -193,7 +193,7 @@ SELECT supp_nation, cust_nation, l_year,
            * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-         EXTRACT(year FROM l.l_shipdate) AS l_year,
+         year(l.l_shipdate) AS l_year,
          l.l_extendedprice, l.l_discount
   FROM supplier s
   JOIN lineitem l ON s.s_suppkey = l.l_suppkey
@@ -312,7 +312,7 @@ SELECT o_year,
          sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
          / sum(volume), 6) AS DOUBLE) AS mkt_share
 FROM (
-  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+  SELECT year(o.o_orderdate) AS o_year,
          CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
            * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS volume,
          n2.n_name AS supp_nation

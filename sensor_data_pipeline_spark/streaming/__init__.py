@@ -15,6 +15,11 @@ from sensor_data_pipeline_spark.streaming.pipelines import (
     synthetic_readings,
     windowed_event_stats,
 )
+from sensor_data_pipeline_spark.streaming.cdc import (
+    cdc_apply_stream,
+    latest_snapshot,
+    merge_batch,
+)
 from sensor_data_pipeline_spark.streaming.sinks import (
     FileSpoolPublisher,
     ConsolePublisher,
@@ -26,6 +31,9 @@ from sensor_data_pipeline_spark.streaming.stateful import sessionize_stream, sta
 
 __all__ = [
     "FileSpoolPublisher",
+    "cdc_apply_stream",
+    "latest_snapshot",
+    "merge_batch",
     "ConsolePublisher",
     "Publisher",
     "PublisherForeachWriter",

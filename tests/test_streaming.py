@@ -305,3 +305,43 @@ def test_sessionize_state_survives_micro_batches(spark, tmp_path):
     assert [r.session_id for r in out] == [1, 1, 2, 2, 3]
     assert abs(out[3].use_per_sec - 0.5) < 1e-9
     assert abs(out[3].eta_sec - 97.0 / 0.5) < 1e-9
+
+
+def test_cdc_apply_stream_versioned_exactly_once(spark, tmp_path):
+    """Streaming MERGE apply (q90's continuous twin): per-epoch
+    immutable snapshot versions + checkpointed offsets = exactly-once.
+    Three change files become epochs; a restart with a fourth file
+    must apply ONLY the new changes on top of the last snapshot."""
+    import os
+
+    from sensor_data_pipeline_spark.streaming import cdc_apply_stream, latest_snapshot
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("key", LongType()), StructField("delta_cents", LongType())])
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        q = cdc_apply_stream(stream, tgt, checkpoint_dir=ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    spark.createDataFrame([(1, 100), (2, 50)], schema).coalesce(1).write.parquet(f"{src}/f0")
+    time.sleep(1.1)
+    spark.createDataFrame([(1, -30), (3, 7)], schema).coalesce(1).write.parquet(f"{src}/f1")
+    run()
+    snap = {r.key: r.bal_cents for r in latest_snapshot(spark, tgt).collect()}
+    assert snap == {1: 70, 2: 50, 3: 7}
+
+    time.sleep(1.1)
+    spark.createDataFrame([(2, 1), (4, 4)], schema).coalesce(1).write.parquet(f"{src}/f2")
+    run()  # restart from checkpoint: only f2 is a new epoch
+    snap = {r.key: r.bal_cents for r in latest_snapshot(spark, tgt).collect()}
+    assert snap == {1: 70, 2: 51, 3: 7, 4: 4}
