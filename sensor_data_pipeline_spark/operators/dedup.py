@@ -166,8 +166,41 @@ def lsh_candidate_pairs(
     return _posting_pairs(banded, "_id", "band_key").distinct()
 
 
+def _components_local(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: union-find with path compression on the
+    collected edge list, min-id per component as the cluster label —
+    bit-identical semantics to the distributed loop."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        a, b = row.src, row.dst
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-id root, matches min-label
+    label = {n: find(n) for n in parent}
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n, r) for n, r in label.items()], "doc_id long, cluster_id long"
+    )
+
+
 def dedup_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 20, substeps: int = 2
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+    substeps: int = 2,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list: every doc
     gets the MINIMUM id reachable through the dup graph as its cluster
@@ -198,12 +231,25 @@ def dedup_components(
       decimal(38,0) sum (overflow-proof at any corpus size) equal to
       the previous round's means no label moved.
 
+    Strategy choice is size-adaptive, the same philosophy as Spark's
+    broadcast-join threshold: the dup graph after candidate generation
+    is orders of magnitude smaller than the corpus that produced it,
+    and below ``small_graph_edges`` a driver-side union-find
+    (O(E·α(E)), one collect) beats ~10 distributed join rounds by an
+    order of magnitude. Above the threshold — web-scale graphs where
+    the edge list itself is distributed data — the label-propagation
+    loop runs unchanged. Pass ``small_graph_edges=0`` to force the
+    distributed path.
+
     Returns (doc_id, cluster_id) for every id appearing in ``pairs``.
     """
     # Materialize the edge list ONCE, before the union mirrors it — the
     # candidate generator upstream (LSH / neardup scoring) must not
     # re-execute per union branch, let alone per iteration.
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).distinct().localCheckpoint(eager=True)
+    n_edges = edges.count()
+    if n_edges <= small_graph_edges:
+        return _components_local(edges)
     # undirected: propagate both ways
     both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
@@ -232,7 +278,7 @@ def dedup_components(
     # the session setting stays authoritative for billion-edge graphs.
     spark = pairs.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = max(4, min(int(prev_parts), edges.count() // 500_000 + 1))
+    loop_parts = max(4, min(int(prev_parts), n_edges // 500_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         prev_sum = None

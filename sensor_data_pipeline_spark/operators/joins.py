@@ -141,3 +141,88 @@ def asof_join(
         for c in out_vals:
             result = result.withColumn(c, F.when(in_tol, F.col(c)))
     return result.drop("_ts", "_side", "_matched_ts")
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    *,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward (inclusive) as-of join via cogrouped ``applyInPandas``
+    — the Arrow-batched twin of ``asof_join`` (identical semantics,
+    verified differentially by q113 against the same DuckDB ASOF
+    oracle as q29).
+
+    Implementation: both inputs shuffle once on the key; each
+    key-cogroup arrives as two pandas frames and the match is a
+    vectorized ``searchsorted`` (binary search of every left timestamp
+    in the sorted right timestamps — 'right' side minus one gives the
+    latest right row with ``right_ts <= left_ts``, equal stamps
+    inclusive). Per-group work is O((n+m) log m) with no window state,
+    which beats the union+last-non-null window form when right values
+    are wide (the window carries every value column through the sort;
+    this carries only the matched rows). The trade: rows cross the
+    JVM<->Arrow boundary, so the pure-JVM ``asof_join`` stays the
+    default.
+    """
+    import pandas as pd  # noqa: F401 (typing of the UDF frames)
+
+    keys = [on] if isinstance(on, str) else list(on)
+    val_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    out_names = {c: (f"{c}{suffix}" if c in left.columns else c) for c in val_cols}
+
+    # Pre-rename every non-key right column so no name collides with a
+    # left column: cogroup's attribute deduplication silently drops
+    # same-named right attributes that aren't in the output schema
+    # (observed: a shared 'ts' vanishes from the right pandas frame).
+    rts = "_asof_rts"
+    r_in = right.withColumnRenamed(right_ts, rts)
+    for c in val_cols:
+        if out_names[c] != c:
+            r_in = r_in.withColumnRenamed(c, out_names[c])
+    r_vals = [out_names[c] for c in val_cols]
+
+    import pyspark.sql.types as T
+
+    out_fields = list(left.schema.fields) + [
+        T.StructField(out_names[c], right.schema[c].dataType, True) for c in val_cols
+    ]
+    out_schema = T.StructType(out_fields)
+    left_cols = list(left.columns)
+
+    def merge(ldf, rdf):
+        import numpy as np
+
+        if ldf.empty:
+            return ldf.reindex(columns=[f.name for f in out_fields])
+        out = ldf.sort_values(left_ts, kind="mergesort").reset_index(drop=True)
+        if rdf.empty:
+            for c in r_vals:
+                out[c] = None
+            return out[[f.name for f in out_fields]]
+        r = rdf.sort_values(rts, kind="mergesort").reset_index(drop=True)
+        idx = np.searchsorted(r[rts].values, out[left_ts].values, side="right") - 1
+        ok = idx >= 0
+        if ok.all():
+            # fast path: native dtypes straight through Arrow
+            for c in r_vals:
+                out[c] = r[c].values[idx]
+        else:
+            # object arrays so unmatched rows carry real None (NaN is
+            # NOT null to Spark — the distinction matters to the oracle)
+            for c in r_vals:
+                matched = r[c].values[np.clip(idx, 0, None)]
+                out[c] = np.where(ok, matched, None)
+                out[c] = out[c].where(ok)
+        return out[[f.name for f in out_fields]]
+
+    return (
+        left.groupBy(*keys)
+        .cogroup(r_in.groupBy(*keys))
+        .applyInPandas(merge, schema=out_schema)
+        .select(*left_cols, *r_vals)
+    )

@@ -93,8 +93,13 @@ def test_dedup_components_matches_union_find(spark, edges):
     # min-rep canonicalization: union-find roots are already minimal
     # because unions always point the larger root at the smaller
     df = spark.createDataFrame([(a, b) for a, b in edges], "id_a int, id_b int")
-    got = {r.doc_id: r.cluster_id for r in dedup_components(df).collect()}
-    assert got == want
+    # both strategies must agree with the reference: the distributed
+    # label-propagation loop (threshold 0) and the small-graph local
+    # union-find fast path (default threshold)
+    got_dist = {r.doc_id: r.cluster_id for r in dedup_components(df, small_graph_edges=0).collect()}
+    got_local = {r.doc_id: r.cluster_id for r in dedup_components(df).collect()}
+    assert got_dist == want
+    assert got_local == want
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
