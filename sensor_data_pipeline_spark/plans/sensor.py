@@ -508,3 +508,59 @@ def q113_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_event_id",
         F.round("click_value", 2).alias("click_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "q114_custom_source",
+    category="source",
+    oracle="""
+WITH g AS (
+  SELECT d.range AS device_i, t.range AS tick
+  FROM range(0, 8) d, range(0, 1000) t
+),
+r AS (
+  SELECT 'dev' || device_i AS device,
+         (device_i * 7919 + tick * 104729) % 1000 AS base
+  FROM g
+)
+SELECT device,
+       count(*) AS n_ticks,
+       sum(CAST(180 + base % 150 AS BIGINT)) AS sum_temp_deci,
+       sum(CAST(180 + base % 150 AS BIGINT)) / (10.0 * count(*)) AS avg_temp_c,
+       min(40.0 + ((base * 31) % 400) / 10.0) AS min_rh,
+       max(40.0 + ((base * 31) % 400) / 10.0) AS max_rh
+FROM r
+GROUP BY device
+ORDER BY device
+""",
+)
+def q114_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    """Scan through the custom Python DataSource (S2-S4 as a real
+    source, sources/sensor_sim.py) and aggregate per device: the
+    whole ingest-to-summary path with zero parquet involved. One
+    input partition per device means the scan parallelizes across the
+    fleet with no shuffle before the groupBy. The oracle regenerates
+    the same deterministic readings with SQL range() — the source's
+    formula IS its spec. (sf_dir unused: the source synthesizes.)"""
+    from sensor_data_pipeline_spark.sources.sensor_sim import register_sensor_sim
+
+    register_sensor_sim(spark)
+    df = (
+        spark.read.format("sensor_sim")
+        .option("devices", "8")
+        .option("ticks", "1000")
+        .load()
+    )
+    temp_l = F.col("temp_deci_c").cast("bigint")
+    n = F.count(F.lit(1))
+    return (
+        df.groupBy("device")
+        .agg(
+            n.alias("n_ticks"),
+            F.sum(temp_l).alias("sum_temp_deci"),
+            (F.sum(temp_l) / (10.0 * n)).alias("avg_temp_c"),
+            F.min("rh").alias("min_rh"),
+            F.max("rh").alias("max_rh"),
+        )
+        .orderBy("device")
+    )

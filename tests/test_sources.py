@@ -66,3 +66,60 @@ def test_register_views_sql_twin(spark):
 def test_load_table_rejects_unknown(spark):
     with pytest.raises(KeyError):
         load_table(spark, "nonexistent", "/root/testdata/sf0.001")
+
+
+def test_sensor_sim_batch_partitions_and_values(spark):
+    """Custom Python DataSource (S2-S4 analog): one partition per
+    device, rows follow the documented formula exactly."""
+    from sensor_data_pipeline_spark.sources.sensor_sim import reading, register_sensor_sim
+
+    register_sensor_sim(spark)
+    df = spark.read.format("sensor_sim").option("devices", "3").option("ticks", "5").load()
+    rows = {(r.device, r.tick): (r.ts, r.temp_deci_c, r.rh) for r in df.collect()}
+    assert len(rows) == 15
+    for d in range(3):
+        for t in range(5):
+            dev, tick, ts, temp, rh = reading(d, t)
+            assert rows[(dev, tick)] == (ts, temp, rh)
+    # the scan parallelizes across devices without a shuffle
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_sensor_sim_stream_ticks_advance(spark):
+    """Streaming form: offsets are tick counters; the query drains
+    ticksPerBatch ticks per micro-batch up to maxTicks, matching the
+    reference's fixed-interval collection loop semantics."""
+    import time
+
+    from sensor_data_pipeline_spark.sources.sensor_sim import register_sensor_sim
+
+    register_sensor_sim(spark)
+    stream = (
+        spark.readStream.format("sensor_sim")
+        .option("devices", "2")
+        .option("ticksPerBatch", "5")
+        .option("maxTicks", "10")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sensor_sim_out")
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) n FROM sensor_sim_out").first().n >= 20:
+                break
+            time.sleep(0.5)
+        out = spark.sql("SELECT * FROM sensor_sim_out").collect()
+        # 2 devices x 10 ticks, no duplicates, ticks 0..9 each
+        assert len(out) == 20
+        per_dev = {}
+        for r in out:
+            per_dev.setdefault(r.device, set()).add(r.tick)
+        assert per_dev == {"dev0": set(range(10)), "dev1": set(range(10))}
+    finally:
+        q.stop()
