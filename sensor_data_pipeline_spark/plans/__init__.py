@@ -12,3 +12,4 @@ from sensor_data_pipeline_spark.plans import warehouse  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import tpch_shapes  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import corpus_quality  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import sql_interface  # noqa: F401,E402
+from sensor_data_pipeline_spark.plans import api_surface  # noqa: F401,E402

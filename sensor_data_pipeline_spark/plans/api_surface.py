@@ -1,0 +1,111 @@
+"""Modern execution-API surface: mapInArrow and lateral joins.
+
+Completes the §2.8 UDF-surface matrix: scalar pandas UDF (q48),
+GROUPED_AGG (q80), UDTF (q94), mapInPandas (q51-q54), cogrouped
+applyInPandas (q113), applyInPandasWithState (q68) — plus, here,
+RecordBatch-level mapInArrow (no pandas materialization at all; the
+lowest-overhead Python hook) and DataFrame.lateralJoin (Spark 4's
+correlated per-row subquery join, the declarative form of the
+reference's per-tick "for this reading, fetch its context" pattern).
+
+Scale notes: mapInArrow streams Arrow batches through Python with
+zero copy on the JVM side — the right hook for vectorized math that
+built-ins can't express; the lateral top-k is per-group-limit work
+the optimizer rewrites away from a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline_spark.plans.registry import register
+from sensor_data_pipeline_spark.sources.tables import load_table
+
+
+@register(
+    "q115_arrow_norms",
+    category="similarity",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS l2_norm
+FROM embeddings
+ORDER BY vec_id
+""",
+)
+def q115_arrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2 norms via ``mapInArrow``: the UDF receives raw
+    Arrow RecordBatches (no pandas conversion), computes the norm with
+    a float64 accumulator in dimension order — the same rounding
+    sequence as DuckDB's list_dot_product, so the hash matches bit for
+    bit. This is the minimal-overhead Python hook: one Arrow buffer
+    in, one out, per batch, embarrassingly parallel over partitions."""
+    import pyarrow as pa
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            vec_ids = batch.column("vec_id")
+            embs = batch.column("embedding")
+            # (rows, dim) float64 matrix; accumulate per-dimension in
+            # order to mirror the scalar loop's rounding sequence
+            mat = np.asarray(embs.to_pylist(), dtype=np.float64)
+            acc = np.zeros(len(mat), dtype=np.float64)
+            for k in range(mat.shape[1] if mat.ndim == 2 else 0):
+                acc += mat[:, k] * mat[:, k]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_ids,
+                    pa.array([mat.shape[1] if mat.ndim == 2 else 0] * len(mat), pa.int32()),
+                    pa.array(np.sqrt(acc), pa.float64()),
+                ],
+                names=["vec_id", "dim", "l2_norm"],
+            )
+
+    return emb.mapInArrow(norms, schema="vec_id long, dim int, l2_norm double").orderBy("vec_id")
+
+
+@register(
+    "q116_lateral_topk",
+    category="join",
+    oracle="""
+SELECT n.n_name, top.c_custkey, top.bal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) / 100.0 AS bal
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 3
+) top
+ORDER BY n.n_name, top.bal DESC, top.c_custkey
+""",
+)
+def q116_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation via ``DataFrame.lateralJoin`` — the
+    correlated per-row subquery (Spark 4 API), matched against
+    DuckDB's LATERAL. The optimizer executes it as a per-group
+    window/limit, not |nation| separate scans, so the shape scales
+    with data, not with the outer row count."""
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    c = load_table(spark, "customer", sf_dir)
+    top = (
+        c.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(3)
+        .select(
+            "c_custkey",
+            (F.round(F.col("c_acctbal") * 100, 0).cast("bigint") / 100.0).alias("bal"),
+        )
+    )
+    return (
+        n.lateralJoin(top)
+        .select("n_name", "c_custkey", "bal")
+        .orderBy("n_name", F.col("bal").desc(), "c_custkey")
+    )

@@ -28,14 +28,16 @@ def test_every_query_documented_and_categorized():
 
 
 def test_oracles_reference_only_registered_views():
-    # FROM/JOIN targets must be the driver's pre-registered views or
-    # CTE names defined inside the oracle itself
+    # FROM/JOIN targets must be the driver's pre-registered views, CTE
+    # names defined inside the oracle itself, or DuckDB table functions
+    # (q114 regenerates the custom source's synthetic data via range())
+    table_functions = {"range", "generate_series", "unnest"}
     for name, spec in REGISTRY.items():
         if spec.oracle is None:
             continue
         ctes = set(
             re.findall(r"(?:WITH(?:\s+RECURSIVE)?|,)\s*([a-z_][a-z0-9_]*)\s+AS\s*\(", spec.oracle, re.I)
-        )
+        ) | table_functions
         targets = re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", spec.oracle, re.I)
         for t in targets:
             assert t.lower() in TABLES or t.lower() in {c.lower() for c in ctes}, (
