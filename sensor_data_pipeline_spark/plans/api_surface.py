@@ -1,4 +1,4 @@
-"""Modern execution-API surface: mapInArrow and lateral joins.
+"""Modern execution-API surface: mapInArrow, lateral joins, grouped map.
 
 Completes the §2.8 UDF-surface matrix: scalar pandas UDF (q48),
 GROUPED_AGG (q80), UDTF (q94), mapInPandas (q51-q54), cogrouped
@@ -108,4 +108,60 @@ def q116_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.lateralJoin(top)
         .select("n_name", "c_custkey", "bal")
         .orderBy("n_name", F.col("bal").desc(), "c_custkey")
+    )
+
+
+@register(
+    "q117_group_zscore",
+    category="udf",
+    oracle="""
+WITH m AS (
+  SELECT lang, source,
+         count(*) AS n,
+         sum(n_chars) AS s,
+         sum(n_chars * n_chars) AS q
+  FROM documents
+  GROUP BY lang, source
+)
+SELECT d.doc_id, d.lang, d.source,
+       CASE WHEN m.n < 2 THEN NULL
+            ELSE (d.n_chars - CAST(m.s AS DOUBLE) / m.n)
+                 / sqrt((m.q - CAST(m.s * m.s AS DOUBLE) / m.n) / (m.n - 1))
+       END AS z
+FROM documents d JOIN m ON d.lang = m.lang AND d.source = m.source
+ORDER BY d.doc_id
+""",
+)
+def q117_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) z-score of document length via plain
+    grouped-map ``applyInPandas`` — the FlatMapGroupsInPandas surface
+    (distinct from GROUPED_AGG/cogroup/state variants already gated).
+
+    Determinism: moments come from exact int64 sums (counts and
+    lengths are integers), and the float expression mirrors the oracle
+    token for token — same IEEE op order, so the hash matches without
+    rounding. One shuffle on the group key; each group's frame is a
+    few thousand rows, far under Arrow batch limits."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "source", "n_chars")
+
+    def zscore(pdf):
+        import numpy as np
+
+        x = pdf["n_chars"].to_numpy(dtype=np.int64)
+        n = len(x)
+        out = pdf[["doc_id", "lang", "source"]].copy()
+        if n < 2:
+            out["z"] = None
+            return out
+        s = int(x.sum())
+        q = int((x * x).sum())
+        mean = float(s) / n
+        var = (q - float(s * s) / n) / (n - 1)
+        out["z"] = (x - mean) / np.sqrt(var)
+        return out
+
+    return (
+        d.groupBy("lang", "source")
+        .applyInPandas(zscore, schema="doc_id long, lang string, source string, z double")
+        .orderBy("doc_id")
     )
