@@ -379,3 +379,118 @@ def q106_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "q118_sole_late_supplier",
+    category="join",
+    oracle="""
+SELECT s.s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+)
+def q118_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): late lines
+    (shipped >90 days after order date) on multi-supplier orders where
+    NO other supplier was late — an EXISTS and a NOT EXISTS, both
+    correlated on the same key.
+
+    Plan: both existentials become one aggregate per order — distinct
+    supplier count and distinct LATE supplier count — computed in a
+    single shuffle of lineitem on l_orderkey; the correlated pair of
+    subqueries collapses into `n_supps > 1 AND n_late_supps = 1`
+    (sole-late ⇒ the late row's supplier is that one late supplier).
+    That beats Catalyst's two separate semi/anti joins: one exchange
+    instead of three over the fact."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    with_late = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("is_late"),
+    )
+    per_order = with_late.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supps"),
+    )
+    qualifying = per_order.filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)).select(
+        F.col("l_orderkey").alias("_ok")
+    )
+    return (
+        with_late.filter(F.col("is_late"))
+        .join(F.broadcast(qualifying), F.col("l_orderkey") == F.col("_ok"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q119_min_cost_supplier",
+    category="join",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / (100.0 * count(*)) AS avg_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p.p_partkey, p.p_name, s.s_name, ps.avg_price
+FROM ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+WHERE p.p_size >= 40
+  AND ps.avg_price = (
+    SELECT min(ps2.avg_price) FROM ps ps2 WHERE ps2.l_partkey = ps.l_partkey
+  )
+ORDER BY ps.avg_price, p.p_partkey, s.s_name
+LIMIT 100
+""",
+)
+def q119_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each large part,
+    the supplier(s) whose average sale price hits the per-part
+    minimum — a correlated scalar-min subquery.
+
+    Plan: the decorrelated form Catalyst would derive, written
+    directly — per-(part, supplier) averages in one shuffle, the
+    per-part minimum as a window over the SAME partitioning key
+    prefix (no second exchange), equality filter, then broadcast
+    dimension joins. Averages divide exact integer cents so the
+    min-equality compares identical IEEE doubles on both engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_size") >= 40).select("p_partkey", "p_name")
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        (F.sum(cents) / (100.0 * F.count(F.lit(1)))).alias("avg_price")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = ps.withColumn("_min", F.min("avg_price").over(w)).filter(
+        F.col("avg_price") == F.col("_min")
+    )
+    return (
+        best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "avg_price")
+        .orderBy("avg_price", "p_partkey", "s_name")
+        .limit(100)
+    )
