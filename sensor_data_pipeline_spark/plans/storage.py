@@ -83,3 +83,40 @@ def q72_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q120_file_provenance",
+    category="storage",
+    oracle="""
+SELECT 'lineitem.parquet' AS file_name,
+       count(*) AS n_rows,
+       min(l_orderkey) AS min_key,
+       max(l_orderkey) AS max_key
+FROM lineitem
+GROUP BY 1
+ORDER BY file_name
+""",
+)
+def q120_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file provenance via the ``_metadata`` struct: every row is
+    attributed to its source file without any extra column in the data
+    — the lineage primitive a training-data pipeline needs to trace a
+    bad document back to its shard (and to build per-shard audits /
+    reprocessing lists). The metadata column is populated by the scan
+    itself (constant per file, no shuffle cost); grouping on it rolls
+    up per input file. The oracle pins the expected basename since the
+    fixture is one file per table — on a 100 TB partitioned table the
+    same query yields one row per shard."""
+    li = load_table(spark, "lineitem", sf_dir)
+    fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    return (
+        li.select(fname.alias("file_name"), "l_orderkey")
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+        .orderBy("file_name")
+    )

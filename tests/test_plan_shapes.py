@@ -185,3 +185,25 @@ def test_q109_distinct_before_join(spark):
     # cohort join is keyed on user_id on both sides
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q118_single_fact_exchange_for_double_exists(spark):
+    from sensor_data_pipeline_spark.plans.tpch_shapes import q118_sole_late_supplier
+
+    plan = plan_of(q118_sole_late_supplier(spark, SF))
+    # the EXISTS/NOT-EXISTS pair must NOT appear as semi/anti joins of
+    # the fact — they collapse into one per-order aggregate
+    assert "LeftSemi" not in plan
+    assert "LeftAnti" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q119_no_self_join_for_scalar_min(spark):
+    from sensor_data_pipeline_spark.plans.tpch_shapes import q119_min_cost_supplier
+
+    plan = plan_of(q119_min_cost_supplier(spark, SF))
+    # correlated scalar-min is a window over the aggregate, not a
+    # second aggregation joined back
+    assert "Window" in plan
+    assert plan.count("Scan parquet") <= 3  # lineitem + part + supplier, once each
+    assert "CartesianProduct" not in plan
