@@ -169,10 +169,15 @@ def lsh_candidate_pairs(
 def _components_local(edges: DataFrame) -> DataFrame:
     """Small-graph fast path: union-find with path compression on the
     collected edge list, min-id per component as the cluster label —
-    bit-identical semantics to the distributed loop."""
-    parent: dict[int, int] = {}
+    bit-identical semantics to the distributed loop, including the
+    output schema: ids keep the input's type (int stays int, string
+    stays string — any orderable type the distributed `least` path
+    accepts works here too)."""
+    from pyspark.sql import types as T
 
-    def find(x: int) -> int:
+    parent: dict = {}
+
+    def find(x):
         root = x
         while parent[root] != root:
             root = parent[root]
@@ -189,9 +194,11 @@ def _components_local(edges: DataFrame) -> DataFrame:
             parent[max(ra, rb)] = min(ra, rb)  # min-id root, matches min-label
     label = {n: find(n) for n in parent}
     spark = edges.sparkSession
-    return spark.createDataFrame(
-        [(n, r) for n, r in label.items()], "doc_id long, cluster_id long"
+    id_type = edges.schema["src"].dataType
+    out_schema = T.StructType(
+        [T.StructField("doc_id", id_type), T.StructField("cluster_id", id_type)]
     )
+    return spark.createDataFrame([(n, r) for n, r in label.items()], out_schema)
 
 
 def dedup_components(

@@ -43,7 +43,7 @@ WITH g AS (
   FROM (
     SELECT lang, source,
            list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS bg
-    FROM (SELECT lang, source, regexp_split_to_array(text, '\\s+') AS w FROM documents)
+    FROM (SELECT lang, source, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
   )
   WHERE len(bg) > 0
 )

@@ -146,7 +146,8 @@ SELECT bucket, count(*) AS numcust,
 FROM (
   SELECT c_custkey % 7 AS bucket, c_acctbal
   FROM customer
-  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  WHERE c_acctbal > (SELECT sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / (100.0 * count(*))
+                     FROM customer WHERE c_acctbal > 0.0)
     AND NOT EXISTS (SELECT 1 FROM orders
                     WHERE o_custkey = c_custkey
                       AND o_orderdate >= TIMESTAMP '2000-01-01')
@@ -167,7 +168,12 @@ def q103_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles. Both inputs hash-partition on custkey once."""
     c = load_table(spark, "customer", sf_dir)
     o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate") >= "2000-01-01")
-    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_avg"))
+    # exact-cents average: a raw double avg would depend on partial-agg
+    # order; the scaled-bigint sum is associative so the threshold is
+    # bit-identical on any partitioning (module determinism convention)
+    pos = c.filter(F.col("c_acctbal") > 0.0)
+    pos_cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    avg_bal = pos.agg((F.sum(pos_cents) / (100.0 * F.count(F.lit(1)))).alias("_avg"))
     buyers = o.select(F.col("o_custkey").alias("_buyer")).distinct()
     bal_c = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
     return (
@@ -279,11 +285,14 @@ def q105_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers who shipped over 20% of some part's total
     quantity (the fixture's supplier shares top out near 0.25), counted per supplier.
 
-    Plan: one shuffle of lineitem on (l_partkey, l_suppkey) produces
-    the partial sums; the per-part total is a window over l_partkey —
-    a prefix of the same grouping key, so AQE reuses the existing
-    hash partitioning instead of a second wide exchange. The majority
-    test is a local filter; no self-join of the fact."""
+    Plan: map-side partial aggregation combines lineitem to ~distinct
+    (l_partkey, l_suppkey) rows BEFORE its shuffle, and the window's
+    re-shuffle to hashpartitioning(l_partkey) moves only those
+    aggregate-sized rows — so the two exchanges together ship about
+    2x|partsupp-pairs|, well under one shuffle of the raw fact (the
+    alternative: repartition(l_partkey) first would make both stages
+    exchange-free but ship every raw row, ~3.5x more bytes at TPC-H
+    fan-in). The majority test is a local filter; no self-join."""
     li = load_table(spark, "lineitem", sf_dir)
     s = load_table(spark, "supplier", sf_dir)
     qty_c = F.round(F.col("l_quantity") * 100, 0).cast("bigint")
@@ -471,11 +480,12 @@ def q119_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum — a correlated scalar-min subquery.
 
     Plan: the decorrelated form Catalyst would derive, written
-    directly — per-(part, supplier) averages in one shuffle, the
-    per-part minimum as a window over the SAME partitioning key
-    prefix (no second exchange), equality filter, then broadcast
-    dimension joins. Averages divide exact integer cents so the
-    min-equality compares identical IEEE doubles on both engines."""
+    directly — map-combined per-(part, supplier) averages in one
+    shuffle of aggregate-sized rows, the per-part minimum as a window
+    whose re-shuffle on l_partkey also moves only aggregate-sized
+    rows, equality filter, then broadcast dimension joins. Averages
+    divide exact integer cents so the min-equality compares identical
+    IEEE doubles on both engines."""
     li = load_table(spark, "lineitem", sf_dir)
     p = load_table(spark, "part", sf_dir).filter(F.col("p_size") >= 40).select("p_partkey", "p_name")
     s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")

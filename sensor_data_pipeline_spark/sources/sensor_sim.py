@@ -29,8 +29,8 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -85,32 +85,45 @@ class _SensorSimBatchReader(DataSourceReader):
             yield reading(partition.device, t)
 
 
-class _SensorSimStreamReader(DataSourceStreamReader):
+class _SensorSimStreamReader(SimpleDataSourceStreamReader):
     """Offsets are global tick counters; every micro-batch covers
-    [start_tick, end_tick) for all devices — one partition per device,
-    like the batch path. commit() is a no-op: the simulator is
-    replayable from any offset, which is what makes checkpoint
-    recovery exactly-once for free."""
+    [start_tick, start_tick + ticksPerBatch) for all devices.
+
+    Built on SimpleDataSourceStreamReader because its ``read(start)``
+    receives the CHECKPOINTED position — progress is a pure function
+    of the offset log, so a restarted query resumes exactly where it
+    committed (a stateful latestOffset() counter would restart at 0
+    and re-deliver). ``readBetweenOffsets`` replays any planned-but-
+    uncommitted range deterministically; commit() is a no-op because
+    the simulator is replayable from any offset. The trade: the simple
+    reader ingests on the driver (fine for a simulator; the batch
+    reader keeps the one-partition-per-device layout)."""
 
     def __init__(self, options: dict) -> None:
         self._devices = int(options.get("devices", 4))
         self._ticks_per_batch = int(options.get("ticksPerBatch", 10))
         self._max_ticks = int(options.get("maxTicks", 1_000_000))
-        self._latest = 0
 
     def initialOffset(self) -> dict:
         return {"tick": 0}
 
-    def latestOffset(self) -> dict:
-        self._latest = min(self._latest + self._ticks_per_batch, self._max_ticks)
-        return {"tick": self._latest}
+    def _rows(self, start_tick: int, end_tick: int) -> list[tuple]:
+        # a materialized list, not a generator: the simple-reader
+        # wrapper pickles the rows into its prefetch cache for replay
+        return [
+            reading(d, t)
+            for d in range(self._devices)
+            for t in range(start_tick, end_tick)
+        ]
 
-    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        return [_DevicePartition(d, start["tick"], end["tick"]) for d in range(self._devices)]
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        s = start["tick"]
+        e = min(s + self._ticks_per_batch, self._max_ticks)
+        e = max(e, s)  # never regress even if maxTicks shrank across restarts
+        return iter(self._rows(s, e)), {"tick": e}
 
-    def read(self, partition: _DevicePartition) -> Iterator[tuple]:
-        for t in range(partition.start_tick, partition.end_tick):
-            yield reading(partition.device, t)
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter(self._rows(start["tick"], end["tick"]))
 
     def commit(self, end: dict) -> None:
         pass
@@ -133,7 +146,7 @@ class SensorSimDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return _SensorSimBatchReader(self.options)
 
-    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:  # noqa: ARG002
         return _SensorSimStreamReader(self.options)
 
 

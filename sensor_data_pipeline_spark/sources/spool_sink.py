@@ -9,15 +9,19 @@ this module is the formal sink-API form on Spark 4's
 
 - ``write(iterator)`` runs per partition and spools rows to a *temp*
   file, returning its path in the commit message;
-- ``commit(messages, batchId)`` renames every temp file to its final
-  ``epoch{batchId}-part{N}.jsonl`` name — the epoch becomes visible
-  atomically, only after every partition succeeded;
+- ``commit(messages, batchId)`` renames the temps to
+  ``epoch{batchId}-part{N}.jsonl`` and then writes the epoch's
+  MANIFEST (one atomic ``os.replace``) listing exactly those parts.
+  Readers resolve files through manifests only, so an epoch becomes
+  visible in a single atomic step, a torn commit (some parts renamed,
+  no manifest) is invisible, and a replayed epoch that produces a
+  different partition count simply re-points its manifest — stale
+  part files from the crashed attempt are never read;
 - ``abort`` deletes the temps, so failed epochs leave nothing behind.
 
-Paired with checkpointed offsets this is exactly-once end to end: a
-replayed epoch re-writes the same final names (idempotent), a torn
-epoch is invisible. The same layered design as any transactional file
-sink, at spool-file scale.
+Paired with checkpointed offsets this is exactly-once end to end —
+the same commit-protocol layering (data files + atomically swapped
+metadata) that transactional table formats use, at spool-file scale.
 """
 
 from __future__ import annotations
@@ -62,10 +66,19 @@ class _JsonlSpoolStreamWriter(DataSourceStreamWriter):
         return SpoolCommitMessage(tmp, pid)
 
     def commit(self, messages, batchId: int) -> None:
+        parts = []
         for m in messages:
             if m and m.tmp_path:
-                final = os.path.join(self._dir, f"epoch{batchId}-part{m.partition_id}.jsonl")
-                os.replace(m.tmp_path, final)  # idempotent on epoch replay
+                final = f"epoch{batchId}-part{m.partition_id}.jsonl"
+                os.replace(m.tmp_path, os.path.join(self._dir, final))
+                parts.append(final)
+        # single atomic step that makes the epoch visible (and, on a
+        # replay with different parallelism, atomically re-points it
+        # away from any stale parts of a crashed earlier attempt)
+        manifest_tmp = os.path.join(self._dir, f".tmp-manifest-{uuid.uuid4().hex}")
+        with open(manifest_tmp, "w") as f:
+            json.dump({"batch_id": batchId, "parts": parts}, f)
+        os.replace(manifest_tmp, os.path.join(self._dir, f"epoch{batchId}.manifest"))
 
     def abort(self, messages, batchId: int) -> None:  # noqa: ARG002
         for m in messages:
@@ -90,11 +103,15 @@ def register_jsonl_spool(spark) -> None:
 
 
 def read_spool(spool_dir: str) -> list[dict]:
-    """Read back every committed epoch file (temp files excluded)."""
+    """Read back every committed epoch, resolving part files through
+    the manifests — uncommitted/torn/stale parts are invisible."""
     import glob
 
     out: list[dict] = []
-    for path in sorted(glob.glob(os.path.join(spool_dir, "epoch*.jsonl"))):
-        with open(path) as f:
-            out.extend(json.loads(line) for line in f)
+    for mpath in sorted(glob.glob(os.path.join(spool_dir, "epoch*.manifest"))):
+        with open(mpath) as mf:
+            manifest = json.load(mf)
+        for part in manifest["parts"]:
+            with open(os.path.join(spool_dir, part)) as f:
+                out.extend(json.loads(line) for line in f)
     return out

@@ -49,16 +49,24 @@ class PrevValueDeltaProcessor(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:  # noqa: ARG002
         prev = self._prev.get()[0] if self._prev.exists() else None
-        for batch in rows:
-            out = batch.sort_values("tick_ts", kind="mergesort").reset_index(drop=True)
-            deltas = out["value"].diff()
-            if prev is not None:
-                deltas.iloc[0] = out["value"].iloc[0] - prev
-            out["delta"] = deltas
-            prev = float(out["value"].iloc[-1])
-            yield out[["k", "tick_ts", "value", "delta"]]
+        # A key's micro-batch rows can arrive as SEVERAL Arrow chunks in
+        # arbitrary order (chunking is by batch size, not time) — concat
+        # and sort ONCE; per-chunk sorting with chained prev would
+        # interleave wrongly whenever a later chunk holds earlier rows.
+        chunks = list(rows)
+        if not chunks:
+            return
+        out = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values("tick_ts", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        deltas = out["value"].diff()
         if prev is not None:
-            self._prev.update((prev,))
+            deltas.iloc[0] = out["value"].iloc[0] - prev
+        out["delta"] = deltas
+        self._prev.update((float(out["value"].iloc[-1]),))
+        yield out[["k", "tick_ts", "value", "delta"]]
 
     def close(self) -> None:
         pass

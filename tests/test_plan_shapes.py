@@ -164,17 +164,18 @@ def test_q104_two_role_dimension_broadcasts(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_q105_window_reuses_groupby_partitioning(spark):
+def test_q105_fact_combines_before_every_exchange(spark):
     from sensor_data_pipeline_spark.plans.tpch_shapes import q105_dominant_part_suppliers
 
     plan = plan_of(q105_dominant_part_suppliers(spark, SF))
-    # groupBy(l_partkey, l_suppkey) then Window over l_partkey: the
-    # window must not introduce a second wide exchange of the aggregate
-    # (hashpartitioning(l_partkey) is a prefix of the agg partitioning
-    # only if Spark re-shuffles; assert one exchange between the agg
-    # and the window, none after)
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+    # the raw fact must be map-side combined BEFORE its shuffle, so
+    # every exchange moves aggregate-sized rows: exactly three hash
+    # exchanges — agg(pk,sk), window(pk), final agg(suppkey) — and a
+    # partial aggregate below the first
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert "partial_sum" in plan
 
 
 def test_q109_distinct_before_join(spark):

@@ -123,3 +123,54 @@ def test_sensor_sim_stream_ticks_advance(spark):
         assert per_dev == {"dev0": set(range(10)), "dev1": set(range(10))}
     finally:
         q.stop()
+
+
+def test_sensor_sim_stream_restart_no_redelivery(spark, tmp_path):
+    """Restart-safety (the SimpleDataSourceStreamReader contract):
+    progress is a pure function of the checkpointed offset, so a
+    second run with the same checkpoint resumes at the committed tick
+    instead of re-delivering from 0."""
+    import time
+
+    from sensor_data_pipeline_spark.sources.sensor_sim import register_sensor_sim
+
+    register_sensor_sim(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_until(n_rows, max_ticks):
+        stream = (
+            spark.readStream.format("sensor_sim")
+            .option("devices", "1")
+            .option("ticksPerBatch", "5")
+            .option("maxTicks", str(max_ticks))
+            .load()
+        )
+        # parquet sink: supports checkpoint recovery (memory sink does not)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                try:
+                    got = [r.tick for r in spark.read.parquet(out).collect()]
+                except Exception:
+                    got = []
+                if len(got) >= n_rows:
+                    return got
+                time.sleep(0.5)
+            return got
+        finally:
+            q.stop()
+
+    first = run_until(10, max_ticks=10)
+    assert sorted(first) == list(range(10))
+    second = run_until(20, max_ticks=20)
+    # cumulative file output: each tick exactly once — a reader that
+    # restarted its offset counter at 0 would re-deliver ticks 0-9
+    assert sorted(second) == list(range(20)), second
