@@ -165,3 +165,82 @@ def q117_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(zscore, schema="doc_id long, lang string, source string, z double")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q121_xml_roundtrip",
+    category="json",
+    oracle="""
+SELECT event_id,
+       user_id,
+       round(value, 2) AS value,
+       event_type
+FROM events
+WHERE event_id % 7 = 0
+ORDER BY event_id
+""",
+)
+def q121_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML wire roundtrip (the q31 JSON pattern on Spark 4's XML
+    serde): to_xml(struct) -> from_xml back; equality against the
+    directly-read oracle proves the serde is lossless. The reference's
+    wire format is JSON (producer.c:136-141), but a sensor fleet
+    speaking XML (industrial SCADA does) drops into the same pipeline
+    with only this serde pair changing."""
+    import pyspark.sql.types as T
+
+    e = load_table(spark, "events", sf_dir).filter(F.col("event_id") % 7 == 0)
+    wire_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    serialized = e.select(
+        F.to_xml(F.struct("event_id", "user_id", "value", "event_type")).alias("payload")
+    )
+    parsed = serialized.select(F.from_xml("payload", wire_schema).alias("rec")).select("rec.*")
+    return parsed.select(
+        "event_id", "user_id", F.round("value", 2).alias("value"), "event_type"
+    ).orderBy("event_id")
+
+
+@register(
+    "q122_arrow_python_udf",
+    category="udf",
+    oracle="""
+SELECT event_id,
+       CASE WHEN value >= 0 THEN floor(value) ELSE -floor(-value) END + 0.0 AS trunc_val,
+       length(event_type) + CAST(event_id % 10 AS BIGINT) AS mixed_key
+FROM events
+WHERE event_id % 11 = 0
+ORDER BY event_id
+""",
+)
+def q122_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (``@udf(useArrow=True)``): the
+    fourth Python execution path after row-pickle UDFs, pandas UDFs,
+    and mapInArrow — Arrow batch transfer with scalar Python logic,
+    ArrowEvalPython in the plan. Logic kept integer/trunc-exact so the
+    oracle comparison is bit-stable."""
+    from pyspark.sql.functions import udf
+
+    @udf("double", useArrow=True)
+    def trunc_val(v: float) -> float:
+        return float(int(v)) + 0.0  # trunc toward zero, exact for |v| < 2^53
+
+    @udf("long", useArrow=True)
+    def mixed_key(s: str, eid: int) -> int:
+        return len(s) + eid % 10
+
+    e = load_table(spark, "events", sf_dir).filter(F.col("event_id") % 11 == 0)
+    return (
+        e.select(
+            "event_id",
+            trunc_val(F.col("value")).alias("trunc_val"),
+            mixed_key(F.col("event_type"), F.col("event_id")).alias("mixed_key"),
+        )
+        .orderBy("event_id")
+    )
