@@ -25,6 +25,7 @@ from sensor_data_pipeline_spark.streaming.sinks import (
     ConsolePublisher,
     Publisher,
     PublisherForeachWriter,
+    fanout_stream,
     publish_stream,
 )
 from sensor_data_pipeline_spark.streaming.stateful import sessionize_stream, staleness_monitor_stream
@@ -38,6 +39,7 @@ __all__ = [
     "Publisher",
     "PublisherForeachWriter",
     "consumer_pipeline",
+    "fanout_stream",
     "producer_pipeline",
     "publish_stream",
     "sessionize_stream",

@@ -170,3 +170,50 @@ def publish_stream(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def fanout_stream(
+    df: DataFrame,
+    routes: dict,
+    *,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+    query_name: str = "fanout",
+) -> StreamingQuery:
+    """One stream, N sinks, each with its own projection — the engine
+    form of the reference consumer driving two 7-segment displays with
+    different fields from the same message (K3,
+    reference src/modules/dd/consumer.cpp:124-131: display 0 shows
+    temp_outdoor+rh, display 1 shows temp_indoor) plus its console and
+    syslog fan-out.
+
+    ``routes`` maps sink name -> (transform, write) where
+    ``transform(batch_df) -> DataFrame`` is the per-sink projection and
+    ``write(projected_df, batch_id) -> None`` performs the sink I/O.
+
+    The micro-batch is persisted ONCE and every route reads the cached
+    rows — N sinks cost one upstream computation, not N (the batch-side
+    analog of the reference reusing one parsed message for all
+    displays). Failure semantics: any route raising fails the epoch,
+    the offset is not committed, and ALL routes replay — so each
+    route's write must be idempotent per (sink, batch_id), exactly like
+    any foreachBatch sink."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for name, (transform, write) in routes.items():
+                try:
+                    write(transform(batch_df), batch_id)
+                except Exception:
+                    logger.error("fanout route %r failed in epoch %d", name, batch_id)
+                    raise
+        finally:
+            batch_df.unpersist()
+
+    writer = df.writeStream.foreachBatch(apply).queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -457,3 +457,43 @@ def test_jsonl_spool_sink_two_phase_commit_and_restart(spark, tmp_path):
     spark.createDataFrame([("t", 2, "m3")], MQTT_MESSAGE).coalesce(1).write.parquet(f"{src}/f1")
     run_once()
     assert sorted(m["payload"] for m in read_spool(out)) == ["m1", "m2", "m3"]
+
+
+def test_fanout_stream_two_displays(spark, stream_dir, tmp_path):
+    """K3 two-display fanout: one stream drives two sinks with
+    different projections (consumer.cpp:124-131 — display 0 gets
+    temp_outdoor+rh, display 1 gets temp_indoor); both see every row
+    of the epoch, each only its own columns."""
+    from sensor_data_pipeline_spark.streaming import fanout_stream
+
+    readings = spark.createDataFrame(
+        [
+            (ts("2024-12-23 10:00:00"), 21.5, 22.1, 60.2),
+            (ts("2024-12-23 10:00:01"), 21.6, 22.2, 60.4),
+        ],
+        "timestamp_utc timestamp, temp_outdoor_celsius double, temp_indoor_celsius double, rh_outdoor double",
+    )
+    d0, d1 = str(tmp_path / "disp0"), str(tmp_path / "disp1")
+
+    def writer(path):
+        def write(df, batch_id):
+            df.write.mode("overwrite").parquet(f"{path}/epoch{batch_id}")
+
+        return write
+
+    q = fanout_stream(
+        stream_dir(readings, READINGS),
+        {
+            "display0": (lambda df: df.select("temp_outdoor_celsius", "rh_outdoor"), writer(d0)),
+            "display1": (lambda df: df.select("temp_indoor_celsius"), writer(d1)),
+        },
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(60)
+    q.stop()
+
+    out0 = spark.read.parquet(f"{d0}/epoch*").collect()
+    out1 = spark.read.parquet(f"{d1}/epoch*").collect()
+    assert sorted((r.temp_outdoor_celsius, r.rh_outdoor) for r in out0) == [(21.5, 60.2), (21.6, 60.4)]
+    assert sorted(r.temp_indoor_celsius for r in out1) == [22.1, 22.2]
+    assert set(out0[0].asDict()) == {"temp_outdoor_celsius", "rh_outdoor"}
