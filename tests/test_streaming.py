@@ -497,3 +497,55 @@ def test_fanout_stream_two_displays(spark, stream_dir, tmp_path):
     assert sorted((r.temp_outdoor_celsius, r.rh_outdoor) for r in out0) == [(21.5, 60.2), (21.6, 60.4)]
     assert sorted(r.temp_indoor_celsius for r in out1) == [22.1, 22.2]
     assert set(out0[0].asDict()) == {"temp_outdoor_celsius", "rh_outdoor"}
+
+
+def test_streaming_native_session_window(spark, stream_dir, tmp_path):
+    """Native gap-based session_window in STREAMING mode (q75's twin):
+    sessions whose gap closed strictly behind the watermark are
+    emitted in append mode. A far-future sentinel row advances the
+    global watermark so every real session closes deterministically;
+    the sentinel's own session stays withheld."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts", TimestampType())]
+    )
+    rows = [
+        (1, ts("2024-01-01 00:00:00")),
+        (1, ts("2024-01-01 00:00:10")),
+        (1, ts("2024-01-01 00:00:20")),  # session 1 of user 1 (3 events)
+        (1, ts("2024-01-01 00:10:00")),  # session 2 of user 1 (gap > 1 min)
+        (2, ts("2024-01-01 00:00:05")),  # session 1 of user 2
+        (99, ts("2024-01-01 12:00:00")),  # sentinel: pushes the watermark
+    ]
+    stream = stream_dir(spark.createDataFrame(rows, schema), schema)
+    sessions = (
+        stream.withWatermark("ts", "30 seconds")
+        .groupBy(F.session_window(F.col("ts"), "1 minute").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("start"), "n_events")
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("native_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        (r.user_id, r.start): r.n_events
+        for r in spark.sql("SELECT * FROM native_sessions").collect()
+    }
+    assert got == {
+        (1, ts("2024-01-01 00:00:00")): 3,
+        (1, ts("2024-01-01 00:10:00")): 1,
+        (2, ts("2024-01-01 00:00:05")): 1,
+    }
