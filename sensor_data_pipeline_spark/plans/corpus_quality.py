@@ -254,3 +254,50 @@ def q110_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", F.col("vec_id").alias("rep_id"), "cluster_size")
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "q123_source_capped_sample",
+    category="text",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS char_budget,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM ranked
+WHERE rk <= 30
+GROUP BY source
+ORDER BY source
+""",
+)
+def q123_source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-capped corpus mixing: every source contributes at most a
+    fixed number of documents, chosen by a deterministic hash order
+    (not first-N — that would bias toward ingestion order). The
+    per-source cap is the standard lever for keeping one crawl from
+    dominating a training mix.
+
+    Plan: one shuffle on source, row_number within each source over
+    the md5(doc_id) order, local filter — no sampling pass, no second
+    scan. The hash order is portable (md5 of the decimal doc_id string
+    is identical in both engines), so the kept set is reproducible
+    anywhere — the property a rerun of a 100 TB mix job needs."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 30)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("char_budget"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
