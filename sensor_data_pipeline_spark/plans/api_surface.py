@@ -244,3 +244,63 @@ def q122_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q124_embedding_quantization",
+    category="similarity",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, label, emb,
+         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+  FROM v
+),
+err AS (
+  SELECT vec_id, label, scale,
+         list_max(list_transform(emb, x -> abs(x - round(x / scale, 0) * scale))) AS max_err
+  FROM scaled WHERE scale > 0
+)
+SELECT label,
+       count(*) AS n_vecs,
+       max(max_err / scale) AS worst_rel_err,
+       CAST(sum(CASE WHEN max_err <= scale * 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_half_step
+FROM err
+GROUP BY label
+ORDER BY label
+""",
+)
+def q124_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit: per-vector scale =
+    max|x|/127, reconstruction error = max|x - round(x/scale)*scale| —
+    the memory-4x step before ANN serving, with the audit every
+    quantization rollout needs (worst relative error per label,
+    fraction within half a quantization step).
+
+    All math is codegen'd higher-order array functions over the scan —
+    no UDF, no shuffle before the tiny per-label rollup. Every
+    per-element op (abs, /, round, *) is a deterministic IEEE op in
+    identical order on both engines; max is order-insensitive."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select("vec_id", "label", v.alias("emb"))
+    scale = F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x))) / 127.0
+    d = d.withColumn("scale", scale).filter(F.col("scale") > 0)
+    err_el = F.transform(
+        F.col("emb"), lambda x: F.abs(x - F.round(x / F.col("scale"), 0) * F.col("scale"))
+    )
+    d = d.withColumn("max_err", F.array_max(err_el))
+    return (
+        d.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.max(F.col("max_err") / F.col("scale")).alias("worst_rel_err"),
+            F.sum(F.when(F.col("max_err") <= F.col("scale") * 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_within_half_step"),
+        )
+        .orderBy("label")
+    )
