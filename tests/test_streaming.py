@@ -549,3 +549,46 @@ def test_streaming_native_session_window(spark, stream_dir, tmp_path):
         (1, ts("2024-01-01 00:10:00")): 1,
         (2, ts("2024-01-01 00:00:05")): 1,
     }
+
+
+def test_complete_mode_running_aggregation(spark, tmp_path):
+    """outputMode("complete"): the whole aggregation state re-emits
+    each epoch, so after two micro-batches the sink holds exactly the
+    batch-twin totals — the running-counter view the reference prints
+    to its console sink every tick (module_rpi_ups_hat.c:187-220)."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("event_type", StringType()), StructField("amount", LongType())]
+    )
+    chunks = [
+        [("click", 1), ("purchase", 10)],
+        [("click", 2), ("click", 3), ("purchase", 20)],
+    ]
+    path = str(tmp_path / "complete_src")
+    os.makedirs(path)
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{path}/f{i}")
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{path}/f*")
+    )
+    totals = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total")
+    )
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("complete_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    q.stop()
+    got = {
+        r.event_type: (r.n, r.total)
+        for r in spark.sql("SELECT * FROM complete_out").collect()
+    }
+    assert got == {"click": (3, 6), "purchase": (2, 30)}
