@@ -564,3 +564,42 @@ def q114_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: 
         )
         .orderBy("device")
     )
+
+
+@register(
+    "q125_asof_tolerance",
+    category="join",
+    oracle="""
+SELECT p.event_id,
+       p.user_id,
+       round(p.value, 2) AS purchase_value,
+       CASE WHEN p.ts - c.ts <= INTERVAL 10 MINUTE THEN c.event_id END AS click_event_id,
+       CASE WHEN p.ts - c.ts <= INTERVAL 10 MINUTE THEN round(c.value, 2) END AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+""",
+)
+def q125_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: matches older than 600 s
+    are nulled — the reference's 3600 s display-reset rule
+    (consumer.cpp:251) applied inside the join instead of after it.
+    Exercises asof_join's tolerance_sec path against an oracle that
+    post-filters DuckDB's native ASOF the same way."""
+    e = load_table(spark, "events", sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_event_id"), F.col("value").alias("click_value"))
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", tolerance_sec=600
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        "click_event_id",
+        F.round("click_value", 2).alias("click_value"),
+    ).orderBy("event_id")
