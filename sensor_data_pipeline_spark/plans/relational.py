@@ -738,3 +738,50 @@ def q99_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "q126_schema_evolution_union",
+    category="setop",
+    oracle="""
+WITH v1 AS (
+  SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 0
+),
+v2 AS (
+  SELECT event_id, user_id, value, event_type FROM events WHERE event_id % 2 = 1
+),
+unified AS (
+  SELECT event_id, user_id, value, NULL AS event_type FROM v1
+  UNION ALL
+  SELECT event_id, user_id, value, event_type FROM v2
+)
+SELECT coalesce(event_type, '_pre_schema') AS event_type,
+       count(*) AS n,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+FROM unified
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q126_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution harmonization: an old feed (no event_type
+    column) and a new feed union into one relation via
+    ``unionByName(allowMissingColumns=True)`` — missing columns null-
+    fill, names align by NAME not position (positional UNION silently
+    mismatches evolved schemas; by-name is the only safe form for a
+    pipeline whose shards span schema versions). Sentinel-labeled
+    rollup mirrors the reference's default-on-missing handling
+    (consumer.cpp:124-131, P13)."""
+    e = load_table(spark, "events", sf_dir)
+    v1 = e.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id", "value")
+    v2 = e.filter(F.col("event_id") % 2 == 1).select("event_id", "user_id", "value", "event_type")
+    unified = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        unified.select(F.coalesce(F.col("event_type"), F.lit("_pre_schema")).alias("event_type"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / 100.0).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
