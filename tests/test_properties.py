@@ -115,3 +115,55 @@ def test_global_running_sum_matches_accumulate(spark, vals):
     got = {r.k: r.running_sum for r in global_running_sum(df, "k", "v", num_partitions=5).collect()}
     want = dict(enumerate(accumulate(vals)))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.integers(0, 50),  # ts offset seconds
+            st.booleans(),  # True = left (purchase), False = right (click)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_asof_implementations_agree(spark, events):
+    """Cross-implementation invariant: the JVM window form (asof_join)
+    and the cogrouped-pandas form (asof_join_cogrouped) must produce
+    identical results on arbitrary inputs — same keys, same backward-
+    inclusive tie handling, same null behavior for match-less rows.
+    Timestamps are deduplicated per (user, side) so both tie-break
+    rules see a unique ordering."""
+    from datetime import datetime, timedelta
+
+    from sensor_data_pipeline_spark.operators.joins import asof_join, asof_join_cogrouped
+
+    base = datetime(2024, 1, 1)
+    seen = set()
+    lrows, rrows = [], []
+    for i, (u, t, is_left) in enumerate(events):
+        if (u, t, is_left) in seen:
+            continue
+        seen.add((u, t, is_left))
+        ts = base + timedelta(seconds=t)
+        if is_left:
+            lrows.append((i, u, ts, float(i)))
+        else:
+            rrows.append((u, ts, 1000 + i, float(100 + i)))
+    if not lrows:
+        return
+    left = spark.createDataFrame(
+        lrows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    right = spark.createDataFrame(
+        rrows or [(99, base - timedelta(days=1), 0, 0.0)],
+        "user_id long, ts timestamp, click_event_id long, click_value double",
+    )
+    a = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts")
+    b = asof_join_cogrouped(left, right, on="user_id", left_ts="ts", right_ts="ts")
+    # repr-keyed sort: rows may contain None (match-less left rows)
+    ra = sorted((tuple(r) for r in a.select(*sorted(a.columns)).collect()), key=repr)
+    rb = sorted((tuple(r) for r in b.select(*sorted(b.columns)).collect()), key=repr)
+    assert ra == rb
