@@ -592,3 +592,68 @@ def test_complete_mode_running_aggregation(spark, tmp_path):
         for r in spark.sql("SELECT * FROM complete_out").collect()
     }
     assert got == {"click": (3, 6), "purchase": (2, 30)}
+
+
+def test_stream_stream_left_outer_interval_join(spark, stream_dir, tmp_path):
+    """Stream-stream LEFT OUTER interval join: matched pairs emit
+    immediately; an unmatched left row emits its null-padded form only
+    after the watermark proves no match can still arrive. A far-future
+    sentinel view advances both watermarks so the real outer row
+    flushes deterministically."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("kind", StringType()),
+        ]
+    )
+    rows = [
+        (1, ts("2024-01-01 00:00:00"), "view"),   # matched by purchase at +10 min
+        (1, ts("2024-01-01 00:10:00"), "purchase"),
+        (2, ts("2024-01-01 00:00:00"), "view"),   # never purchased -> outer null
+        (99, ts("2024-01-01 12:00:00"), "view"),  # sentinel: advances watermark
+        (99, ts("2024-01-01 12:00:00"), "purchase"),
+    ]
+    src = stream_dir(spark.createDataFrame(rows, schema), schema)
+    views = (
+        src.filter(F.col("kind") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "0 seconds")
+    )
+    buys = (
+        src.filter(F.col("kind") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "0 seconds")
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssloj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        (r.v_user, r.p_user): r.p_ts
+        for r in spark.sql("SELECT * FROM ssloj").collect()
+    }
+    assert got[(1, 1)] == ts("2024-01-01 00:10:00")   # matched pair
+    assert (2, None) in got and got[(2, None)] is None  # outer-null emitted
+    assert got[(99, 99)] == ts("2024-01-01 12:00:00")
