@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sensor_data_pipeline_spark.plans.registry import register
+from sensor_data_pipeline_spark.plans.registry import REGISTRY, register
 from sensor_data_pipeline_spark.sources.tables import load_table
 
 
@@ -784,4 +784,65 @@ def q126_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / 100.0).alias("total_value"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "q127_grouping_indicators",
+    category="aggregation",
+    oracle="""
+SELECT coalesce(l_returnflag, '_all') AS l_returnflag,
+       coalesce(l_linestatus, '_all') AS l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+""",
+)
+def q127_grouping_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator columns over grouping sets: the only way a
+    consumer can tell a real NULL group from a rollup subtotal row.
+    Each indicator is per-column (portable across engines — bit order
+    of the combined grouping_id is engine-specific, so the combined
+    form is deliberately avoided). Executed as the IDENTICAL SQL text
+    the oracle runs (the q111 pattern): GROUPING SETS + GROUPING parse
+    and plan the same in Spark SQL and DuckDB, one expand pass."""
+    from sensor_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(REGISTRY["q127_grouping_indicators"].oracle)
+
+
+@register(
+    "q128_error_safe_math",
+    category="scalar",
+    oracle="""
+SELECT event_id,
+       CASE WHEN event_id % 5 = 0 THEN NULL
+            ELSE round(value / (event_id % 5), 6) END AS safe_ratio,
+       TRY_CAST(event_type AS DOUBLE) AS bad_cast,
+       TRY_CAST(CAST(event_id AS VARCHAR) AS DOUBLE) AS good_cast
+FROM events
+WHERE event_id % 13 = 0
+ORDER BY event_id
+""",
+)
+def q128_error_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expressions (E1/E2 as scalar semantics): try_divide
+    turns division-by-zero into NULL instead of a failed tick, and
+    try_cast turns an unparseable value into NULL instead of a dead
+    stream — the engine form of 'recoverable error: skip this tick,
+    keep running' (reference src/event_loops.c:43-49). The oracle
+    expresses the same totals with CASE/TRY_CAST."""
+    e = load_table(spark, "events", sf_dir).filter(F.col("event_id") % 13 == 0)
+    return (
+        e.select(
+            "event_id",
+            F.round(F.try_divide(F.col("value"), F.col("event_id") % 5), 6).alias("safe_ratio"),
+            F.try_to_number(F.col("event_type"), F.lit("999")).cast("double").alias("bad_cast"),
+            F.col("event_id").cast("string").cast("double").alias("good_cast"),
+        )
+        .orderBy("event_id")
     )
