@@ -301,3 +301,39 @@ def q123_source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q129_user_event_sequences",
+    category="aggregation",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       list_slice(list(event_type ORDER BY ts, event_id), 1, 20) AS first_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q129_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event sequences — the construction step for
+    sequence-model training data (rows -> time-ordered arrays).
+    collect_list alone is partition-order nondeterministic; collecting
+    (ts, event_id, type) structs and sort_array-ing makes the sequence
+    a pure function of the data (the property a reproducible 100 TB
+    sequence build needs). One shuffle on user_id; the truncation to
+    20 bounds the array payload."""
+    e = load_table(spark, "events", sf_dir)
+    seq = F.slice(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ),
+        1,
+        20,
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), seq.alias("first_events"))
+        .orderBy("user_id")
+    )
