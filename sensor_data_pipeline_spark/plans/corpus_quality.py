@@ -10,9 +10,13 @@ filters every large-scale LLM data pipeline runs before training:
 - cohort retention over the event stream (warehouse-style user
   analysis) — q109;
 - near-dup cluster representative selection (the "keep one per
-  cluster" step after q74's connected components) — q110.
+  cluster" step after q74's connected components) — q110;
+- source-capped corpus mixing (deterministic hash-order per-source
+  caps) — q123;
+- ordered per-user event sequences (rows -> time-ordered arrays for
+  sequence-model training data) — q129.
 
-All four stay JVM-side: higher-order array functions and regexes are
+All of them stay JVM-side: higher-order array functions and regexes are
 codegen'd Catalyst expressions, never Python UDFs, so the per-document
 work is a narrow map over the scan at any scale. Reference parity:
 the reference's only text handling is JSON field projection
