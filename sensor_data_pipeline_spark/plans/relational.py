@@ -846,3 +846,67 @@ def q128_error_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q130_bitwise_aggregates",
+    category="aggregation",
+    oracle="""
+SELECT user_id % 8 AS user_bucket,
+       bit_or(CAST(event_id % 256 AS BIGINT))  AS flags_or,
+       bit_and(CAST(event_id % 256 + 256 AS BIGINT)) AS flags_and,
+       bit_xor(CAST(event_id AS BIGINT)) AS checksum_xor,
+       count(*) AS n
+FROM events
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q130_bitwise_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregation (the rollup form of the reference's
+    register/bitfield handling, P6/P7
+    src/modules/module_rpi_ups_hat.c:97,117-139): OR-merge of flag
+    bits, AND of always-set masks, XOR checksum per bucket. All three
+    are associative+commutative, so partial aggregation is exact under
+    any partitioning — the bit-level analog of the integer-cents
+    convention."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy((F.col("user_id") % 8).alias("user_bucket"))
+        .agg(
+            F.bit_or((F.col("event_id") % 256).cast("bigint")).alias("flags_or"),
+            F.bit_and((F.col("event_id") % 256 + 256).cast("bigint")).alias("flags_and"),
+            F.bit_xor(F.col("event_id").cast("bigint")).alias("checksum_xor"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+@register(
+    "q131_ordered_string_agg",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag,
+       string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus) AS statuses,
+       count(DISTINCT l_linestatus) AS n_statuses
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q131_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: distinct values concatenated in a
+    DEFINED order — unordered listagg output is partition-dependent
+    and useless for hashing/caching keys. Spark form:
+    array_join(sort_array(collect_set)), which is order-insensitive by
+    construction; the oracle's string_agg carries an explicit ORDER
+    BY."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("l_linestatus")), "|").alias("statuses"),
+            F.count_distinct("l_linestatus").alias("n_statuses"),
+        )
+        .orderBy("l_returnflag")
+    )
