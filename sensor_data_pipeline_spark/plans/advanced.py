@@ -939,3 +939,67 @@ def q112_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("win.start").alias("win_start"), "event_type", "n", "total")
         .orderBy("win_start", "event_type")
     )
+
+
+@register(
+    "q132_robust_outlier_stats",
+    category="aggregation",
+    oracle="""
+WITH med AS (
+  SELECT l_returnflag AS f, quantile_cont(l_quantity, 0.5) AS m
+  FROM lineitem GROUP BY 1
+),
+stats AS (
+  SELECT f, m, quantile_cont(abs(l_quantity - m), 0.5) AS mad
+  FROM lineitem JOIN med ON l_returnflag = f
+  GROUP BY f, m
+)
+SELECT s.f AS l_returnflag,
+       s.m AS median_qty,
+       s.mad AS mad,
+       CAST(sum(CASE WHEN abs(l.l_quantity - s.m) > 3 * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       count(*) AS n
+FROM lineitem l JOIN stats s ON l.l_returnflag = s.f
+GROUP BY s.f, s.m, s.mad
+ORDER BY s.f
+""",
+)
+def q132_robust_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate: median + MAD (median absolute deviation)
+    per group, then a 3-MAD outlier count — the robust data-quality
+    screen that, unlike mean/stddev, is not itself dragged by the
+    outliers it hunts.
+
+    Plan: each phase's result is a tiny per-group table broadcast into
+    the next scan — three narrow passes over the fact, no self-join,
+    no global sort (percentile aggregates sort within groups only).
+    `percentile` == `quantile_cont` interpolation exactly (q60), and
+    abs/compare are per-row IEEE ops, so the hash is stable."""
+    li = load_table(spark, "lineitem", sf_dir)
+    med = li.groupBy(F.col("l_returnflag").alias("f")).agg(
+        F.percentile("l_quantity", 0.5).alias("m")
+    )
+    with_med = li.join(F.broadcast(med), li.l_returnflag == F.col("f"))
+    stats = with_med.groupBy("f", "m").agg(
+        F.percentile(F.abs(F.col("l_quantity") - F.col("m")), 0.5).alias("mad")
+    )
+    final = li.join(F.broadcast(stats), li.l_returnflag == F.col("f"))
+    return (
+        final.groupBy("f", "m", "mad")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("l_quantity") - F.col("m")) > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("f").alias("l_returnflag"),
+            F.col("m").alias("median_qty"),
+            "mad",
+            "n_outliers",
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )
