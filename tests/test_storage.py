@@ -41,3 +41,31 @@ def test_bucketed_join_has_no_exchange(spark):
         assert joined.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Dynamic partition overwrite (INSERT OVERWRITE PARTITION): a
+    rewrite touches ONLY the partitions present in the incoming data —
+    static mode would wipe the whole table. This is how a 100 TB
+    partitioned corpus takes daily corrections without rewriting
+    untouched shards."""
+    path = str(tmp_path / "dpo")
+    base = spark.createDataFrame(
+        [("click", 1, 1.0), ("click", 2, 2.0), ("purchase", 3, 3.0)],
+        "event_type string, event_id long, value double",
+    )
+    base.write.partitionBy("event_type").parquet(path)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fix = spark.createDataFrame(
+            [("click", 9, 9.9)], "event_type string, event_id long, value double"
+        )
+        fix.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    got = {(r.event_type, r.event_id, r.value) for r in spark.read.parquet(path).collect()}
+    # click partition replaced wholesale; purchase partition untouched
+    assert got == {("click", 9, 9.9), ("purchase", 3, 3.0)}
