@@ -910,3 +910,49 @@ def q131_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q133_null_safe_join",
+    category="join",
+    oracle="""
+WITH a AS (
+  SELECT event_id, nullif(user_id % 5, 0) AS k, value FROM events WHERE event_type = 'view'
+),
+b AS (
+  SELECT nullif(user_id % 5, 0) AS k, count(*) AS n_click
+  FROM events WHERE event_type = 'click' GROUP BY 1
+)
+SELECT coalesce(CAST(a.k AS VARCHAR), '_null') AS k,
+       count(*) AS n_views,
+       CAST(max(b.n_click) AS BIGINT) AS n_click
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q133_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the correct behavior when
+    a nullable dimension key means 'unknown bucket' rather than 'drop
+    the row'. Still a hash join (null-safe equality is a valid
+    equi-key), not a theta fallback."""
+    e = load_table(spark, "events", sf_dir)
+    a = (
+        e.filter(F.col("event_type") == "view")
+        .select("event_id", F.nullif(F.col("user_id") % 5, F.lit(0)).alias("k"), "value")
+    )
+    b = (
+        e.filter(F.col("event_type") == "click")
+        .select(F.nullif(F.col("user_id") % 5, F.lit(0)).alias("bk"))
+        .groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("n_click"))
+    )
+    return (
+        a.join(b, a.k.eqNullSafe(b.bk))
+        .groupBy(F.coalesce(F.col("k").cast("string"), F.lit("_null")).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.max("n_click").cast("bigint").alias("n_click"),
+        )
+        .orderBy("k")
+    )
