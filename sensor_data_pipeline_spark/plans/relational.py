@@ -956,3 +956,35 @@ def q133_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "q134_keyset_pagination",
+    category="sort",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) / 100.0 AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25 OFFSET 50
+""",
+)
+def q134_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination (page 3 of a priced-orders listing) over
+    a TOTAL order — o_orderkey tie-break makes the page deterministic;
+    offset over a partial order returns a different page per run.
+    Spark executes orderBy+offset+limit as TakeOrdered of the first
+    offset+limit rows then a driver-side skip — no global sort of the
+    table. (Keyset/cursor pagination beats OFFSET at depth; this gates
+    the OFFSET surface itself.)"""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            (F.round(F.col("o_totalprice") * 100, 0).cast("bigint") / 100.0).alias("o_totalprice"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(50)
+        .limit(25)
+    )
