@@ -657,3 +657,49 @@ def test_stream_stream_left_outer_interval_join(spark, stream_dir, tmp_path):
     assert got[(1, 1)] == ts("2024-01-01 00:10:00")   # matched pair
     assert (2, None) in got and got[(2, None)] is None  # outer-null emitted
     assert got[(99, 99)] == ts("2024-01-01 12:00:00")
+
+
+def test_foreachbatch_dimension_refresh(spark, tmp_path):
+    """Slowly-changing-dimension refresh inside foreachBatch: each
+    micro-batch re-reads the dimension, so updates published between
+    batches are visible to the very next batch — the pattern for
+    enrichment dims that change while a stream runs (q70's static join
+    binds the dim once; this one rebinds per epoch)."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType()), StructField("v", LongType())])
+    dim_schema = "k long, label string"
+    src = str(tmp_path / "src")
+    dim = str(tmp_path / "dim")
+    out: list[tuple] = []
+    os.makedirs(src)
+
+    spark.createDataFrame([(1, "old")], dim_schema).write.mode("overwrite").parquet(dim)
+    spark.createDataFrame([(1, 10)], schema).coalesce(1).write.parquet(f"{src}/f0")
+    time.sleep(1.1)
+    spark.createDataFrame([(1, 20)], schema).coalesce(1).write.parquet(f"{src}/f1")
+
+    def enrich(batch_df, batch_id):
+        d = batch_df.sparkSession.read.schema(dim_schema).parquet(dim)
+        rows = batch_df.join(d, "k").select("k", "v", "label").collect()
+        out.extend((batch_id, r.k, r.v, r.label) for r in rows)
+        if batch_id == 0:  # dimension update lands between the epochs
+            batch_df.sparkSession.createDataFrame([(1, "new")], dim_schema).write.mode(
+                "overwrite"
+            ).parquet(dim)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{src}/f*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    by_batch = {b: lbl for b, k, v, lbl in out}
+    assert by_batch == {0: "old", 1: "new"}, out
