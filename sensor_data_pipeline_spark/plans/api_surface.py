@@ -304,3 +304,46 @@ def q124_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q135_nested_schema_surgery",
+    category="scalar",
+    oracle="""
+SELECT event_id,
+       user_id AS uid,
+       event_type AS kind,
+       CAST(round(value * 100, 0) AS BIGINT) AS val_cents
+FROM events
+WHERE event_id % 17 = 0
+ORDER BY event_id
+""",
+)
+def q135_nested_schema_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested schema surgery with Column.withField/dropFields: build a
+    wire-shaped struct, then retype one nested field (money double ->
+    exact cents), rename another, and drop a deprecated one — WITHOUT
+    exploding/rebuilding the struct by hand. This is nested schema
+    evolution, the struct-level sibling of q126's by-name union;
+    Catalyst collapses the field edits into a single struct projection
+    (no per-field shuffle or UDF)."""
+    e = load_table(spark, "events", sf_dir).filter(F.col("event_id") % 17 == 0)
+    raw = e.select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("uid"),
+            F.col("event_type").alias("kind"),
+            F.col("value").alias("val"),
+            F.lit("v1").alias("schema_tag"),  # deprecated field to drop
+        ).alias("rec"),
+    )
+    surgered = raw.select(
+        "event_id",
+        F.col("rec")
+        .withField("val_cents", F.round(F.col("rec.val") * 100, 0).cast("bigint"))
+        .dropFields("val", "schema_tag")
+        .alias("rec"),
+    )
+    # flatten for the gate: struct cells render differently per engine
+    # (Row(...) vs dict), so the hash compares the leaf columns
+    return surgered.select("event_id", "rec.uid", "rec.kind", "rec.val_cents").orderBy("event_id")
