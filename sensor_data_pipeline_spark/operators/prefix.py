@@ -62,3 +62,32 @@ def global_running_sum(
         .withColumn(out_col, (F.col("_local_sum") + F.col("_offset")).cast("bigint"))
         .drop("_pid", "_local_sum", "_offset")
     )
+
+
+def stable_global_ids(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "global_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense, deterministic 1-based global row IDs ordered by
+    ``order_col`` (globally unique key) — the corpus-ID assignment step
+    for a new training dataset, at scale.
+
+    Neither built-in works: ``monotonically_increasing_id`` is sparse
+    and partitioning-dependent (re-running on different parallelism
+    yields different ids), and ``row_number() OVER (ORDER BY ...)``
+    collapses to one task. This is the same two-pass scan as
+    ``global_running_sum`` with value 1: range-partition by the key,
+    number rows within each partition, add the exclusive count offsets
+    of preceding partitions. Output is a pure function of the data and
+    the key order — any cluster size reproduces identical ids.
+    """
+    counted = global_running_sum(
+        df.withColumn("_one", F.lit(1)),
+        order_col,
+        "_one",
+        out_col=out_col,
+        num_partitions=num_partitions,
+    )
+    return counted.drop("_one")

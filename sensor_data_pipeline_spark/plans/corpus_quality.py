@@ -341,3 +341,35 @@ def q129_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), seq.alias("first_events"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "q136_stable_id_assignment",
+    category="aggregation",
+    oracle="""
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS global_id
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q136_stable_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ID assignment: dense 1-based global ids in a
+    deterministic hash order (shuffled relative to ingest order, but a
+    pure function of the data — a rerun on any cluster size reproduces
+    identical ids). Uses the two-pass scan operator, NOT a global
+    row_number window (one task) and NOT monotonically_increasing_id
+    (sparse, parallelism-dependent). The oracle's single-partition
+    row_number is the semantic spec the distributed form must match."""
+    from sensor_data_pipeline_spark.operators.prefix import stable_global_ids
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("_h")
+    )
+    # order key = (hash, doc_id) made globally unique by concatenation
+    keyed = d.withColumn("_key", F.concat_ws(":", "_h", F.col("doc_id").cast("string")))
+    return (
+        stable_global_ids(keyed, "_key")
+        .select("doc_id", "global_id")
+        .orderBy("doc_id")
+    )
