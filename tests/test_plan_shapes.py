@@ -208,3 +208,25 @@ def test_q119_no_self_join_for_scalar_min(spark):
     assert "Window" in plan
     assert plan.count("Scan parquet") <= 3  # lineitem + part + supplier, once each
     assert "CartesianProduct" not in plan
+
+
+def test_q136_no_single_partition_exchange(spark):
+    from sensor_data_pipeline_spark.plans.corpus_quality import q136_stable_id_assignment
+
+    plan = plan_of(q136_stable_id_assignment(spark, SF))
+    # the ID assignment must be the two-pass range scan, never a
+    # global row_number: no SinglePartition exchange feeding a Window
+    import re
+
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Window", plan), plan
+    assert "rangepartitioning" in plan
+
+
+def test_q123_single_exchange_on_source(spark):
+    from sensor_data_pipeline_spark.plans.corpus_quality import q123_source_capped_sample
+
+    plan = plan_of(q123_source_capped_sample(spark, SF))
+    # cap-per-source is one shuffle on source + local filter — the
+    # row_number window must reuse the same partitioning
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan
