@@ -373,3 +373,68 @@ def q136_stable_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "global_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q137_block_dedup_audit",
+    category="dedup",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+blocks AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(0, CAST(len(w) // 8 AS INT)),
+                               i -> array_to_string(list_slice(w, i*8+1, i*8+8), ' '))) AS block
+  FROM docs
+),
+hashed AS (SELECT source, md5(block) AS bh FROM blocks),
+occ AS (SELECT bh, count(*) AS n_occ FROM hashed GROUP BY bh)
+SELECT source,
+       count(*) AS n_blocks,
+       CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+       sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) AS dup_share
+FROM hashed JOIN occ USING (bh)
+GROUP BY source
+ORDER BY source
+""",
+)
+def q137_block_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (block-level) dedup audit: texts split into
+    8-token blocks, block fingerprints counted corpus-wide, and each
+    source scored by its share of globally-duplicated blocks — the
+    paragraph-dedup family (RefinedWeb/CCNet style) at block
+    granularity, which catches boilerplate that document-level
+    fingerprints (q40/q79) miss entirely.
+
+    Plan: block construction is codegen'd (transform over sequence +
+    array_join, ~2s plan+run at sf0.1 — no q107-style optimizer
+    blowup since the token array is referenced once per lambda);
+    posexplode fans out to one row per block; ONE shuffle on the block
+    hash counts global occurrences; the join back is on the same key.
+    At 100 TB the block-hash table is the big intermediate — it would
+    be bucketed by bh, and the share rollup stays map-side."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    blocks = F.expr(
+        "transform(sequence(0, CAST(floor(size(w)/8) AS INT) - 1),"
+        " i -> array_join(slice(w, i*8+1, 8), ' '))"
+    )
+    per_block = (
+        d.select("doc_id", "source", w.alias("w"))
+        .select("doc_id", "source", blocks.alias("blocks"))
+        .select("source", F.posexplode("blocks").alias("pos", "block"))
+        .select("source", F.md5("block").alias("bh"))
+    )
+    occ = per_block.groupBy("bh").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup = F.when(F.col("n_occ") > 1, 1).otherwise(0)
+    return (
+        per_block.join(occ, "bh")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(dup).cast("bigint").alias("n_dup_blocks"),
+            (F.sum(dup) / F.count(F.lit(1)).cast("double")).alias("dup_share"),
+        )
+        .orderBy("source")
+    )
