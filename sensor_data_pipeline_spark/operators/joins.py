@@ -95,28 +95,37 @@ def asof_join(
     *,
     tolerance_sec: int | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward (inclusive) as-of join: for every left row, attach the
-    most recent right row with ``right_ts <= left_ts`` and equal keys.
+    """As-of join, backward (default) or forward, both inclusive.
 
-    Semantics match DuckDB's ``ASOF LEFT JOIN ... ON l.ts >= r.ts``:
-    left rows with no prior right row keep nulls. ``tolerance_sec``
-    additionally nulls matches older than the tolerance — the engine
-    form of the reference's staleness rule (consumer.cpp:251).
+    Backward: attach the most recent right row with
+    ``right_ts <= left_ts`` — DuckDB ``ASOF LEFT JOIN ... ON l.ts >=
+    r.ts``. Forward: attach the NEXT right row with ``right_ts >=
+    left_ts`` — DuckDB ``... ON l.ts <= r.ts`` (the "next maintenance
+    after the failure" direction). Left rows with no match keep nulls;
+    ``tolerance_sec`` additionally nulls matches farther than the
+    tolerance — the engine form of the reference's staleness rule
+    (consumer.cpp:251).
 
     Implementation: tag both sides, union by name, and take
-    ``last(value, ignorenulls=True)`` over a key-partitioned,
-    time-ordered window. Right rows sort before left rows at equal
-    timestamps so equality matches are inclusive.
+    ``last(value, ignorenulls=True)`` over an unbounded-preceding
+    frame (backward) or ``first(...)`` over an unbounded-following
+    frame (forward). Side ordering at equal timestamps makes equality
+    matches inclusive in both directions. One co-partitioning of both
+    inputs either way.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    backward = direction == "backward"
     keys = [on] if isinstance(on, str) else list(on)
     val_cols = [c for c in right.columns if c not in keys and c != right_ts]
 
-    l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1 if backward else 0))
     for c in val_cols:
         new = f"{c}{suffix}" if c in left.columns else c
         l_tagged = l_tagged.withColumn(new, F.lit(None).cast(right.schema[c].dataType))
-    r_tagged = right.withColumn("_ts", F.col(right_ts)).withColumn("_side", F.lit(0))
+    r_tagged = right.withColumn("_ts", F.col(right_ts)).withColumn("_side", F.lit(0 if backward else 1))
     for c in val_cols:
         new = f"{c}{suffix}" if c in left.columns else c
         if new != c:
@@ -129,15 +138,29 @@ def asof_join(
         r_tagged.select(*keys, "_ts", "_side", *[c for c in left.columns if c not in keys], *out_vals)
     )
 
-    w = Window.partitionBy(*keys).orderBy("_ts", "_side").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wbase = Window.partitionBy(*keys).orderBy("_ts", "_side")
+    if backward:
+        w = wbase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick, right_side, left_side = F.last, 0, 1
+    else:
+        w = wbase.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick, right_side, left_side = F.first, 1, 0
     filled = unioned
     for c in out_vals:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    filled = filled.withColumn("_matched_ts", F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True).over(w))
+        filled = filled.withColumn(c, pick(c, ignorenulls=True).over(w))
+    filled = filled.withColumn(
+        "_matched_ts",
+        pick(F.when(F.col("_side") == right_side, F.col("_ts")), ignorenulls=True).over(w),
+    )
 
-    result = filled.filter(F.col("_side") == 1)
+    result = filled.filter(F.col("_side") == left_side)
     if tolerance_sec is not None:
-        in_tol = (F.unix_timestamp("_ts") - F.unix_timestamp("_matched_ts")) <= F.lit(tolerance_sec)
+        gap = (
+            F.unix_timestamp("_ts") - F.unix_timestamp("_matched_ts")
+            if backward
+            else F.unix_timestamp("_matched_ts") - F.unix_timestamp("_ts")
+        )
+        in_tol = gap <= F.lit(tolerance_sec)
         for c in out_vals:
             result = result.withColumn(c, F.when(in_tol, F.col(c)))
     return result.drop("_ts", "_side", "_matched_ts")

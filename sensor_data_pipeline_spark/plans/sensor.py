@@ -603,3 +603,42 @@ def q125_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_event_id",
         F.round("click_value", 2).alias("click_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "q138_asof_forward",
+    category="join",
+    oracle="""
+SELECT p.event_id,
+       p.user_id,
+       round(p.value, 2) AS purchase_value,
+       c.event_id AS next_click_id,
+       round(c.value, 2) AS next_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+ORDER BY p.event_id
+""",
+)
+def q138_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: the FIRST click at-or-after each purchase
+    per user — 'next event after' semantics (next maintenance after a
+    failure, next login after a reset). Same single co-partitioning as
+    the backward form, mirrored window frame; DuckDB's ASOF with
+    p.ts <= c.ts is the oracle."""
+    e = load_table(spark, "events", sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("next_click_id"), F.col("value").alias("next_click_value"))
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", direction="forward"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        "next_click_id",
+        F.round("next_click_value", 2).alias("next_click_value"),
+    ).orderBy("event_id")
