@@ -167,3 +167,35 @@ def test_asof_implementations_agree(spark, events):
     ra = sorted((tuple(r) for r in a.select(*sorted(a.columns)).collect()), key=repr)
     rb = sorted((tuple(r) for r in b.select(*sorted(b.columns)).collect()), key=repr)
     assert ra == rb
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left_ts=st.lists(_ts, min_size=1, max_size=12),
+    right=st.lists(st.tuples(_ts, st.integers(-100, 100)), min_size=1, max_size=12, unique_by=lambda t: t[0]),
+)
+def test_asof_forward_matches_pandas(spark, left_ts, right):
+    """Forward direction vs pandas.merge_asof(direction='forward'):
+    the first right row at-or-after each left timestamp."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([("k", t) for t in left_ts], "k string, lts long").withColumn(
+        "lts", F.timestamp_seconds("lts")
+    )
+    rdf = spark.createDataFrame([("k", t, float(v)) for t, v in right], "k string, rts long, v double")
+    rdf = rdf.withColumn("rts", F.timestamp_seconds("rts"))
+    got = {
+        (r.k, r.lts): r.v
+        for r in asof_join(
+            left, rdf, on="k", left_ts="lts", right_ts="rts", direction="forward"
+        ).collect()
+    }
+
+    lp = pd.DataFrame({"k": "k", "lts": pd.to_datetime(sorted(left_ts), unit="s")})
+    rp = pd.DataFrame(
+        {"k": "k", "rts": pd.to_datetime([t for t, _ in sorted(right)], unit="s"), "v": [float(v) for _, v in sorted(right)]}
+    )
+    want_df = pd.merge_asof(lp, rp, left_on="lts", right_on="rts", by="k", direction="forward")
+    for row in want_df.itertuples(index=False):
+        want_v = None if pd.isna(row.v) else row.v
+        assert got[(row.k, row.lts.to_pydatetime())] == want_v
