@@ -15,7 +15,15 @@ remaining canonical decision-support shapes the core suite
 - two-role dimension join (Q7): the same nation table broadcast twice
   under different roles;
 - per-group share via window (Q20 adaptation): partial sums compared
-  against a window aggregate, no self-join.
+  against a window aggregate, no self-join;
+- the remaining eleven shapes (q139-q149) completing all 22 TPC-H
+  query patterns, adapted to the fixture's reduced schema (no
+  partsupp/l_shipmode/l_commitdate): correlated-EXISTS semi count
+  (Q4), pure scan-filter-agg (Q6), profit rollup (Q9), returned-item
+  top-k (Q10), self-threshold HAVING (Q11), derived-categorical
+  conditional counts (Q12), single-pass ratio (Q14), scalar-max view
+  (Q15), NOT-IN distinct-count (Q16), correlated scalar-avg (Q17),
+  disjunctive join predicates (Q19).
 
 Scale notes (100 TB): every dimension rides an explicit
 ``F.broadcast``; fact-fact joins are reduced by aggregation *before*
@@ -507,4 +515,524 @@ def q119_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name", "s_name", "avg_price")
         .orderBy("avg_price", "p_partkey", "s_name")
         .limit(100)
+    )
+
+
+@register(
+    "q139_priority_late_orders",
+    category="join",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def q139_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): count orders per
+    priority in one quarter that had at least one line shipped more
+    than 90 days after ordering. The fixture has no
+    l_commitdate/l_receiptdate (the reference's wire schema carries a
+    single timestamp, ``src/modules/dd/producer.c:131-134``), so
+    "late" is ship-vs-order latency.
+
+    Plan: a LEFT SEMI join whose condition carries both the equi key
+    and the correlated date predicate — the semi join probes stop at
+    the first matching line, never materializing the multiplicity.
+    The quarter filter reduces orders *before* the shuffle, and only
+    (l_orderkey, l_shipdate) survives lineitem's scan (column
+    pruning), so both exchange inputs are narrow."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q140_discount_revenue_scan",
+    category="scan",
+    oracle="""
+SELECT sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * CAST(round(l_discount * 100, 0) AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+""",
+)
+def q140_discount_revenue_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): a pure
+    scan-filter-aggregate with no join — the canonical predicate-
+    pushdown showcase.
+
+    Plan: all four predicates reach the parquet scan as PushedFilters
+    (date range, discount range, quantity bound), the scan reads only
+    4 of 11 columns (ReadSchema), and the single global aggregate is
+    map-side partial + one 1-row exchange. At 100 TB this is the
+    I/O-bound lower bound for the suite; row-group statistics skip
+    whole chunks outside the shipdate year."""
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = _cents("l_extendedprice") * _cents("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+    )
+
+
+@register(
+    "q141_product_profit",
+    category="join",
+    oracle="""
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) * 100
+           - CAST(round(p.p_retailprice * 100, 0) AS BIGINT)
+             * CAST(round(l.l_quantity * 100, 0) AS BIGINT) * 60) / 1000000.0
+         AS sum_profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+GROUP BY n.n_name, year(o.o_orderdate)
+ORDER BY nation, o_year DESC
+""",
+)
+def q141_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier
+    nation per order year for one part family. The fixture has no
+    partsupp, so unit cost is proxied as 60% of p_retailprice —
+    profit = extprice*(1-disc) - 0.6*retail*qty.
+
+    Plan: part (type-filtered) and supplier+nation broadcast into the
+    lineitem scan; the only wide exchange is lineitem<->orders on
+    orderkey, then a small groupBy on (nation, year). Profit is
+    computed in integer 1e-6-dollar units (cents*cents scaled) so
+    partial-agg order can't shift the sum; the division to dollars
+    happens once on the grouped result."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey", "p_retailprice"
+    )
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    supp_nation = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    profit_e6 = (
+        _cents("l_extendedprice") * (100 - _cents("l_discount")) * 100
+        - _cents("p_retailprice") * _cents("l_quantity") * 60
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            profit_e6.alias("_profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("_profit") / 1000000.0).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q142_returned_item_revenue",
+    category="join",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def q142_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top customers by
+    revenue lost to returned lines in a half-year window.
+
+    Plan: the returnflag filter prunes lineitem at the scan; the
+    date-filtered orders<->lineitem equi-join is the one wide
+    exchange, after which the per-customer aggregate shrinks the
+    stream to |customer| rows before customer and nation broadcast
+    in. Top-20 is a TakeOrderedAndProject — per-partition heaps, no
+    global sort."""
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name", "c_nationkey")
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+    )
+    return (
+        per_cust.join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q143_important_part_value",
+    category="join",
+    oracle="""
+WITH pv AS (
+  SELECT l.l_partkey,
+         sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS value_c
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_5'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, value_c / 100.0 AS part_value
+FROM pv
+WHERE value_c > 2.0 * (SELECT sum(value_c) / count(*) FROM pv)
+ORDER BY part_value DESC, l_partkey
+""",
+)
+def q143_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): parts whose
+    traded value through one nation's suppliers exceeds a threshold
+    derived from the group's own total. No partsupp in the fixture,
+    so "stock value" is the lineitem extended-price sum; the absolute
+    TPC-H fraction is replaced by 2x the per-part mean so the
+    predicate stays scale-invariant across SFs.
+
+    Plan: the nation's suppliers broadcast into lineitem; one shuffle
+    aggregates per part. The threshold is a 1-row aggregate OVER THE
+    AGGREGATE (tiny), broadcast back — the classic
+    aggregate-then-self-compare decorrelation with no second fact
+    scan. Exact bigint cents make the mean bit-stable."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = load_table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_5")
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    pv = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents("l_extendedprice")).alias("value_c"))
+    )
+    thresh = pv.agg((F.sum("value_c") / F.count(F.lit(1))).alias("_mean"))
+    return (
+        pv.join(F.broadcast(thresh))
+        .filter(F.col("value_c") > 2.0 * F.col("_mean"))
+        .select("l_partkey", (F.col("value_c") / 100.0).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q144_latency_priority_matrix",
+    category="join",
+    oracle="""
+SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 180 THEN 'late'
+            WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 60  THEN 'slow'
+            ELSE 'ontime' END AS latency_class,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY latency_class
+ORDER BY latency_class
+""",
+)
+def q144_latency_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode/priority matrix): lines bucketed
+    by a derived categorical (ship latency class — the fixture has no
+    l_shipmode) with conditional counts of high- vs low-priority
+    orders per bucket.
+
+    Plan: one orders<->lineitem equi-join (the only exchange over
+    fact-sized data), the CASE classification evaluated inline during
+    the probe, and a 3-group aggregate. The conditional counts are
+    two sums out of the same pass — no second join or scan."""
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_shipdate")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    latency = (
+        F.when(delay > 180, "late").when(delay > 60, "slow").otherwise("ontime")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(latency.alias("latency_class"), is_high.alias("_high"))
+        .groupBy("latency_class")
+        .agg(
+            F.sum(F.when(F.col("_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~F.col("_high"), 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("latency_class")
+    )
+
+
+@register(
+    "q145_promo_revenue_share",
+    category="join",
+    oracle="""
+SELECT 100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                             * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+                        ELSE 0 END)
+       / sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01'
+""",
+)
+def q145_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the percentage of one
+    month's revenue that came from promo-type parts — numerator and
+    denominator from a single conditional aggregate.
+
+    Plan: the month filter cuts lineitem at the scan; part broadcasts
+    (only p_partkey, p_type survive pruning); one global aggregate.
+    No shuffle of fact-sized data at all — at 100 TB the cost is the
+    pruned scan plus a broadcast probe."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+                / F.sum(rev)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q146_top_revenue_supplier",
+    category="join",
+    oracle="""
+WITH sr AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, sr.rev_c / 10000.0 AS total_revenue
+FROM sr
+JOIN supplier s ON s.s_suppkey = sr.l_suppkey
+WHERE sr.rev_c = (SELECT max(rev_c) FROM sr)
+ORDER BY s.s_suppkey
+""",
+)
+def q146_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): supplier(s) with the maximum
+    quarterly revenue — the view + scalar-max-subquery pattern.
+
+    Plan: one shuffle builds per-supplier revenue for the quarter;
+    the max is a 1-row aggregate of that (tiny) result broadcast back
+    for the equality — Spark never re-scans lineitem, mirroring the
+    oracle's CTE reuse. Exact-cents revenue makes the max-equality
+    safe (no double-rounding ties)."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    sr = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_c"))
+    mx = sr.agg(F.max("rev_c").alias("_mx"))
+    return (
+        sr.join(F.broadcast(mx))
+        .filter(F.col("rev_c") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", (F.col("rev_c") / 10000.0).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q147_part_supplier_breadth",
+    category="join",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_size IN (1, 14, 23, 45, 9, 19, 36, 49)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+LIMIT 100
+""",
+)
+def q147_part_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many
+    distinct suppliers serve each (brand, type, size) combination,
+    excluding an unwanted supplier set via NOT IN. The fixture has no
+    partsupp or comment text, so the pairs come from lineitem and the
+    exclusion is low-balance suppliers.
+
+    Plan: the exclusion list is an aggregate-reduced broadcast ANTI
+    join (never a shuffle); part filters broadcast into lineitem; the
+    distinct-count reduces to (brand, type, size, suppkey) distinct
+    pairs via map-side partial before the final count — one wide
+    exchange, keyed on the group."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    p = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(1, 14, 23, 45, 9, 19, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, "supplier", sf_dir).filter(F.col("s_acctbal") < 1000.0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(100)
+    )
+
+
+@register(
+    "q148_small_quantity_revenue",
+    category="join",
+    oracle="""
+SELECT sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) / (100.0 * 7.0)
+         AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (
+  SELECT l_partkey, sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / (100.0 * count(*))
+           AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+) pq ON pq.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND l.l_quantity < 0.5 * pq.avg_qty
+""",
+)
+def q148_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    lines of one brand whose quantity is below half that part's
+    average quantity — a correlated scalar-average subquery. (TPC-H
+    uses 0.2x; the synthetic fixture's quantities are uniform, so
+    0.5x keeps the survivor set non-empty at every SF.)
+
+    Plan: the correlated average decorrelates into a per-part
+    aggregate of lineitem; brand-filtered part broadcasts first so
+    the per-part averages are only computed for surviving keys on the
+    probe side of a broadcast join... no: the average must cover ALL
+    lines of the part (per spec), so the aggregate runs over the full
+    fact once (one shuffle on l_partkey), then joins back to the
+    brand-pruned lines — both sides already partitioned on l_partkey,
+    so AQE elides the second exchange. Averages divide exact cents by
+    exact counts for bit-stable thresholds."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#13").select(
+        "p_partkey"
+    )
+    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("bigint")
+    pq = li.groupBy("l_partkey").agg(
+        (F.sum(qty_c) / (100.0 * F.count(F.lit(1)))).alias("avg_qty")
+    ).withColumnRenamed("l_partkey", "_pk")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pq, li.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((F.sum(_cents("l_extendedprice")) / (100.0 * 7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q149_disjunctive_predicate_join",
+    category="join",
+    oracle="""
+SELECT sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 35)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+""",
+)
+def q149_disjunctive_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    three OR'd brand/size/quantity conjunct groups evaluated across
+    the part join.
+
+    Plan: part broadcasts; the disjunction is pushed into the join
+    condition so non-qualifying probe rows die during the broadcast
+    probe instead of surviving to a filter above the join. Catalyst
+    additionally derives the implied single-side prefilters (brand IN
+    (...), size ranges OR'd, quantity in the union range) and pushes
+    them into both scans — the pattern TPC-H Q19 exists to test."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (q >= 1) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (q >= 10) & (q <= 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & (q >= 20) & (q <= 50))
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(F.broadcast(p), (li.l_partkey == p.p_partkey) & cond)
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
     )
