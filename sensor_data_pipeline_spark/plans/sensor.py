@@ -526,9 +526,9 @@ r AS (
 SELECT device,
        count(*) AS n_ticks,
        sum(CAST(180 + base % 150 AS BIGINT)) AS sum_temp_deci,
-       sum(CAST(180 + base % 150 AS BIGINT)) / (10.0 * count(*)) AS avg_temp_c,
-       min(40.0 + ((base * 31) % 400) / 10.0) AS min_rh,
-       max(40.0 + ((base * 31) % 400) / 10.0) AS max_rh
+       sum(CAST(180 + base % 150 AS BIGINT)) / CAST(10.0 * count(*) AS DOUBLE) AS avg_temp_c,
+       min(CAST(40.0 AS DOUBLE) + ((base * 31) % 400) / CAST(10.0 AS DOUBLE)) AS min_rh,
+       max(CAST(40.0 AS DOUBLE) + ((base * 31) % 400) / CAST(10.0 AS DOUBLE)) AS max_rh
 FROM r
 GROUP BY device
 ORDER BY device

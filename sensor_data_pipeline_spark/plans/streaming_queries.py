@@ -47,8 +47,12 @@ def _drain(stream_df: DataFrame, name: str, state_partitions: int = 8) -> DataFr
             .trigger(availableNow=True)
             .start()
         )
-        q.processAllAvailable()
-        q.stop()
+        # availableNow self-terminates after the final no-data batch
+        # (the one that advances the watermark and flushes closed
+        # windows); awaitTermination is the race-free way to observe
+        # that, unlike processAllAvailable()+stop() which can cut the
+        # run before the watermark-advancing batch commits.
+        q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {name}")
@@ -56,18 +60,17 @@ def _drain(stream_df: DataFrame, name: str, state_partitions: int = 8) -> DataFr
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table. events.parquet stores
-    TIMESTAMP(NANOS) (read as long under nanosAsLong, TESTDATA.md), so
-    the stream schema takes ts as long and converts — same truncation
-    as sources/tables.py."""
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ts as TIMESTAMP(MICROS) at every scale factor (verified against the
+    parquet footers), so the stream schema declares it as a plain
+    timestamp — identical to what the batch scan reads."""
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     # the sf tables are single parquet FILES; the file stream source
     # requires a directory, so stream the dir with a glob filter
-    raw = (
+    return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 @register(

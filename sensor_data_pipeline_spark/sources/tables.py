@@ -12,8 +12,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from sensor_data_pipeline_spark.schemas import TESTDATA_TABLES
 
@@ -28,15 +26,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TESTDATA_TABLES)}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # TIMESTAMP(NANOS) parquet columns arrive as nano-epoch longs (see
-    # session.py nanosAsLong); truncate to micros exactly as DuckDB does.
-    expected = TESTDATA_TABLES[name]
-    for field in df.schema.fields:
-        want = expected[field.name].dataType if field.name in expected.fieldNames() else None
-        if isinstance(field.dataType, T.LongType) and isinstance(want, T.TimestampType):
-            df = df.withColumn(field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000")))
-    return df
+    # Timestamp columns are TIMESTAMP(MICROS) in every testdata footer,
+    # so the parquet reader yields Spark timestamps directly — no
+    # conversion layer between the scan and the plan.
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -703,3 +703,23 @@ def test_foreachbatch_dimension_refresh(spark, tmp_path):
     q.stop()
     by_batch = {b: lbl for b, k, v, lbl in out}
     assert by_batch == {0: "old", 1: "new"}, out
+
+
+def test_stream_time_axis_matches_batch(spark):
+    """Regression guard for the round-1 time-axis bug: the streaming
+    events source must see the SAME min/max ts as the batch scan.
+    (A wrong stream schema once declared ts as nanos-as-long and
+    divided by 1000, compressing 30 days into ~43 minutes — every
+    watermark/window query silently broke.)"""
+    from sensor_data_pipeline_spark.plans.streaming_queries import _events_stream
+    from sensor_data_pipeline_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    batch = load_table(spark, "events", SF_SMOKE).agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    streamed = drain(_events_stream(spark, SF_SMOKE), "time_axis_mem")
+    got = streamed.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    assert got.lo == batch.lo and got.hi == batch.hi, (got, batch)
+    # the fixture really is an event-time axis spanning days, not minutes
+    assert (batch.hi - batch.lo).days >= 1, batch
