@@ -58,15 +58,17 @@ def cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(d / (np.sqrt(_seq_dot(x, x)) * np.sqrt(_seq_dot(y, y))))
 
 
-def sign_lsh_bucket(a: Column, n_bits: int = 8) -> Column:
-    """Sign-LSH bucket id from the first ``n_bits`` dimensions:
-    bit i set iff a[i] > 0. A cheap, deterministic random-hyperplane
-    LSH (the axes act as fixed hyperplanes since embeddings are roughly
-    centered). Bucket-join on this id replaces the O(n^2) cross join
-    with an O(n) shuffle at scale.
+def sign_lsh_bucket(a: Column, n_bits: int = 8, offset: int = 0) -> Column:
+    """Sign-LSH bucket id from ``n_bits`` dimensions starting at
+    ``offset``: bit i set iff a[offset+i] > 0. A cheap, deterministic
+    random-hyperplane LSH (the axes act as fixed hyperplanes since
+    embeddings are roughly centered). Bucket-join on this id replaces
+    the O(n^2) cross join with an O(n) shuffle at scale; banded
+    callers pass distinct offsets so each band sees independent
+    hyperplanes.
     """
     bits = [
-        F.when(F.element_at(a, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        F.when(F.element_at(a, offset + i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(n_bits)
     ]
     out = bits[0]

@@ -150,22 +150,39 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_blocks: int = 8,
+    exact: bool = False,
+    n_bands: int = 3,
+    band_bits: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
-    threshold). Exact all-pairs, executed as a blocked matrix product:
-    rows are packed into ``n_blocks`` groups, the groups are
-    cross-joined (B*(B+1)/2 block pairs — the only "cross join" is over
-    blocks, never rows), and each block pair scores its sub-matrix in
-    one Arrow batch. Only passing pairs leave Python, so shuffle and
+    threshold), executed as a blocked matrix product: rows are packed
+    into groups, the groups are cross-joined (the only "cross join" is
+    over blocks, never rows), and each block pair scores its sub-matrix
+    in one Arrow batch. Only passing pairs leave Python, so shuffle and
     Arrow traffic are O(n·B + output), not O(n^2) pair rows.
+
+    **Default = banded sign-LSH pre-blocking** (the 100 TB path): each
+    row is replicated into ``n_bands`` buckets, one per band of
+    ``band_bits`` sign-hyperplane bits over disjoint dimensions, and
+    block pairs only form WITHIN a bucket. Total work drops from
+    O(n²·dim) to O(n_bands · Σ_bucket n_b²·dim) — with roughly uniform
+    buckets, a ~2^band_bits/n_bands reduction. A true pair is found iff
+    the two vectors agree on every sign bit of at least one band
+    (probability 1-(1-p^band_bits)^n_bands, p = 1-θ/π), so recall < 1
+    by design — q150 audits it against the exact path, the q93 pattern.
+    Pairs matching in several bands are scored per band (cosine is
+    bit-identical, dimension order is global) and deduped at the end.
+
+    ``exact=True`` is the escape hatch (and the oracle baseline):
+    single bucket, all B*(B+1)/2 block pairs, exact all-pairs.
 
     Results are bit-identical to the scalar path: the dot product
     accumulates sequentially over dimensions (vectorized across the
     pair matrix), matching DuckDB's list_dot_product rounding order.
 
-    Sizing: work per task is (n/B)^2·dim; pick B so B*(B+1)/2 ≈ the
-    cluster's task slots. For web-scale corpora compose
-    ``sign_lsh_bucket`` blocking first (same output columns).
+    Sizing: exact work per task is (n/B)^2·dim; pick B so B*(B+1)/2 ≈
+    the cluster's task slots. Banded work per task is bounded by the
+    largest bucket's (n_b/B)^2·dim.
     """
     import numpy as np
     import pandas as pd
@@ -175,16 +192,31 @@ def embedding_neardup_pairs(
         F.col(vec_col).alias("v"),
         F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
     )
-    packed = d.groupBy("blk").agg(F.collect_list(F.struct("id", "v")).alias("items"))
-    pairs = (
-        packed.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
-        .join(
-            packed.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b")),
-            F.col("blk_a") <= F.col("blk_b"),
+    if exact:
+        d = d.withColumn("bucket", F.lit(0).cast("bigint"))
+    else:
+        # band b's bucket id = b * 2^band_bits + sign bits of dims
+        # [b*band_bits, (b+1)*band_bits) — disjoint hyperplanes per band
+        bands = F.array(
+            *[
+                (
+                    F.lit(b * (1 << band_bits))
+                    + sign_lsh_bucket(F.col("v"), band_bits, offset=b * band_bits)
+                ).cast("bigint")
+                for b in range(n_bands)
+            ]
         )
+        d = d.withColumn("bucket", F.explode(bands))
+    packed = d.groupBy("bucket", "blk").agg(F.collect_list(F.struct("id", "v")).alias("items"))
+    pairs = packed.select(
+        "bucket", F.col("blk").alias("blk_a"), F.col("items").alias("items_a")
+    ).join(
+        packed.select("bucket", F.col("blk").alias("blk_b"), F.col("items").alias("items_b")),
+        ["bucket"],
+    ).filter(F.col("blk_a") <= F.col("blk_b"))
+    if exact:
         # one block pair per task: the matmul below is the unit of work
-        .repartition(n_blocks * (n_blocks + 1) // 2)
-    )
+        pairs = pairs.repartition(n_blocks * (n_blocks + 1) // 2)
 
     def _seq_outer(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
         # acc_k = acc_{k-1} + x_k*y_k per cell, in dimension order —
@@ -225,4 +257,10 @@ def embedding_neardup_pairs(
                     {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b), "cosine": np.concatenate(out_c)}
                 )
 
-    return pairs.mapInPandas(score, schema="id_a bigint, id_b bigint, cosine double")
+    out = pairs.mapInPandas(score, schema="id_a bigint, id_b bigint, cosine double")
+    if not exact:
+        # a pair agreeing on several bands is scored once per band with
+        # bit-identical cosine; keep one. Cheap: only threshold-passing
+        # pairs reach this shuffle.
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out

