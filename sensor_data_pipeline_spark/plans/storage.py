@@ -71,8 +71,8 @@ def q72_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     values."""
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_extendedprice")
     o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
-    t_li = bucketed_table(spark, li, "li_bucketed", "l_orderkey")
-    t_o = bucketed_table(spark, o, "o_bucketed", "o_orderkey")
+    t_li = bucketed_table(spark, li, "li_bucketed", "l_orderkey", cache_key=sf_dir)
+    t_o = bucketed_table(spark, o, "o_bucketed", "o_orderkey", cache_key=sf_dir)
     lb, ob = spark.table(t_li), spark.table(t_o)
     return (
         lb.join(ob, lb.l_orderkey == ob.o_orderkey)
