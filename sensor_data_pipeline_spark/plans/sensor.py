@@ -642,3 +642,70 @@ def q138_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_click_id",
         F.round("next_click_value", 2).alias("next_click_value"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# S5 fetch: the HTTP polling source end-to-end (tick -> fetch -> parse)
+# ---------------------------------------------------------------------------
+@register(
+    "q151_http_poll_source",
+    category="source",
+    oracle="""
+WITH g AS (
+  SELECT t.range AS tick, s.range AS s
+  FROM range(0, 40) t, range(0, 5) s
+),
+r AS (
+  SELECT 'ST_' || s AS place,
+         (tick * 13 + s * 7) % 100 AS k,
+         CAST(10.0 AS DOUBLE) + ((tick * 13 + s * 7) % 100) / CAST(10.0 AS DOUBLE) AS reading
+  FROM g
+)
+SELECT place,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       sum(CAST(100 + k AS BIGINT)) AS sum_deci,
+       sum(CAST(100 + k AS BIGINT)) / CAST(10.0 * count(*) AS DOUBLE) AS avg_reading,
+       min(reading) AS min_reading,
+       max(reading) AS max_reading
+FROM r
+GROUP BY place
+ORDER BY place
+""",
+)
+def q151_http_poll_source(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    """S5 end-to-end: tick stream -> foreachBatch HTTP poll (injected
+    canned fetcher — no network in the sandbox; the real slot is
+    sources/http_poll.py default_fetcher) -> JSON parse/explode ->
+    per-station rollup. Mirrors the reference's blocking GET per timer
+    tick (hko.cpp:97-107): one driver-side fetch per tick, state in
+    the streaming checkpoint. The canned document is a pure function
+    of (tick, station) serialized with round-trip float repr, so the
+    oracle regenerates it relationally — the q114 pattern for a source
+    with no parquet behind it. (sf_dir unused: the source fetches.)"""
+    from sensor_data_pipeline_spark.sources.http_poll import (
+        canned_station_fetcher,
+        run_poll_pipeline,
+    )
+    from sensor_data_pipeline_spark.sources.warehouse import SCRATCH
+
+    fetched = run_poll_pipeline(
+        spark,
+        canned_station_fetcher,
+        url="https://weather.example/obs",
+        scratch=f"{SCRATCH}/http_poll",
+        n_ticks=40,
+        ticks_per_batch=10,
+    )
+    deci = F.round(F.col("reading") * 10, 0).cast("bigint")
+    n = F.count(F.lit(1))
+    return (
+        fetched.groupBy("place")
+        .agg(
+            n.cast("bigint").alias("n_obs"),
+            F.sum(deci).alias("sum_deci"),
+            (F.sum(deci) / (10.0 * n)).alias("avg_reading"),
+            F.min("reading").alias("min_reading"),
+            F.max("reading").alias("max_reading"),
+        )
+        .orderBy("place")
+    )

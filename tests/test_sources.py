@@ -174,3 +174,51 @@ def test_sensor_sim_stream_restart_no_redelivery(spark, tmp_path):
     # cumulative file output: each tick exactly once — a reader that
     # restarted its offset counter at 0 would re-deliver ticks 0-9
     assert sorted(second) == list(range(20)), second
+
+
+# ---------------------------------------------------------------------------
+# S5 HTTP polling source (injected fetcher; no network in the sandbox)
+# ---------------------------------------------------------------------------
+def test_http_poll_pipeline_end_to_end(spark, tmp_path):
+    """tick stream -> foreachBatch fetch -> parse/explode -> parquet:
+    every (tick, station) observation lands exactly once and matches
+    the canned formula."""
+    from sensor_data_pipeline_spark.sources.http_poll import (
+        canned_station_fetcher,
+        run_poll_pipeline,
+    )
+
+    out = run_poll_pipeline(
+        spark, canned_station_fetcher, "https://x.example/obs",
+        scratch=str(tmp_path / "poll"), n_ticks=12, ticks_per_batch=4,
+    )
+    rows = {(r.tick, r.place): r.reading for r in out.collect()}
+    assert len(rows) == 12 * 5  # each observation exactly once
+    for (t, place), reading in rows.items():
+        s = int(place.split("_")[1])
+        assert reading == 10.0 + ((t * 13 + s * 7) % 100) / 10.0
+
+
+def test_fetch_url_column_distributed(spark):
+    """mapInPandas fetch over a URL column: body arrives per-row,
+    schema is input + body, nothing collected to the driver."""
+    from sensor_data_pipeline_spark.sources.http_poll import (
+        canned_station_fetcher,
+        fetch_url_column,
+    )
+
+    def one_arg_fetcher(url: str) -> str:
+        return canned_station_fetcher(url, int(url.rsplit("/", 1)[1]))
+
+    urls = spark.range(8).selectExpr("id", "concat('https://x.example/t/', id) AS url")
+    fetched = fetch_url_column(urls, one_arg_fetcher)
+    assert fetched.columns == ["id", "url", "body"]
+    got = {r.id: r.body for r in fetched.collect()}
+    assert len(got) == 8 and '"place":"ST_0"' in got[3]
+
+
+def test_default_fetcher_degrades_cleanly():
+    from sensor_data_pipeline_spark.sources.http_poll import default_fetcher
+
+    with pytest.raises(NotImplementedError, match="inject a fetcher"):
+        default_fetcher("https://x.example", 0)
