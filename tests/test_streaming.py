@@ -354,7 +354,13 @@ def test_transform_with_state_delta_across_batches(spark, tmp_path):
     over the boundary. Requires protobuf (the TWS state-server wire
     protocol), which this container lacks — skipped there, runs on any
     standard cluster image."""
-    pytest.importorskip("google.protobuf")
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs google.protobuf (the TWS "
+        "state-server wire protocol); absent in this container — see "
+        "README 'Environment gaps'. The applyInPandasWithState twin "
+        "(test_sessionize_*) fully covers keyed-state semantics here.",
+    )
     import os
 
     from pyspark.sql.types import (
