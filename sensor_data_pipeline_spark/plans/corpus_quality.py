@@ -239,7 +239,9 @@ def q110_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm is rounded to 1e-6 on both sides to keep the float-ordering
     tie-break deterministic across engines."""
     emb = load_table(spark, "embeddings", sf_dir)
-    pairs = embedding_neardup_pairs(emb, threshold=0.4)
+    # exact pair graph to match the oracle's transitive closure; the
+    # banded-LSH default is the scale path, audited by q150
+    pairs = embedding_neardup_pairs(emb, threshold=0.4, exact=True)
     clusters = dedup_components(pairs).select(F.col("doc_id").alias("vec_id"), "cluster_id")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norms = emb.select(

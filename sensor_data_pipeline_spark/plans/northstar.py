@@ -501,7 +501,10 @@ def q74_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_components); the oracle computes the same transitive closure
     with a recursive CTE."""
     emb = load_table(spark, "embeddings", sf_dir)
-    pairs = embedding_neardup_pairs(emb, threshold=0.4)
+    # exact pair graph: this query's oracle states the exact transitive
+    # closure. The banded-LSH default is the 100 TB candidate path and
+    # is audited separately (q150).
+    pairs = embedding_neardup_pairs(emb, threshold=0.4, exact=True)
     return dedup_components(pairs).orderBy("doc_id")
 
 

@@ -694,7 +694,7 @@ def q151_http_poll_source(spark: SparkSession, sf_dir: str) -> DataFrame:  # noq
         url="https://weather.example/obs",
         scratch=f"{SCRATCH}/http_poll",
         n_ticks=40,
-        ticks_per_batch=10,
+        ticks_per_batch=20,  # 2 micro-batches: multi-batch semantics at half the per-batch fixed cost
     )
     deci = F.round(F.col("reading") * 10, 0).cast("bigint")
     n = F.count(F.lit(1))
