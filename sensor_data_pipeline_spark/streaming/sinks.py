@@ -96,17 +96,31 @@ class FileSpoolPublisher(Publisher):
 
 class MqttPublisher(Publisher):
     """K1/K2 wiring for a real broker (TLS host:8883, keepalive 60 s —
-    reference src/modules/libs/mqtt.c:80). Requires paho-mqtt, which
-    is not baked into this container; construction raises cleanly so
-    callers can fall back (E3 init-failure degradation,
-    reference src/event_loops.c:26-31)."""
+    reference src/modules/libs/mqtt.c:80). The client is injectable:
+    ``client_factory`` must produce an object with the paho-mqtt
+    Client surface (tls_set/connect/loop_start/publish/loop_stop/
+    disconnect), defaulting to the real ``paho.mqtt.client.Client``.
+    paho is not baked into this container, so the default raises
+    cleanly and callers fall back (E3 init-failure degradation,
+    reference src/event_loops.c:26-31); the vendored
+    ``loopback.LoopbackMqttClient`` exercises this exact wiring
+    without a broker."""
 
-    def __init__(self, host: str, port: int = 8883, keepalive: int = 60, **tls: Any) -> None:
-        try:
-            import paho.mqtt.client as mqtt  # type: ignore[import-not-found]
-        except ImportError as e:  # pragma: no cover - env without paho
-            raise NotImplementedError("paho-mqtt not installed in this environment") from e
-        self._client = mqtt.Client()
+    def __init__(
+        self,
+        host: str,
+        port: int = 8883,
+        keepalive: int = 60,
+        client_factory: Any = None,
+        **tls: Any,
+    ) -> None:
+        if client_factory is None:
+            try:
+                import paho.mqtt.client as mqtt  # type: ignore[import-not-found]
+            except ImportError as e:  # pragma: no cover - env without paho
+                raise NotImplementedError("paho-mqtt not installed in this environment") from e
+            client_factory = mqtt.Client
+        self._client = client_factory()
         if tls:
             self._client.tls_set(**tls)
         self._host, self._port, self._keepalive = host, port, keepalive

@@ -729,3 +729,48 @@ def test_stream_time_axis_matches_batch(spark):
     assert got.lo == batch.lo and got.hi == batch.hi, (got, batch)
     # the fixture really is an event-time axis spanning days, not minutes
     assert (batch.hi - batch.lo).days >= 1, batch
+
+
+def test_mqtt_publisher_wiring_via_loopback(spark, stream_dir, tmp_path):
+    """The REAL MqttPublisher wiring — tls_set, connect, loop_start,
+    per-message publish with QoS, loop_stop, disconnect — executed
+    end-to-end through the foreach sink, against the vendored loopback
+    client (no broker, no paho). Round-1 gap: only the E3 fallback ran;
+    the wiring itself never executed."""
+    import glob
+    import json
+    from functools import partial
+
+    from sensor_data_pipeline_spark.streaming.loopback import LoopbackMqttClient, read_events
+    from sensor_data_pipeline_spark.streaming.sinks import MqttPublisher
+
+    msgs = spark.createDataFrame(
+        [("tele/dd/SENSOR", 1, '{"t":21.5}'), ("tele/dd/STATE", 2, '{"rh":60.0}')],
+        MQTT_MESSAGE,
+    )
+    spool = str(tmp_path / "broker")
+    pub = MqttPublisher(
+        "broker.local", port=8883,
+        client_factory=partial(LoopbackMqttClient, spool),
+        ca_certs="/etc/ssl/ca.pem",  # goes to tls_set, recorded on connect
+    )
+    q = publish_stream(stream_dir(msgs, MQTT_MESSAGE), pub, trigger_once=True)
+    q.awaitTermination(120)
+    q.stop()
+
+    ev = read_events(spool)
+    pubs = {(e["topic"], e["qos"], e["payload"]) for e in ev if e["kind"] == "publish"}
+    assert pubs == {
+        ("tele/dd/SENSOR", 1, '{"t":21.5}'),
+        ("tele/dd/STATE", 2, '{"rh":60.0}'),
+    }
+    # per-client lifecycle: connect(tls) -> loop_start -> publishes -> loop_stop -> disconnect
+    for path in glob.glob(f"{spool}/client-*.jsonl"):
+        with open(path) as f:
+            kinds = [json.loads(line)["kind"] for line in f]
+        first, *_mid, second_last, last = kinds
+        assert first == "connect" and (second_last, last) == ("loop_stop", "disconnect"), kinds
+        connects = [json.loads(line) for line in open(path) if '"connect"' in line]
+        assert connects[0]["tls"] is True and connects[0]["port"] == 8883
+        if "publish" in kinds:
+            assert kinds.index("loop_start") < kinds.index("publish"), kinds
