@@ -440,3 +440,122 @@ def q137_block_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q152_incremental_dedup",
+    category="dedup",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, lang,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+corpus AS (SELECT fp FROM fp WHERE doc_id < 250),
+incoming AS (SELECT * FROM fp WHERE doc_id >= 250),
+fresh AS (
+  SELECT i.* FROM incoming i
+  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = i.fp)
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fresh
+  ) WHERE rn = 1
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(doc_id) AS BIGINT) AS first_kept,
+       CAST(max(doc_id) AS BIGINT) AS last_kept
+FROM kept GROUP BY lang ORDER BY lang
+""",
+)
+def q152_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup — the production shape: a
+    new ingest batch is deduped against the ALREADY-ACCEPTED corpus's
+    fingerprints (anti-join), then within itself (first-copy-wins
+    window). At 100 TB the corpus side is a fingerprint-only
+    projection (16 bytes + id per doc, pruned at the scan), the
+    anti-join shuffles on the uniformly-distributed fingerprint, and
+    AQE broadcasts it instead whenever the corpus fits — the same
+    plan a nightly crawl-ingest runs. Fixture split: doc_id < 250 is
+    the standing corpus, the rest is the incoming batch."""
+    from sensor_data_pipeline_spark.functions.text import doc_fingerprint
+
+    d = load_table(spark, "documents", sf_dir).withColumn("fp", doc_fingerprint(F.col("text")))
+    corpus = d.filter(F.col("doc_id") < 250).select("fp")
+    incoming = d.filter(F.col("doc_id") >= 250).select("doc_id", "lang", "fp")
+    fresh = incoming.join(corpus, "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = fresh.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.min("doc_id").cast("bigint").alias("first_kept"),
+            F.max("doc_id").cast("bigint").alias("last_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q153_leakage_free_split",
+    category="sampling",
+    oracle="""
+WITH tagged AS (
+  SELECT doc_id, source, lang, n_chars,
+         CASE WHEN substr(md5(source), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(source), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+leak AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_leaked_sources FROM (
+    SELECT source FROM tagged GROUP BY source HAVING count(DISTINCT split) > 1
+  )
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       n_leaked_sources
+FROM tagged, leak
+GROUP BY split, n_leaked_sources
+ORDER BY split
+""",
+)
+def q153_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: the split is a pure function
+    of md5(source) — every document from one source lands in the same
+    split, so near-duplicate pages from one site can never straddle
+    train and test. The hex-prefix comparison ('cc' ~ 80%, 'e6' ~ 90%)
+    is engine-portable because lowercase hex sorts lexicographically
+    in value order. n_leaked_sources (sources spanning >1 split) is
+    carried on every row as a self-audit — it is structurally zero
+    here, and a reviewer changing the split column to something
+    row-level (e.g. hash(doc_id)) trips it immediately. One narrow
+    shuffle on source for the audit, one on split for the stats; no
+    data movement proportional to text size (column pruned at scan)."""
+    d = load_table(spark, "documents", sf_dir)
+    h2 = F.substring(F.md5("source"), 1, 2)
+    tagged = d.withColumn(
+        "split",
+        F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test"),
+    )
+    leak = (
+        tagged.groupBy("source")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(F.count(F.when(F.col("ns") > 1, 1)).cast("bigint").alias("n_leaked_sources"))
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_docs", "n_sources", "sum_chars", "n_leaked_sources")
+        .orderBy("split")
+    )
