@@ -230,3 +230,40 @@ def test_q123_single_exchange_on_source(spark):
     # row_number window must reuse the same partitioning
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_neardup_banded_no_cartesian(spark):
+    """The banded-LSH default must join block pairs on the bucket id —
+    an equi-join — never a cartesian/broadcast-nested-loop over rows."""
+    from sensor_data_pipeline_spark.operators.similarity import embedding_neardup_pairs
+    from sensor_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    plan = plan_of(embedding_neardup_pairs(emb, threshold=0.9))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_incremental_dedup_anti_join_sheds_text(spark):
+    """q152: the corpus side of the anti-join must shuffle only the
+    fingerprint — the multi-KB text column may be read (the
+    fingerprint derives from it) but must be projected away before the
+    exchange."""
+    from sensor_data_pipeline_spark.plans.corpus_quality import q152_incremental_dedup
+
+    plan = plan_of(q152_incremental_dedup(spark, SF))
+    assert "LeftAnti" in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+
+
+def test_leakage_split_never_reads_text(spark):
+    """q153 needs only (doc_id, source, lang, n_chars): column pruning
+    must keep the dominant text column out of the parquet ReadSchema
+    entirely — at 100 TB that's the difference between scanning
+    metadata and scanning the corpus."""
+    from sensor_data_pipeline_spark.plans.corpus_quality import q153_leakage_free_split
+
+    plan = plan_of(q153_leakage_free_split(spark, SF))
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert "text" not in m.group(1), m.group(0)
