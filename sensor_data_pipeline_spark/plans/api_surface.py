@@ -347,3 +347,95 @@ def q135_nested_schema_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flatten for the gate: struct cells render differently per engine
     # (Row(...) vs dict), so the hash compares the leaf columns
     return surgered.select("event_id", "rec.uid", "rec.kind", "rec.val_cents").orderBy("event_id")
+
+
+def _scratch_tag(sf_dir: str) -> str:
+    import re as _re
+
+    return _re.sub(r"[^A-Za-z0-9_]+", "_", sf_dir).strip("_")
+
+
+@register(
+    "q154_jsonl_roundtrip",
+    category="json",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+FROM documents
+GROUP BY lang ORDER BY lang
+""",
+)
+def q154_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest fidelity: write the documents table as JSON lines
+    (the wire format crawls and annotation pipelines actually deliver),
+    read it back with an explicit schema (no inference pass — at 100 TB
+    schema inference is a full extra scan), and aggregate. The
+    distinct-md5 count proves byte-level text fidelity through the
+    serde; the oracle computes the same from the parquet directly.
+    PERMISSIVE corrupt-record handling is configured exactly as a
+    production ingest would (E2), though the fixture is clean."""
+    from sensor_data_pipeline_spark.sources.warehouse import SCRATCH
+
+    d = load_table(spark, "documents", sf_dir)
+    path = f"{SCRATCH}/roundtrip/jsonl_{_scratch_tag(sf_dir)}"
+    d.write.mode("overwrite").json(path)
+    back = (
+        spark.read.schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct_texts"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q155_csv_roundtrip",
+    category="json",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+FROM documents
+GROUP BY source ORDER BY source
+""",
+)
+def q155_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest fidelity, same proof shape as q154: explicit schema,
+    header on, RFC-4180 quoting+escaping configured for embedded
+    delimiters/newlines (multiLine covers quoted newlines — needed for
+    real corpora even though this fixture is clean). Distinct-md5
+    equality against the parquet oracle pins the serde losslessness."""
+    from sensor_data_pipeline_spark.sources.warehouse import SCRATCH
+
+    d = load_table(spark, "documents", sf_dir)
+    path = f"{SCRATCH}/roundtrip/csv_{_scratch_tag(sf_dir)}"
+    d.write.mode("overwrite").option("header", True).option("quoteAll", True).option(
+        "escape", '"'
+    ).csv(path)
+    back = (
+        spark.read.schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", True)
+        .csv(path)
+    )
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct_texts"),
+        )
+        .orderBy("source")
+    )
