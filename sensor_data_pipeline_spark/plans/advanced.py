@@ -1003,3 +1003,75 @@ def q132_robust_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q156_kmv_distinct_sketch",
+    category="aggregation",
+    oracle="""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         (user_id * 2654435761) % 2147483648 AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+),
+kth AS (
+  SELECT event_type, CAST(max(h) AS BIGINT) AS h_k, CAST(count(*) AS BIGINT) AS k_used
+  FROM ranked WHERE rn <= 64 GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.n_exact, k.h_k,
+       CASE WHEN k.k_used < 64 THEN CAST(k.k_used AS DOUBLE)
+            ELSE (64 - 1) * CAST(2147483648 AS DOUBLE) / k.h_k END AS est_distinct
+FROM exact e JOIN kth k USING (event_type)
+ORDER BY event_type
+""",
+)
+def q156_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, the mergeable
+    sketch family (Bar-Yossef et al.) HLL belongs to — but built from
+    engine-portable primitives so the ORACLE IS EXACT, unlike HLL
+    (q62, rows-only, engine-specific registers). The hash is pure
+    integer arithmetic (Knuth multiplicative mod 2^31 — identical in
+    any engine), the sketch is the k=64 smallest distinct hash values,
+    and the estimator (k-1)*M/h_k is one IEEE division. At scale: the
+    distinct-hash reduction is map-side combinable (first shuffle),
+    and the k-th-smallest window sorts only DISTINCT hashes per group
+    (second shuffle, disk-spilling, bounded by the hash space). The
+    sketch PROPERTY — two sketches merge by keeping the k smallest of
+    the union, so partials are k-bounded — is what a production
+    deployment exploits with a custom JVM UDAF/heap; this relational
+    form trades that for an exactly-reproducible oracle.
+    The query returns the estimate NEXT TO the exact count, so the
+    sketch's error is audited on every run, the q93/q150 pattern."""
+    e = load_table(spark, "events", sf_dir)
+    h = (F.col("user_id") * F.lit(2654435761)) % F.lit(2147483648)
+    hashed = e.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .groupBy("event_type")
+        .agg(
+            F.max("h").cast("bigint").alias("h_k"),
+            F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        )
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    est = F.when(
+        F.col("k_used") < 64, F.col("k_used").cast("double")
+    ).otherwise((64 - 1) * F.lit(2147483648.0) / F.col("h_k"))
+    return (
+        exact.join(kth, "event_type")
+        .select("event_type", "n_exact", "h_k", est.alias("est_distinct"))
+        .orderBy("event_type")
+    )

@@ -222,3 +222,48 @@ def test_default_fetcher_degrades_cleanly():
 
     with pytest.raises(NotImplementedError, match="inject a fetcher"):
         default_fetcher("https://x.example", 0)
+
+
+def test_http_poll_checkpoint_no_refetch(spark, tmp_path):
+    """Restart semantics: a second poll run over a tick source that
+    gained one batch must fetch ONLY the new ticks — committed batches
+    are fenced by the streaming checkpoint (the reference's QoS-2
+    analog applied to the fetch side). The fetch log is the proof: the
+    fetcher runs driver-side, so a call recorder sees every GET."""
+    import os
+
+    from sensor_data_pipeline_spark.sources.http_poll import (
+        canned_station_fetcher,
+        http_poll_query,
+    )
+
+    calls: list[int] = []
+
+    def recording_fetcher(url: str, tick: int) -> str:
+        calls.append(tick)
+        return canned_station_fetcher(url, tick)
+
+    src = str(tmp_path / "ticks")
+    out = str(tmp_path / "fetched")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("tick long").option("maxFilesPerTrigger", 1).parquet(f"{src}/f*")
+        )
+        q = http_poll_query(stream, recording_fetcher, "https://x.example/obs", out, ckpt).start()
+        q.awaitTermination(120)
+        q.stop()
+
+    spark.range(0, 5).selectExpr("id AS tick").coalesce(1).write.parquet(f"{src}/f0")
+    run_once()
+    assert sorted(calls) == [0, 1, 2, 3, 4]
+
+    time.sleep(1.1)  # distinct mtime so the file source sees f1 as new
+    spark.range(5, 8).selectExpr("id AS tick").coalesce(1).write.parquet(f"{src}/f1")
+    run_once()
+    # ticks 0-4 NOT re-fetched; output holds each observation exactly once
+    assert sorted(calls) == [0, 1, 2, 3, 4, 5, 6, 7], calls
+    got = spark.read.parquet(out)
+    assert got.count() == 8 * 5 and got.select("tick").distinct().count() == 8
