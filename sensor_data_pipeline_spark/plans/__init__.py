@@ -13,6 +13,7 @@ from sensor_data_pipeline_spark.plans import tpch_shapes  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import corpus_quality  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import sql_interface  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import api_surface  # noqa: F401,E402
+from sensor_data_pipeline_spark.plans import pipeline_v2  # noqa: F401,E402
 
 # Driver-window ordering: the driver's CORRECTNESS check covers the
 # FIRST 50 registered queries, so the first 50 must span every
