@@ -229,3 +229,77 @@ def q96_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .orderBy("user_bucket")
     )
+
+
+@register(
+    "q162_stream_left_outer",
+    category="streaming",
+    oracle="""
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS cutoff FROM events),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+matched AS (
+  SELECT v.user_id
+  FROM v JOIN p ON v.user_id = p.user_id
+   AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+),
+unmatched AS (
+  SELECT v.user_id
+  FROM v, wm
+  WHERE NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.user_id = v.user_id
+            AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+    AND v.ts < wm.cutoff
+),
+unioned AS (
+  SELECT user_id, 1 AS is_matched FROM matched
+  UNION ALL
+  SELECT user_id, 0 AS is_matched FROM unmatched
+)
+SELECT CAST(user_id % 16 AS BIGINT) AS user_bucket,
+       CAST(count(*) AS BIGINT)     AS n_rows,
+       CAST(sum(is_matched) AS BIGINT) AS n_matched
+FROM unioned GROUP BY 1 ORDER BY user_bucket
+""",
+)
+def q162_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: q96's view-purchase band
+    join, but views with no purchase inside the band must still emit a
+    null-extended row — the attribution shape ("every impression, with
+    its conversion if any") that needs state-expiry semantics batch SQL
+    gets for free. A left row can only be emitted null-extended once the
+    watermark proves no future match can arrive, i.e. once it passes
+    view_ts + band (1 h). With an availableNow drain the final
+    watermark rests at max(ts) - delay (1 h), so exactly the views with
+    view_ts < max(ts) - 2 h have provably-closed bands: the oracle
+    reproduces matched pairs unconditionally plus unmatched views below
+    that cutoff. Views inside the last 2 h stay in state, correctly
+    unemitted — the differential check pins Spark's eviction boundary,
+    not just the join."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_uid"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr("v_uid = p_uid AND p_ts > view_ts AND p_ts <= view_ts + interval 1 hour"),
+        "leftOuter",
+    )
+    out = _drain(joined.select("v_uid", "p_uid"), "q162_mem")
+    return (
+        out.groupBy((F.col("v_uid") % 16).cast("bigint").alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("p_uid").cast("bigint").alias("n_matched"),
+        )
+        .orderBy("user_bucket")
+    )
