@@ -47,6 +47,15 @@ def main() -> int:
 
     spark.range(1000).select(_warm_udf(F.col("id").cast("double"))).collect()
 
+    # the Python DataSource API runs through its own worker/plumbing
+    # path (planning + per-partition readers), distinct from the UDF
+    # workers warmed above — exercise it once so q114's timing reflects
+    # the scan, not one-time source machinery spin-up
+    from sensor_data_pipeline_spark.sources.sensor_sim import register_sensor_sim
+
+    register_sensor_sim(spark)
+    spark.read.format("sensor_sim").option("devices", "1").option("ticks", "1").load().collect()
+
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     failures: dict[str, str] = {}

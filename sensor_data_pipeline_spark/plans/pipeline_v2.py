@@ -273,3 +273,213 @@ def q161_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "q163_pii_redaction",
+    category="corpus",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\b(dup|key|hash)\\b')) AS BIGINT) AS n_redacted,
+       md5(regexp_replace(text, '\\b(dup|key|hash)\\b', '[MASK]', 'g')) AS redacted_md5,
+       CAST(length(regexp_replace(text, '\\b(dup|key|hash)\\b', '[MASK]', 'g')) AS BIGINT) AS n_chars_after
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q163_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level redaction: rewrite every match of a sensitive-token
+    pattern to a mask and audit the rewrite (hit count, post-redaction
+    text hash + length). This is the REMOVAL step that q108's scan only
+    counts — the corpus that ships downstream is the redacted text.
+    Swapping the fixture pattern for an email/SSN regex changes nothing
+    structurally. Pure per-row codegen'd regex (compiled once per task);
+    zero shuffles — a redactor must stay embarrassingly parallel,
+    because it touches every byte of a 100 TB corpus. The md5 of the
+    rewritten text differentially pins Java-regex vs RE2 replacement
+    semantics byte-for-byte."""
+    d = load_table(spark, "documents", sf_dir)
+    pat = r"\b(dup|key|hash)\b"
+    red = F.regexp_replace(F.col("text"), pat, "[MASK]")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint").alias("n_redacted"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("bigint").alias("n_chars_after"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q164_rolling_median",
+    category="window",
+    oracle="""
+SELECT event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       quantile_cont(CAST(round(value * 100, 0) AS BIGINT), 0.5)
+         OVER (PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS med_cents
+FROM events
+WHERE user_id < 64
+ORDER BY event_id
+""",
+)
+def q164_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median over a 1-hour event-time range frame — the
+    robust-baseline smoother (sensor drift, request latency) that mean
+    windows (q76) can't provide. `percentile(..., 0.5)` runs as a true
+    window aggregate over the range frame; values move as integer cents
+    so the only float is the final interpolated midpoint (k or k+.5 —
+    exactly representable, so it hashes across engines). One shuffle on
+    user_id; frames never cross partitions."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 64)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.percentile(cents, F.lit(0.5)).over(w).alias("med_cents"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q165_mixture_rebalance",
+    category="sampling",
+    oracle="""
+WITH c AS (SELECT source, count(*) AS n_orig FROM documents GROUP BY source),
+t AS (SELECT sum(n_orig) AS total, count(*) AS ns FROM c),
+r AS (
+  SELECT source, n_orig,
+         least(CAST(1.0 AS DOUBLE), (total / CAST(ns AS DOUBLE)) / n_orig) AS rate
+  FROM c, t
+),
+s AS (
+  SELECT d.source, count(*) AS n_sampled
+  FROM documents d JOIN r ON d.source = r.source
+  WHERE CAST(('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < r.rate
+  GROUP BY d.source
+)
+SELECT r.source,
+       CAST(r.n_orig AS BIGINT) AS n_orig,
+       CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM r LEFT JOIN s ON r.source = s.source
+ORDER BY r.source
+""",
+)
+def q165_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: downsample over-represented sources toward
+    a uniform per-source target (the data-mixing step that sets corpus
+    proportions before training). Per-source rates are computed from
+    one tiny aggregate (broadcast back — never a driver round-trip),
+    and membership is the portable md5 lottery, so the SAME documents
+    are kept on any engine or cluster size. The n_orig/n_sampled audit
+    is what a mixture spec review signs off on."""
+    d = load_table(spark, "documents", sf_dir)
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_orig"))
+    t = c.agg(F.sum("n_orig").alias("total"), F.count(F.lit(1)).alias("ns"))
+    r = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_orig",
+        F.least(
+            F.lit(1.0), (F.col("total") / F.col("ns").cast("double")) / F.col("n_orig")
+        ).alias("rate"),
+    )
+    u = word_hash32(F.col("doc_id").cast("string"), seed=13) / F.lit(4294967296.0)
+    s = (
+        d.join(F.broadcast(r.select("source", "rate")), "source")
+        .filter(u < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        r.join(s, "source", "left")
+        .select(
+            "source",
+            F.col("n_orig").cast("bigint").alias("n_orig"),
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint").alias("n_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q166_cdc_compaction",
+    category="cdc",
+    oracle="""
+WITH log AS (
+  SELECT o_custkey AS key, o_orderdate AS seq_ts, o_orderkey AS seq_id,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS new_bal_cents
+  FROM orders
+),
+latest AS (
+  SELECT key, op, new_bal_cents
+  FROM (SELECT *, row_number() OVER (PARTITION BY key
+                                     ORDER BY seq_ts DESC, seq_id DESC) AS rk
+        FROM log)
+  WHERE rk = 1
+),
+applied AS (
+  SELECT c.c_custkey AS key,
+         CASE WHEN l.key IS NULL THEN 'kept'
+              WHEN l.op = 'D'    THEN 'deleted'
+              ELSE 'updated' END AS status,
+         CASE WHEN l.key IS NULL THEN CAST(round(c.c_acctbal * 100, 0) AS BIGINT)
+              ELSE l.new_bal_cents END AS bal_cents
+  FROM customer c LEFT JOIN latest l ON c.c_custkey = l.key
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN status = 'deleted' THEN 0 ELSE bal_cents END) AS BIGINT)
+         AS surviving_cents
+FROM applied GROUP BY status ORDER BY status
+""",
+)
+def q166_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-changelog compaction + apply with delete tombstones: the
+    orders feed is read as a CDC log (latest op per customer wins;
+    o_orderkey % 10 == 0 rows are tombstones), compacted with one
+    per-key window, and applied to the customer snapshot. q90 covers
+    additive MERGE; this is the OTHER half of CDC — ordering and
+    deletes — which is exactly what log-compaction in a lakehouse
+    ingest does. Compaction and apply share the key, so AQE chains the
+    window shuffle into the join without a second wide exchange."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    log = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("seq_ts"),
+        F.col("o_orderkey").alias("seq_id"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("new_bal_cents"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("seq_ts").desc(), F.col("seq_id").desc())
+    latest = log.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    applied = c.join(latest, c.c_custkey == latest.key, "left").select(
+        F.when(F.col("key").isNull(), "kept")
+        .when(F.col("op") == "D", "deleted")
+        .otherwise("updated")
+        .alias("status"),
+        F.when(
+            F.col("key").isNull(), F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+        )
+        .otherwise(F.col("new_bal_cents"))
+        .alias("bal_cents"),
+    )
+    return (
+        applied.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("status") == "deleted", 0).otherwise(F.col("bal_cents")))
+            .cast("bigint")
+            .alias("surviving_cents"),
+        )
+        .orderBy("status")
+    )

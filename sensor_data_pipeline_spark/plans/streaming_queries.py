@@ -22,7 +22,7 @@ from sensor_data_pipeline_spark.streaming.pipelines import windowed_event_stats
 from sensor_data_pipeline_spark.streaming.stateful import sessionize_stream
 
 
-def _drain(stream_df: DataFrame, name: str, state_partitions: int = 8) -> DataFrame:
+def _drain(stream_df: DataFrame, name: str, state_partitions: int = 4) -> DataFrame:
     """Start → availableNow → stop, returning the memory sink.
 
     ``state_partitions`` pins the stateful-operator partition count for
