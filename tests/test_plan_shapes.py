@@ -267,3 +267,46 @@ def test_leakage_split_never_reads_text(spark):
     plan = plan_of(q153_leakage_free_split(spark, SF))
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_chunking_and_redaction_are_pure_maps(spark):
+    from sensor_data_pipeline_spark.plans.pipeline_v2 import (
+        q157_token_chunking,
+        q163_pii_redaction,
+    )
+
+    # a chunker/redactor touches every byte of the corpus; any exchange
+    # before the final presentation sort would shuffle 100 TB of text
+    for fn in (q157_token_chunking, q163_pii_redaction):
+        plan = plan_of(fn(spark, SF).drop("doc_id"))  # keep the build, not the orderBy
+        body = plan.split("Sort", 1)[-1]  # everything below the output sort
+        assert "Exchange hashpartitioning" not in body, plan[:800]
+
+
+def test_sequence_packing_no_single_partition_window(spark):
+    from sensor_data_pipeline_spark.plans.pipeline_v2 import q158_sequence_packing
+
+    plan = plan_of(q158_sequence_packing(spark, SF))
+    # the scan must be the two-pass range-partitioned prefix sum, never
+    # a global Window over one partition
+    assert "Exchange SinglePartition" not in plan or "Window" not in plan.split("Exchange SinglePartition")[1][:400]
+    assert "rangepartitioning" in plan
+
+
+def test_mixture_rebalance_broadcasts_rates(spark):
+    from sensor_data_pipeline_spark.plans.pipeline_v2 import q165_mixture_rebalance
+
+    # per-source rates are a tiny aggregate joined back by broadcast —
+    # the corpus side never shuffles on source for the membership filter
+    plan = plan_of(q165_mixture_rebalance(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cdc_compaction_single_exchange_chain(spark):
+    from sensor_data_pipeline_spark.plans.pipeline_v2 import q166_cdc_compaction
+
+    plan = plan_of(q166_cdc_compaction(spark, SF))
+    # compaction window and apply-join share the key; no cartesian, and
+    # the changelog shuffles on the key exactly once
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(key") <= 1, plan[:800]
