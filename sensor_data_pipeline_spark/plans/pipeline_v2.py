@@ -483,3 +483,182 @@ def q166_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+_DUCK_COSINE = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "q167_triangle_count",
+    category="dedup",
+    oracle=f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE {_DUCK_COSINE.format(a="a.v", b="b.v")} >= CAST(0.4 AS DOUBLE)
+),
+tri AS (
+  SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+  FROM pairs p1
+  JOIN pairs p2 ON p2.id_a = p1.id_b
+  JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+)
+SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT)                     AS n_triangles
+FROM tri
+""",
+)
+def q167_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the near-dup graph — the graph-density
+    audit that tells you whether near-dup clusters are cliques (true
+    duplicates) or chains (drifting text; lower triangle/edge ratio).
+    Edges enumerate a < b < c once via two ordered self-joins on the
+    (already tiny relative to the corpus) edge list; at scale this is
+    the standard two-shuffle sort-merge triangle join, never touching
+    the documents themselves."""
+    from sensor_data_pipeline_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = embedding_neardup_pairs(emb, threshold=0.4, exact=True).select("id_a", "id_b")
+    p1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    p2 = pairs.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
+    p3 = pairs.select(F.col("id_a").alias("a3"), F.col("id_b").alias("c3"))
+    tri = (
+        p1.join(p2, F.col("b") == F.col("b2"))
+        .join(p3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+    )
+    n_edges = pairs.count()
+    return tri.agg(
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles"),
+    )
+
+
+# count-min sketch geometry: 4 independent rows of 64 buckets
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+@register(
+    "q168_countmin_calibration",
+    category="sketch",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents
+),
+exact AS (SELECT w, count(*) AS true_cnt FROM tok GROUP BY w),
+hashed AS (
+  SELECT t.w, d.range AS i,
+         CAST(('0x' || substr(md5((100 + d.range) || ':' || t.w), 1, 8)) AS BIGINT)
+           % {CMS_WIDTH} AS bucket
+  FROM tok t, range(0, {CMS_DEPTH}) d
+),
+cms AS (SELECT i, bucket, count(*) AS cnt FROM hashed GROUP BY i, bucket),
+est AS (
+  SELECT h.w, min(cms.cnt) AS est_cnt
+  FROM (SELECT DISTINCT w, i, bucket FROM hashed) h
+  JOIN cms ON cms.i = h.i AND cms.bucket = h.bucket
+  GROUP BY h.w
+)
+SELECT CAST(count(*) AS BIGINT)                         AS n_words,
+       CAST(sum(CASE WHEN est_cnt = true_cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(max(est_cnt - true_cnt) AS BIGINT)          AS max_overestimate,
+       CAST(sum(est_cnt - true_cnt) AS BIGINT)          AS total_overestimate
+FROM est JOIN exact ON est.w = exact.w
+""",
+)
+def q168_countmin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch calibration: build a 4x64 CMS over the token
+    stream with the portable hash family, read back every word's
+    estimate (min over rows), and audit overestimation against exact
+    counts — the same est-vs-exact audit discipline as q86 (MinHash)
+    and q93 (IVF recall). CMS is THE mergeable frequency sketch for
+    100 TB streams: the 4x64 integer grid is map-side combinable,
+    mergeable across shards/days, and here it is computed exactly,
+    deterministically, on both engines (CMS never undercounts, so
+    max_overestimate >= 0 always)."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(F.explode(tokenize(F.col("text"))).alias("w"))
+    depths = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    hashed = tok.select(
+        "w",
+        F.explode(depths).alias("i"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("i") + 100, F.lit(":"), F.col("w"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(CMS_WIDTH),
+        ),
+    )
+    cms = hashed.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = tok.groupBy("w").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = (
+        hashed.dropDuplicates(["w", "i", "bucket"])
+        .join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy("w")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return est.join(exact, "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.when(F.col("est_cnt") == F.col("true_cnt"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.max(F.col("est_cnt") - F.col("true_cnt")).cast("bigint").alias("max_overestimate"),
+        F.sum(F.col("est_cnt") - F.col("true_cnt")).cast("bigint").alias("total_overestimate"),
+    )
+
+
+@register(
+    "q169_compaction_audit",
+    category="storage",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_files
+FROM documents
+GROUP BY source ORDER BY source
+""",
+)
+def q169_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction audit: rewrite the corpus partitioned by
+    source with a per-file record cap, then verify the produced layout
+    from the _metadata column — files per partition must be exactly
+    ceil(rows/cap). repartition("source") puts each source in ONE task
+    before the partitioned write, so the writer (not task scheduling)
+    determines file boundaries — the invariant that makes small-file
+    compaction jobs reproducible. The same audit run against an
+    UNcompacted layout is how a lakehouse finds directories needing
+    compaction."""
+    import re as _re
+
+    from sensor_data_pipeline_spark.sources.warehouse import SCRATCH
+
+    d = load_table(spark, "documents", sf_dir)
+    tag = _re.sub(r"[^A-Za-z0-9_]+", "_", sf_dir).strip("_")
+    path = f"{SCRATCH}/compaction/docs_{tag}"
+    (
+        d.repartition("source")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 100)
+        .partitionBy("source")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select("source", F.col("_metadata.file_path").alias("fp"))
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("fp").cast("bigint").alias("n_files"),
+        )
+        .orderBy("source")
+    )
