@@ -145,7 +145,10 @@ def q69_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by the watermark (old keys age out) — the streaming
     form of q40's batch dedup; the oracle is plain COUNT(DISTINCT)."""
     stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
-    deduped = stream.dropDuplicates(["event_id"])
+    # NOT dropDuplicates(): that variant keeps every key in state
+    # forever; WithinWatermark ages keys out once the watermark passes,
+    # which is what makes streaming dedup viable on an unbounded stream
+    deduped = stream.dropDuplicatesWithinWatermark(["event_id"])
     out = _drain(deduped, "q69_mem")
     return (
         out.groupBy("event_type")
