@@ -306,3 +306,108 @@ def q162_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_bucket")
     )
+
+
+@register(
+    "q170_stream_session_window",
+    category="streaming",
+    oracle="""
+WITH t AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 3600
+              THEN 1 ELSE 0 END AS brk,
+         event_id
+  FROM events
+),
+isl AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM t
+),
+sess AS (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL 1 HOUR AS session_end,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS sum_value
+  FROM isl GROUP BY user_id, sid
+),
+wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+SELECT user_id, session_start, session_end, n, sum_value
+FROM sess, wm
+WHERE session_end <= wm.w
+ORDER BY user_id, session_start
+""",
+)
+def q170_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE streaming session windows: session_window(ts, 1h) over
+    the watermarked stream, append mode — the built-in merging-session
+    state operator (vs q68's hand-rolled applyInPandasWithState).
+    Append emits exactly the sessions whose end (last event + gap)
+    closed at or below the final watermark; the oracle rebuilds gap
+    sessions relationally and applies that same cutoff — so the
+    differential check pins the session-merge semantics AND the
+    emission boundary. Session state is per-user and bounded by the
+    watermark, the shape that survives an unbounded stream."""
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    sess = (
+        stream.groupBy(F.session_window(F.col("ts"), "1 hour").alias("sw"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / 100.0).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n",
+            "sum_value",
+        )
+    )
+    out = _drain(sess, "q170_mem")
+    return out.orderBy("user_id", "session_start")
+
+
+@register(
+    "q171_stream_complete_topk",
+    category="streaming",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+ORDER BY n DESC, event_type
+LIMIT 5
+""",
+)
+def q171_stream_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-output-mode streaming aggregation (the K4 console-sink
+    shape as a declared query): a running top-k of event types where
+    every trigger re-emits the full result table. Complete mode is the
+    right choice exactly when the result is small (here: one row per
+    event type) while the input is unbounded — the memory-sink table
+    after the final batch must equal the batch aggregate, which is the
+    oracle. No watermark needed: complete mode never drops state."""
+    stream = _events_stream(spark, sf_dir)
+    counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    spark_ = stream.sparkSession
+    prev = spark_.conf.get("spark.sql.shuffle.partitions")
+    spark_.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("q171_mem")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark_.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark_.sql("SELECT * FROM q171_mem")
+        .orderBy(F.col("n").desc(), "event_type")
+        .limit(5)
+    )
