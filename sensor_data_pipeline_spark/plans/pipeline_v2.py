@@ -662,3 +662,92 @@ def q169_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# BPE-ish pre-tokenizer: contraction suffixes, space-prefixed letter
+# runs, digit runs, punctuation runs — the GPT-2 pattern family minus
+# lookaheads (Java regex and RE2 both run it identically)
+BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+BPE_PAT_SQL = BPE_PAT.replace("'", "''")  # SQL string-literal escaping
+
+
+@register(
+    "q172_bpe_token_count",
+    category="text",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_PAT_SQL}')) AS BIGINT) AS n_bpe,
+       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)   AS n_ws,
+       md5(array_to_string(list_slice(regexp_extract_all(text, '{BPE_PAT_SQL}'), 1, 32), chr(31)))
+         AS head_md5
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q172_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization count: the GPT-2 pre-tokenizer regex
+    family (contractions / space-prefixed word, number and punctuation
+    runs, lookaheads removed so Java regex and RE2 agree) next to the
+    whitespace count (q45) — the token-budget estimate a training
+    pipeline actually bills by, since whitespace undercounts punctuation
+    splits. Pure per-row codegen'd regex, no shuffle; the md5 of the
+    first 32 tokens pins the SPLIT POSITIONS across engines, not just
+    the count."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PAT), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe"),
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("n_ws"),
+        F.md5(F.array_join(F.slice(toks, 1, 32), "\x1f")).alias("head_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q173_corrupt_file_skip",
+    category="source",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang ORDER BY lang
+""",
+)
+def q173_corrupt_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family resilience at the FILE level: a scan directory holding
+    the real corpus plus a corrupt member (truncated bytes posing as
+    parquet — the shard a flaky writer leaves behind in any 100 TB
+    estate) must still serve the query. ignoreCorruptFiles is scoped to
+    this read (set/restore around the action) so the engine default
+    stays strict — silently skipping corrupt data is an OPT-IN per
+    scan, and the oracle proves the skip dropped only the corrupt file:
+    the aggregate equals the clean table's."""
+    import os
+    import re as _re
+
+    from sensor_data_pipeline_spark.sources.warehouse import SCRATCH
+
+    d = load_table(spark, "documents", sf_dir)
+    tag = _re.sub(r"[^A-Za-z0-9_]+", "_", sf_dir).strip("_")
+    path = f"{SCRATCH}/resilience/docs_{tag}"
+    d.write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not a parquet file")
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        back = (
+            spark.read.schema("doc_id long, text string, lang string, source string, n_chars long")
+            .parquet(path)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .orderBy("lang")
+        )
+        rows = back.collect()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+    return spark.createDataFrame(rows, schema=back.schema)
