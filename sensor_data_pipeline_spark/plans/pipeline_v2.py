@@ -751,3 +751,62 @@ def q173_corrupt_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
     return spark.createDataFrame(rows, schema=back.schema)
+
+
+@register(
+    "q174_filter_funnel",
+    category="corpus",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(text, '\\s+')) AS ntok,
+         len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS ndis,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS npunct,
+         length(text) AS nchar
+  FROM documents
+),
+gated AS (
+  SELECT CASE
+           WHEN ntok < 16                                   THEN '1_too_short'
+           WHEN npunct * 5 > nchar                          THEN '2_punct_heavy'
+           WHEN ndis * 10 < ntok * 3                        THEN '3_repetitive'
+           WHEN lang <> 'en'                                THEN '4_non_target_lang'
+           ELSE '5_accepted'
+         END AS stage
+  FROM feats
+)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_docs
+FROM gated GROUP BY stage ORDER BY stage
+""",
+)
+def q174_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel audit: the ordered gate cascade every
+    corpus cleaning pipeline runs (length -> punctuation density ->
+    repetition -> language), attributing each rejected document to the
+    FIRST gate it fails — the attrition report that tells you which
+    gate is eating your data before you ship a mixture. Ratio gates
+    compare integer cross-products (npunct*5 > nchar, not
+    npunct/nchar > 0.2) so no float ever enters the decision. One scan,
+    one tiny aggregation; every feature is a codegen'd expression."""
+    d = load_table(spark, "documents", sf_dir)
+    w = tokenize(F.col("text"))
+    feats = d.select(
+        "lang",
+        F.size(w).alias("ntok"),
+        F.size(F.array_distinct(w)).alias("ndis"),
+        F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")).alias("npunct"),
+        F.length("text").alias("nchar"),
+    )
+    stage = (
+        F.when(F.col("ntok") < 16, "1_too_short")
+        .when(F.col("npunct") * 5 > F.col("nchar"), "2_punct_heavy")
+        .when(F.col("ndis") * 10 < F.col("ntok") * 3, "3_repetitive")
+        .when(F.col("lang") != "en", "4_non_target_lang")
+        .otherwise("5_accepted")
+    )
+    return (
+        feats.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("stage")
+    )
