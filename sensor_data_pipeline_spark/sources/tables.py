@@ -29,7 +29,21 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # Timestamp columns are TIMESTAMP(MICROS) in every testdata footer,
     # so the parquet reader yields Spark timestamps directly — no
     # conversion layer between the scan and the plan.
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    #
+    # The resolved relation is cached ON the session (a catalog resolves
+    # a table once, not once per query): every spark.read.parquet call
+    # re-lists the path and re-reads footers (~80 ms plan-side), which
+    # across a 160-query suite is tens of seconds of pure re-resolution.
+    # DataFrames are immutable logical plans, so reuse is safe; keying
+    # the cache on the session object scopes it to that session's life.
+    cache = getattr(spark, "_sdp_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._sdp_table_cache = cache
+    key = (name, sf_dir)
+    if key not in cache:
+        cache[key] = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return cache[key]
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
