@@ -553,18 +553,21 @@ WITH tok AS (
   SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents
 ),
 exact AS (SELECT w, count(*) AS true_cnt FROM tok GROUP BY w),
-hashed AS (
-  SELECT t.w, d.range AS i,
-         CAST(('0x' || substr(md5((100 + d.range) || ':' || t.w), 1, 8)) AS BIGINT)
+vh AS (
+  SELECT e.w, d.range AS i,
+         CAST(('0x' || substr(md5((100 + d.range) || ':' || e.w), 1, 8)) AS BIGINT)
            % {CMS_WIDTH} AS bucket
-  FROM tok t, range(0, {CMS_DEPTH}) d
+  FROM exact e, range(0, {CMS_DEPTH}) d
 ),
-cms AS (SELECT i, bucket, count(*) AS cnt FROM hashed GROUP BY i, bucket),
+cms AS (
+  SELECT vh.i, vh.bucket, sum(e.true_cnt) AS cnt
+  FROM vh JOIN exact e ON vh.w = e.w
+  GROUP BY vh.i, vh.bucket
+),
 est AS (
-  SELECT h.w, min(cms.cnt) AS est_cnt
-  FROM (SELECT DISTINCT w, i, bucket FROM hashed) h
-  JOIN cms ON cms.i = h.i AND cms.bucket = h.bucket
-  GROUP BY h.w
+  SELECT vh.w, min(cms.cnt) AS est_cnt
+  FROM vh JOIN cms ON cms.i = vh.i AND cms.bucket = vh.bucket
+  GROUP BY vh.w
 )
 SELECT CAST(count(*) AS BIGINT)                         AS n_words,
        CAST(sum(CASE WHEN est_cnt = true_cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
@@ -586,10 +589,13 @@ def q168_countmin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     tok = d.select(F.explode(tokenize(F.col("text"))).alias("w"))
     depths = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
-    hashed = tok.select(
-        "w",
-        F.explode(depths).alias("i"),
-    ).withColumn(
+    # one word-count pass over the token stream, then everything else is
+    # vocab-sized: hash each DISTINCT word per depth (|V| x 4 md5 calls,
+    # not |tokens| x 4) and weight buckets by the exact counts — the
+    # occurrence-level sketch ingest and this formulation are identical
+    # by construction, but the md5 work drops by the corpus/vocab ratio
+    exact = tok.groupBy("w").agg(F.count(F.lit(1)).alias("true_cnt"))
+    vocab_hashed = exact.withColumn("i", F.explode(depths)).withColumn(
         "bucket",
         F.pmod(
             F.conv(
@@ -600,11 +606,9 @@ def q168_countmin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(CMS_WIDTH),
         ),
     )
-    cms = hashed.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    exact = tok.groupBy("w").agg(F.count(F.lit(1)).alias("true_cnt"))
+    cms = vocab_hashed.groupBy("i", "bucket").agg(F.sum("true_cnt").alias("cnt"))
     est = (
-        hashed.dropDuplicates(["w", "i", "bucket"])
-        .join(F.broadcast(cms), ["i", "bucket"])
+        vocab_hashed.join(F.broadcast(cms), ["i", "bucket"])
         .groupBy("w")
         .agg(F.min("cnt").alias("est_cnt"))
     )
