@@ -814,3 +814,94 @@ def q174_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("stage")
     )
+
+
+@register(
+    "q175_cdc_chunk_dedup",
+    category="dedup",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents)
+),
+tok AS (
+  SELECT doc_id, ws[pos] AS w, pos FROM s
+),
+flagged AS (
+  SELECT doc_id, w, pos,
+         CASE WHEN CAST(('0x' || substr(md5('29:' || w), 1, 8)) AS BIGINT) % 8 = 0
+              THEN 1 ELSE 0 END AS brk
+  FROM tok
+),
+chunked AS (
+  SELECT doc_id, w, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
+  FROM flagged
+),
+chunks AS (
+  SELECT doc_id, cid,
+         md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5,
+         CAST(count(*) AS BIGINT) AS chunk_toks
+  FROM chunked GROUP BY doc_id, cid
+),
+shared AS (
+  SELECT chunk_md5,
+         CAST(count(*) AS BIGINT) AS n_copies,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(max(chunk_toks) AS BIGINT) AS chunk_toks
+  FROM chunks GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) > 1
+)
+SELECT CAST((SELECT count(*) FROM chunks) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT)                      AS n_shared_chunks,
+       CAST(COALESCE(sum(n_copies), 0) AS BIGINT)    AS n_shared_copies,
+       CAST(COALESCE(sum(chunk_toks * (n_copies - 1)), 0) AS BIGINT) AS dup_tokens_removable
+FROM shared
+""",
+)
+def q175_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup: chunk boundaries fall where the
+    portable token hash hits 0 mod 8 (the word-granular analog of a
+    Rabin rolling-hash cut), so INSERTING text into a document shifts
+    chunk CONTENTS but not the boundaries elsewhere — exactly what
+    fixed-size blocks (q137) cannot do. Cross-document identical chunks
+    are then found by one hash groupBy, and dup_tokens_removable prices
+    the dedup win. Per-doc windows partition by doc_id (no global
+    window); the chunk table shuffles once on the chunk hash."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "w"))
+    flagged = tok.withColumn(
+        "brk",
+        F.when(F.pmod(word_hash32(F.col("w"), seed=29), F.lit(8)) == 0, 1).otherwise(0),
+    )
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = flagged.withColumn("cid", F.sum("brk").over(w_doc))
+    chunks = (
+        chunked.groupBy("doc_id", "cid")
+        .agg(
+            F.md5(F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("pos", "w"))).getField("w"))).alias("chunk_md5"),
+            F.count(F.lit(1)).cast("bigint").alias("chunk_toks"),
+        )
+    )
+    n_chunks = chunks.count()
+    shared = (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.max("chunk_toks").cast("bigint").alias("chunk_toks"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return shared.agg(
+        F.lit(n_chunks).cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_chunks"),
+        F.coalesce(F.sum("n_copies"), F.lit(0)).cast("bigint").alias("n_shared_copies"),
+        F.coalesce(F.sum(F.col("chunk_toks") * (F.col("n_copies") - 1)), F.lit(0))
+        .cast("bigint")
+        .alias("dup_tokens_removable"),
+    )
