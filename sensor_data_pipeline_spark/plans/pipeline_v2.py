@@ -905,3 +905,77 @@ def q175_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dup_tokens_removable"),
     )
+
+
+@register(
+    "q176_kmv_sketch_merge",
+    category="sketch",
+    oracle="""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         (user_id * 2654435761) % 2147483648 AS h
+  FROM events
+),
+per_group AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+),
+sketches AS (SELECT event_type, h FROM per_group WHERE rn <= 64),
+merged AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS rn
+  FROM (SELECT DISTINCT h FROM sketches)
+),
+kth AS (
+  SELECT CAST(max(h) AS BIGINT) AS h_k, CAST(count(*) AS BIGINT) AS k_used
+  FROM merged WHERE rn <= 64
+),
+exact AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+SELECT e.n_exact,
+       CAST((SELECT count(*) FROM sketches) AS BIGINT) AS n_sketch_rows,
+       k.h_k,
+       CASE WHEN k.k_used < 64 THEN CAST(k.k_used AS DOUBLE)
+            ELSE (64 - 1) * CAST(2147483648 AS DOUBLE) / k.h_k END AS est_distinct
+FROM exact e, kth k
+""",
+)
+def q176_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGE: build one 64-value sketch per event_type
+    (q156's per-group form), then merge the five sketches into a
+    global distinct-user estimate by keeping the 64 smallest of the
+    union — the property that makes per-shard/per-day sketches
+    composable without ever re-touching the raw data. The merge input
+    is k x groups rows (320 here; 320 on a thousand shards of 100 TB
+    too — that is the point), and the k-smallest-of-union-of-k-smallest
+    identity means the merged estimate EQUALS the single-pass global
+    sketch, which the exact count audits."""
+    e = load_table(spark, "events", sf_dir)
+    h = (F.col("user_id") * F.lit(2654435761)) % F.lit(2147483648)
+    hashed = e.select("event_type", h.alias("h")).distinct()
+    wg = Window.partitionBy("event_type").orderBy("h")
+    sketches = hashed.withColumn("rn", F.row_number().over(wg)).filter(F.col("rn") <= 64)
+    n_sketch_rows = sketches.count()
+    # merge: k smallest distinct hash values across all per-group sketches.
+    # The merge input is k*groups rows, so the single-partition sort is a
+    # constant-size reduction, not a data-sized global window.
+    wm = Window.orderBy("h")
+    merged = (
+        sketches.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= 64)
+        .agg(F.max("h").cast("bigint").alias("h_k"), F.count(F.lit(1)).cast("bigint").alias("k_used"))
+    )
+    exact = e.agg(F.count_distinct("user_id").cast("bigint").alias("n_exact"))
+    est = F.when(F.col("k_used") < 64, F.col("k_used").cast("double")).otherwise(
+        (64 - 1) * F.lit(2147483648.0) / F.col("h_k")
+    )
+    return (
+        exact.crossJoin(merged)
+        .select(
+            "n_exact",
+            F.lit(n_sketch_rows).cast("bigint").alias("n_sketch_rows"),
+            "h_k",
+            est.alias("est_distinct"),
+        )
+    )
