@@ -979,3 +979,75 @@ def q176_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             est.alias("est_distinct"),
         )
     )
+
+
+@register(
+    "q177_embedding_drift",
+    category="similarity",
+    oracle="""
+WITH s AS (
+  SELECT vec_id % 2 AS half, label, embedding AS v,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+),
+comp AS (
+  SELECT half, label, pos,
+         CAST(floor(CAST(v[pos] AS DOUBLE) * 1048576.0) AS BIGINT) AS c
+  FROM s
+),
+agg AS (
+  SELECT label, pos,
+         sum(CASE WHEN half = 0 THEN c ELSE 0 END) AS s0,
+         sum(CASE WHEN half = 1 THEN c ELSE 0 END) AS s1,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n0,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1
+  FROM comp GROUP BY label, pos
+)
+SELECT label,
+       CAST(min(n0) AS BIGINT) AS n0,
+       CAST(min(n1) AS BIGINT) AS n1,
+       CAST(sum(abs(s0 * n1 - s1 * n0)) AS BIGINT) AS drift_scaled
+FROM agg GROUP BY label ORDER BY label
+""",
+)
+def q177_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution drift monitor: per-label centroid shift
+    between two corpus halves (the refresh-vs-baseline comparison a
+    training pipeline runs when a new crawl lands). Everything is
+    EXACT integer arithmetic: components scale by floor(x * 2^20) —
+    the product of a float32 and a power of two is exact in doubles,
+    and floor is engine-unambiguous (unlike round-half), so the
+    per-dimension sums commute under any partial-aggregation order.
+    The drift statistic |s0*n1 - s1*n0| is the cross-multiplied
+    centroid difference, never a float division. One explode + one
+    (label, dim)-keyed aggregation, map-side combinable — the same
+    plan at 2k or 2B vectors."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    s = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "x"),
+    )
+    comp = s.select(
+        "half",
+        "label",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1048576.0).cast("bigint").alias("c"),
+    )
+    agg = comp.groupBy("label", "pos").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(0)).alias("s0"),
+        F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    return (
+        agg.groupBy("label")
+        .agg(
+            F.min("n0").cast("bigint").alias("n0"),
+            F.min("n1").cast("bigint").alias("n1"),
+            F.sum(F.abs(F.col("s0") * F.col("n1") - F.col("s1") * F.col("n0")))
+            .cast("bigint")
+            .alias("drift_scaled"),
+        )
+        .orderBy("label")
+    )
