@@ -1051,3 +1051,82 @@ def q177_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q178_median_twopass",
+    category="aggregation",
+    oracle="""
+WITH cents AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+),
+counts AS (SELECT c, count(*) AS n FROM cents GROUP BY c),
+scanned AS (
+  SELECT c, n, sum(n) OVER (ORDER BY c) AS cum FROM counts
+),
+tot AS (SELECT sum(n) AS total FROM counts)
+SELECT CAST((SELECT total FROM tot) AS BIGINT) AS n_rows,
+       CAST(min(c) AS BIGINT) AS median_cents
+FROM scanned, tot
+WHERE cum >= (total + 1) // 2
+""",
+)
+def q178_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global median by counting, not sorting: aggregate counts
+    per distinct value (one map-side-combinable shuffle, output sized
+    by CARDINALITY not row count), prefix-scan the counts with the
+    range-partitioned operator, and select the value whose cumulative
+    count crosses n/2. `ORDER BY value LIMIT/OFFSET` or a global
+    row_number would funnel 100 TB through one task; this plan's only
+    ordered structure is the distinct-value count table. Lower-median
+    convention ((n+1)//2) keeps the answer integer-exact."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = ev.select(F.round(F.col("value") * 100, 0).cast("bigint").alias("c"))
+    counts = cents.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+    scanned = global_running_sum(counts, "c", "n", out_col="cum")
+    total = counts.agg(F.sum("n").alias("total"))
+    k = (F.col("total") + 1) / 2  # lower median rank; cum/total are bigints
+    return (
+        scanned.crossJoin(F.broadcast(total))
+        .filter(F.col("cum") >= F.floor(k))
+        .agg(
+            F.max("total").cast("bigint").alias("n_rows"),
+            F.min("c").cast("bigint").alias("median_cents"),
+        )
+    )
+
+
+@register(
+    "q179_table_checksum",
+    category="audit",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(('0x' || substr(md5(
+              CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+              o_orderstatus || '|' || CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)
+            ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+FROM orders
+""",
+)
+def q179_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint: sum of a portable per-row
+    hash over the business columns — the anti-entropy check two
+    replicas (or a migration source/target) compare without moving
+    data. Addition commutes, so ANY partitioning/merge order yields
+    the same 8-byte digest, and the bigint sum of 32-bit hashes cannot
+    overflow below ~2^33 rows per partition aggregate. This is also
+    exactly how this repo's own oracle gate canonicalizes results —
+    the engine eating its own dog food as a declared operator."""
+    o = load_table(spark, "orders", sf_dir)
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(row_repr), 1, 8), 16, 10).cast("bigint")
+    return o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(h).cast("bigint").alias("checksum"),
+    )
