@@ -310,3 +310,34 @@ def test_cdc_compaction_single_exchange_chain(spark):
     # the changelog shuffles on the key exactly once
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning(key") <= 1, plan[:800]
+
+
+def test_cdc_chunking_no_global_window(spark):
+    from sensor_data_pipeline_spark.plans.pipeline_v2 import q175_cdc_chunk_dedup
+
+    plan = plan_of(q175_cdc_chunk_dedup(spark, SF))
+    # per-doc chunk windows partition by doc_id (hashpartitioning), and
+    # no cartesian anywhere; the final single-row agg is the only
+    # SinglePartition exchange allowed
+    assert "Window" in plan and "CartesianProduct" not in plan
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_median_twopass_no_data_sized_sort(spark):
+    from sensor_data_pipeline_spark.plans.pipeline_v2 import q178_median_twopass
+
+    plan = plan_of(q178_median_twopass(spark, SF))
+    # the only ordered structure is the distinct-value count table
+    # (rangepartitioning from the prefix scan); partial_count proves the
+    # value histogram combines map-side before any exchange
+    assert "rangepartitioning" in plan
+    assert "partial_count" in plan
+
+
+def test_checksum_partial_aggregates(spark):
+    from sensor_data_pipeline_spark.plans.pipeline_v2 import q179_table_checksum
+
+    plan = plan_of(q179_table_checksum(spark, SF))
+    # the commuting hash sum must combine map-side: one partial_sum per
+    # partition, one tiny final exchange
+    assert "partial_sum" in plan
