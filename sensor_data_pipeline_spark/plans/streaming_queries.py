@@ -411,3 +411,109 @@ def q171_stream_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "event_type")
         .limit(5)
     )
+
+
+@register(
+    "q180_stream_dlq_routing",
+    category="streaming",
+    oracle="""
+WITH tagged AS (
+  SELECT CASE WHEN event_id % 97 = 0 THEN 'dlq' ELSE 'main' END AS route,
+         event_type
+  FROM events
+)
+SELECT route, event_type, CAST(count(*) AS BIGINT) AS n
+FROM tagged GROUP BY route, event_type
+ORDER BY route, event_type
+""",
+)
+def q180_stream_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dead-letter routing end-to-end (E1/E2 as a LIVE
+    pipeline, not just a batch split): the event stream's JSON payload
+    is deterministically mangled for every 97th event, each micro-batch
+    parses with columnNameOfCorruptRecord and fans out inside ONE
+    foreachBatch write — corrupt rows land in the DLQ spool, good rows
+    in the main spool; the stream never dies (E1's recoverable-error
+    contract). The declared result re-reads BOTH spools and counts per
+    route, so the oracle checks the whole fanout: nothing dropped,
+    nothing double-written, corruption detected exactly where it was
+    injected."""
+    import os as _os
+
+    from sensor_data_pipeline_spark.functions.json_wire import route_corrupt
+    from sensor_data_pipeline_spark.sources.warehouse import SCRATCH
+
+    import re as _re
+    from pyspark.sql import types as T
+
+    tag = _re.sub(r"[^A-Za-z0-9_]+", "_", sf_dir).strip("_")
+    base = f"{SCRATCH}/dlq/{tag}"
+    main_dir, dlq_dir = f"{base}/main", f"{base}/dlq"
+    # fresh run: clear spools AND the checkpoint — a resumed checkpoint
+    # would (correctly) re-deliver nothing, which is the exactly-once
+    # property the poll-resume test pins; here we want the full replay
+    import shutil as _shutil
+
+    _shutil.rmtree(base, ignore_errors=True)
+    for p in (main_dir, dlq_dir):
+        _os.makedirs(p, exist_ok=True)
+
+    # wire payload: a JSON envelope per event, corrupted (truncated)
+    # for every 97th event id — the poison-pill shape a real queue sees
+    stream = _events_stream(spark, sf_dir)
+    envelope = F.to_json(F.struct("event_type", "value"))
+    payload = F.when(
+        F.col("event_id") % 97 == 0, F.concat(F.lit("{corrupt!"), envelope)
+    ).otherwise(envelope)
+    wired = stream.select(F.col("event_id"), payload.alias("payload"))
+
+    schema = T.StructType(
+        [T.StructField("event_type", T.StringType()), T.StructField("value", T.DoubleType())]
+    )
+
+    def fanout(batch_df, batch_id: int) -> None:
+        good, bad = route_corrupt(batch_df, "payload", schema)
+        # distributed writes, idempotent per (batch, route) directory —
+        # the two-topic analog of a queue's main/DLQ split; overwrite
+        # mode makes a replayed batch id converge instead of duplicate
+        good.select("event_id", "event_type").write.mode("overwrite").json(
+            f"{main_dir}/batch_{batch_id}"
+        )
+        bad.select("event_id").write.mode("overwrite").json(f"{dlq_dir}/batch_{batch_id}")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            wired.writeStream.foreachBatch(fanout)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    main = (
+        spark.read.schema("event_id long, event_type string")
+        .option("recursiveFileLookup", "true")
+        .json(main_dir)
+    )
+    dlq = (
+        spark.read.schema("event_id long")
+        .option("recursiveFileLookup", "true")
+        .json(dlq_dir)
+    )
+    # corrupt rows lost their parsed type; recover it by joining back to
+    # the batch table on event_id (audit-side enrichment, not pipeline-side)
+    from sensor_data_pipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, "events", sf_dir).select("event_id", "event_type")
+    main_tagged = main.select(F.lit("main").alias("route"), "event_type")
+    dlq_tagged = dlq.join(events, "event_id").select(F.lit("dlq").alias("route"), "event_type")
+    return (
+        main_tagged.unionByName(dlq_tagged)
+        .groupBy("route", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("route", "event_type")
+    )
