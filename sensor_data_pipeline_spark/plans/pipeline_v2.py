@@ -1,14 +1,26 @@
-"""Round-2 LLM-training-pipeline operators: context-window chunking,
-sequence packing, DSIR-style importance weighting, weighted reservoir
-sampling, ORC ingest fidelity, and a streaming left-outer join.
+"""Round-2 LLM-training-pipeline operators.
 
 These extend the north-star corpus toolchain (`plans/northstar.py`,
 `plans/corpus_quality.py`) with the remaining preprocessing steps a
 pretraining data pipeline runs between "deduped corpus" and "token
-shards": split documents into overlapping context windows, pack them
-into fixed-budget sequences, score them against a target distribution,
-and sample them by weight — each expressed as pure Catalyst plans (no
-Python in the hot path) with a DuckDB oracle.
+shards" — each expressed as pure Catalyst plans (no Python in the hot
+path) with a DuckDB oracle:
+
+- context-window chunking (q157) and sequence packing (q158);
+- DSIR-style importance weighting (q159), deterministic weighted
+  reservoir sampling (q160), mixture rebalancing (q165), and the
+  quality-filter funnel audit (q174);
+- span-level PII redaction (q163) and BPE-style pre-tokenizer
+  counts (q172);
+- CDC changelog compaction with tombstones (q166);
+- near-dup graph analytics: triangle counting (q167) and
+  content-defined chunk dedup (q175);
+- sketches: count-min calibration (q168), KMV sketch merge (q176);
+- exact-integer embedding drift monitoring (q177), counting-based
+  global median (q178), order-independent table checksums (q179);
+- storage/format fidelity: ORC roundtrip (q161), small-file
+  compaction audit (q169), corrupt-file skip resilience (q173);
+- plus an exact windowed median over event time (q164).
 
 Reference analog: the reference pipeline ends at MQTT publication
 (`src/modules/dd/producer.c`); these are the operators its data would
