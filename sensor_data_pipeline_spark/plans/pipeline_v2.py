@@ -1142,3 +1142,71 @@ def q179_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(h).cast("bigint").alias("checksum"),
     )
+
+
+@register(
+    "q181_interval_overlap_join",
+    category="join",
+    oracle="""
+WITH iv AS (
+  SELECT l_partkey AS pk,
+         l_orderkey * 8 + l_linenumber AS k,
+         date_diff('day', DATE '1992-01-01', l_shipdate) AS s,
+         date_diff('day', DATE '1992-01-01', l_shipdate)
+           + 1 + (l_orderkey * 7 + l_linenumber * 3) % 30 AS e
+  FROM lineitem WHERE l_partkey % 20 = 0
+)
+SELECT a.pk AS l_partkey,
+       CAST(count(*) AS BIGINT) AS n_overlap_pairs
+FROM iv a JOIN iv b
+  ON a.pk = b.pk AND a.k < b.k
+ AND a.s <= b.e AND b.s <= a.e
+GROUP BY a.pk
+ORDER BY l_partkey
+""",
+)
+def q181_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval OVERLAP join via grid bucketing — the third
+    member of the temporal-join family (as-of = nearest, q55 = point in
+    interval, this = interval x interval). Each transit interval
+    [shipdate, receiptdate] is replicated into the 32-day grid cells it
+    touches (bounded: TPC-H transit is <= 30 days, so <= 2 cells); pair
+    candidates form ONLY inside a (part, cell) bucket — the spatial-
+    join-via-grid pattern that replaces the oracle's quadratic theta
+    self-join with a linear equi-join shuffle. Pairs straddling two
+    shared cells are deduped by key before counting, so grid placement
+    never changes the answer."""
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_partkey") % 20 == 0)
+    # the reduced fixture schema has no l_receiptdate; transit length is
+    # derived deterministically (1..30 days), mirrored in the oracle
+    s = F.datediff(F.col("l_shipdate"), F.lit("1992-01-01"))
+    iv = li.select(
+        F.col("l_partkey").alias("pk"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k"),
+        s.alias("s"),
+        (s + 1 + (F.col("l_orderkey") * 7 + F.col("l_linenumber") * 3) % 30).alias("e"),
+    )
+    cells = iv.withColumn(
+        "cell", F.explode(F.sequence(F.floor(F.col("s") / 32), F.floor(F.col("e") / 32)))
+    )
+    a = cells.select(
+        F.col("pk"), F.col("cell"), F.col("k").alias("k_a"), F.col("s").alias("s_a"), F.col("e").alias("e_a")
+    )
+    b = cells.select(
+        F.col("pk"), F.col("cell"), F.col("k").alias("k_b"), F.col("s").alias("s_b"), F.col("e").alias("e_b")
+    )
+    pairs = (
+        a.join(b, ["pk", "cell"])
+        .filter(
+            (F.col("k_a") < F.col("k_b"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a"))
+        )
+        .select("pk", "k_a", "k_b")
+        .distinct()  # a pair sharing two grid cells must count once
+    )
+    return (
+        pairs.groupBy(F.col("pk").alias("l_partkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap_pairs"))
+        .orderBy("l_partkey")
+    )
