@@ -1210,3 +1210,61 @@ def q181_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap_pairs"))
         .orderBy("l_partkey")
     )
+
+
+@register(
+    "q182_zipf_slope",
+    category="text",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents
+),
+vocab AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, w) AS rk FROM vocab
+),
+pts AS (
+  SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+  FROM ranked WHERE rk <= 1000
+),
+sums AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+FROM sums
+""",
+)
+def q182_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf diagnostic: OLS slope of log-frequency vs log-rank over the
+    top-1000 vocabulary — natural text sits near -1, and a corpus that
+    drifts from its fitted slope after a pipeline change signals
+    skewed dedup or template contamination. The vocab count is one
+    map-side-combinable shuffle; the rank window sorts only the
+    frequency table; the regression is a single tiny aggregate rounded
+    to 4 dp on both engines (the q80/q159 float-determinism pattern)."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(F.explode(tokenize(F.col("text"))).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    wr = Window.orderBy(F.col("freq").desc(), "w")
+    ranked = vocab.withColumn("rk", F.row_number().over(wr)).filter(F.col("rk") <= 1000)
+    pts = ranked.select(
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 4).alias("zipf_slope"),
+    )
