@@ -341,3 +341,14 @@ def test_checksum_partial_aggregates(spark):
     # the commuting hash sum must combine map-side: one partial_sum per
     # partition, one tiny final exchange
     assert "partial_sum" in plan
+
+
+def test_interval_overlap_join_is_equi_join(spark):
+    from sensor_data_pipeline_spark.plans.pipeline_v2 import q181_interval_overlap_join
+
+    plan = plan_of(q181_interval_overlap_join(spark, SF))
+    # candidates form only inside (part, grid-cell) buckets: a real
+    # equi-join, never the oracle's quadratic theta join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
