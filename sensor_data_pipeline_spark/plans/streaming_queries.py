@@ -517,3 +517,52 @@ def q180_stream_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("route", "event_type")
     )
+
+
+@register(
+    "q183_stream_observe_audit",
+    category="streaming",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+""",
+)
+def q183_stream_observe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 observability as a DRIVER-CHECKED query: DataFrame.observe
+    rides the stream itself (named aggregates evaluated inside each
+    micro-batch, zero extra passes over the data), and the per-batch
+    observed metrics are read back from the query's progress log after
+    the availableNow drain. Summed across batches they must equal the
+    batch aggregate — so the oracle differentially pins that the
+    OBSERVED telemetry equals the TRUTH, which is the whole point of
+    an audit channel. This is how a 100 TB ingest watches itself:
+    counts/sums come from metrics, never from a second scan."""
+    from pyspark.sql import Observation  # noqa: F401  (batch twin; streaming uses named observe)
+
+    stream = _events_stream(spark, sf_dir)
+    observed = stream.observe(
+        "wire_audit",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("sum_cents"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            observed.writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        total_rows, total_cents = 0, 0
+        for p in q.recentProgress:
+            m = (p.get("observedMetrics") or {}).get("wire_audit")
+            if m is not None:
+                total_rows += m["n_rows"]
+                total_cents += m["sum_cents"]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.createDataFrame(
+        [(total_rows, total_cents)], schema="n_rows long, sum_cents long"
+    )
