@@ -1268,3 +1268,43 @@ def q182_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_points"),
         F.round(slope, 4).alias("zipf_slope"),
     )
+
+
+@register(
+    "q184_argmax_single_pass",
+    category="aggregation",
+    oracle="""
+WITH t AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+       CAST(max(cents) AS BIGINT) AS max_cents,
+       CAST(arg_max(event_id, cents * 1099511627776 + event_id) AS BIGINT)
+         AS argmax_event
+FROM t GROUP BY event_type ORDER BY event_type
+""",
+)
+def q184_argmax_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass argmax: max_by/arg_max is a PARTIAL-AGGREGABLE
+    reduction — each map task keeps one candidate per group and the
+    shuffle moves one row per (task, group), where q119's window form
+    must shuffle every aggregate row before ranking. The ordering key
+    composes (cents << 40) + event_id so ties are broken by the larger
+    event_id DETERMINISTICALLY on both engines (bare max_by on a tied
+    key is engine- and order-dependent — the trap this query's oracle
+    would catch). The composed key stays far below 2^63 for any scale
+    factor whose event_id fits 40 bits."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    t = ev.select("event_type", "event_id", cents.alias("cents"))
+    key = F.col("cents") * F.lit(1099511627776) + F.col("event_id")
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.max("cents").cast("bigint").alias("max_cents"),
+            F.max_by("event_id", key).cast("bigint").alias("argmax_event"),
+        )
+        .orderBy("event_type")
+    )
