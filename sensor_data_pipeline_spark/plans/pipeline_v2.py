@@ -1308,3 +1308,46 @@ def q184_argmax_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q185_dup_provenance_matrix",
+    category="dedup",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, md5(substr(text, 1, 64)) AS f, source FROM documents
+),
+pairs AS (
+  SELECT least(a.source, b.source)    AS source_a,
+         greatest(a.source, b.source) AS source_b
+  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+FROM pairs GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+""",
+)
+def q185_dup_provenance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-provenance matrix: which SOURCE PAIRS share the same
+    document OPENING (64-char prefix fingerprint — the boilerplate/
+    template detector; the fixture has no byte-identical full texts,
+    and a full-text key degenerates to an empty audit) — the forensic
+    view behind a dedup report ("mirror sites", "the same dump
+    ingested twice", "intra-source boilerplate"). The self-join runs
+    on the fingerprint key, so pair generation is bounded by
+    duplicate-group sizes, never a corpus cross-join; the symmetric
+    (least, greatest) fold halves the matrix deterministically."""
+    d = load_table(spark, "documents", sf_dir)
+    fp = d.select("doc_id", F.md5(F.substring("text", 1, 64)).alias("f"), "source")
+    a = fp.select(F.col("f"), F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    b = fp.select(F.col("f"), F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    pairs = a.join(b, "f").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )
