@@ -1351,3 +1351,102 @@ def q185_dup_provenance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "q186_char_trigram_profile",
+    category="text",
+    oracle="""
+WITH s AS (
+  SELECT lang, lower(text) AS t, unnest(range(1, length(text) - 1)) AS i
+  FROM documents
+),
+tri AS (
+  SELECT lang, substr(t, i, 3) AS g FROM s
+),
+counted AS (
+  SELECT lang, g, count(*) AS n FROM tri GROUP BY lang, g
+),
+ranked AS (
+  SELECT lang, g, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, g) AS rk
+  FROM counted
+)
+SELECT lang, CAST(rk AS BIGINT) AS rk, g, CAST(n AS BIGINT) AS n
+FROM ranked WHERE rk <= 5
+ORDER BY lang, rk
+""",
+)
+def q186_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-trigram profile (top-5): the TRAINING
+    side of n-gram language ID — q47 scores documents against known
+    profiles, this builds the profiles from labeled data. Trigrams
+    come from `sequence` + `substring` (codegen'd, no Python); the
+    count is one map-side-combinable shuffle keyed (lang, gram) and
+    the rank window sorts only the per-language gram table. Ties break
+    on the gram itself, so the profile is engine-independent."""
+    d = load_table(spark, "documents", sf_dir)
+    s = d.select(
+        "lang",
+        F.lower(F.col("text")).alias("t"),
+        F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"),
+    )
+    tri = s.select("lang", F.expr("substr(t, i, 3)").alias("g"))
+    counted = tri.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "g")
+    return (
+        counted.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "rk", "g", F.col("n").cast("bigint"))
+        .orderBy("lang", "rk")
+    )
+
+
+@register(
+    "q187_wilson_quality_gate",
+    category="corpus",
+    oracle="""
+WITH feats AS (
+  SELECT source,
+         CASE WHEN len(regexp_split_to_array(text, '\\s+')) >= 16
+               AND length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 5
+                   <= length(text)
+              THEN 1 ELSE 0 END AS ok
+  FROM documents
+),
+rates AS (
+  SELECT source, CAST(sum(ok) AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n
+  FROM feats GROUP BY source
+)
+SELECT source, k, n,
+       ((k / CAST(n AS DOUBLE)) + 1.9208 / n
+         - 1.96 * sqrt(((k / CAST(n AS DOUBLE)) * (1 - k / CAST(n AS DOUBLE)) + 0.9604 / n) / n))
+         / (1 + 3.8416 / n) AS wilson_lower
+FROM rates
+ORDER BY source
+""",
+)
+def q187_wilson_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source ranking by Wilson lower confidence bound on the pass
+    rate of a quality gate — the small-sample-corrected score that
+    stops a 3-for-3 source outranking a 9,500-for-10,000 one. The
+    bound is a closed-form expression of the integer (k, n) pair using
+    only IEEE-correctly-rounded ops (+,-,*,/,sqrt), so both engines
+    produce bit-identical doubles with NO rounding crutch — the gate
+    arithmetic itself is the differential test. One scan, one tiny
+    aggregation."""
+    d = load_table(spark, "documents", sf_dir)
+    w = tokenize(F.col("text"))
+    ok = (
+        (F.size(w) >= 16)
+        & (F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")) * 5 <= F.length("text"))
+    ).cast("int")
+    rates = d.select("source", ok.alias("ok")).groupBy("source").agg(
+        F.sum("ok").cast("bigint").alias("k"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    p = F.col("k") / F.col("n").cast("double")
+    z2, z = 3.8416, 1.96
+    wilson = (p + (z2 / 2) / F.col("n") - z * F.sqrt((p * (1 - p) + (z2 / 4) / F.col("n")) / F.col("n"))) / (
+        1 + z2 / F.col("n")
+    )
+    return rates.select("source", "k", "n", wilson.alias("wilson_lower")).orderBy("source")
