@@ -1450,3 +1450,87 @@ def q187_wilson_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         1 + z2 / F.col("n")
     )
     return rates.select("source", "k", "n", wilson.alias("wilson_lower")).orderBy("source")
+
+
+@register(
+    "q188_schema_drift_audit",
+    category="storage",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT)  AS n_rows,
+       CAST(count(*) FILTER (WHERE source IS NOT NULL) AS BIGINT) AS n_with_source,
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_chars
+FROM (
+  SELECT lang, source, n_chars FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT lang, NULL AS source, n_chars FROM documents WHERE doc_id % 2 = 1
+)
+GROUP BY lang ORDER BY lang
+""",
+)
+def q188_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift ON DISK: two generations of a feed land in one
+    directory — generation A with the full schema, generation B
+    written BEFORE the `source` column existed — and a mergeSchema
+    read must serve the union with nulls where history has no answer.
+    q126 pins in-memory unionByName evolution; this pins the parquet-
+    footer merge path (the one a 100 TB lake actually exercises,
+    since old files are never rewritten). The per-column null audit is
+    the drift report a feed owner reads."""
+    import re as _re
+
+    from sensor_data_pipeline_spark.sources.warehouse import SCRATCH
+
+    d = load_table(spark, "documents", sf_dir)
+    tag = _re.sub(r"[^A-Za-z0-9_]+", "_", sf_dir).strip("_")
+    path = f"{SCRATCH}/drift/docs_{tag}"
+    gen_a = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "source", "n_chars")
+    gen_b = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars")
+    gen_a.write.mode("overwrite").parquet(f"{path}/gen=a")
+    gen_b.write.mode("overwrite").parquet(f"{path}/gen=b")
+    back = spark.read.option("mergeSchema", "true").option("recursiveFileLookup", "true").parquet(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("source").cast("bigint").alias("n_with_source"),
+            F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q189_log2_histogram",
+    category="aggregation",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE value > 0
+)
+SELECT event_type,
+       CAST(length(bin(cents)) AS BIGINT) AS log2_bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM c GROUP BY event_type, log2_bin
+ORDER BY event_type, log2_bin
+""",
+)
+def q189_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (log-scale) histogram with EXACT integer binning:
+    the bin is the bit length of the integer value — computed as the
+    length of its binary-string representation, never floor(ln(x)/
+    ln(2)), whose not-correctly-rounded libm logs flip bins at exact
+    powers of two differently per engine. Log-scale histograms are the
+    right shape for long-tailed size/latency columns, and this one is
+    a single map-side-combinable aggregation."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value") > 0)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    log2_bin = F.length(F.conv(cents, 10, 2)).cast("bigint")
+    return (
+        ev.select("event_type", log2_bin.alias("log2_bin"))
+        .groupBy("event_type", "log2_bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("event_type", "log2_bin")
+    )
