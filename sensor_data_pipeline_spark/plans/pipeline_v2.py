@@ -1534,3 +1534,53 @@ def q189_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("event_type", "log2_bin")
     )
+
+
+@register(
+    "q190_group_quantiles_by_counting",
+    category="aggregation",
+    oracle="""
+WITH counts AS (
+  SELECT source, n_chars AS c, count(*) AS n
+  FROM documents GROUP BY source, n_chars
+),
+scanned AS (
+  SELECT source, c, n,
+         sum(n) OVER (PARTITION BY source ORDER BY c) AS cum,
+         sum(n) OVER (PARTITION BY source) AS tot
+  FROM counts
+)
+SELECT source,
+       CAST(min(tot) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN cum >= ceil(0.5 * tot)  THEN c END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum >= ceil(0.9 * tot)  THEN c END) AS BIGINT) AS p90,
+       CAST(min(CASE WHEN cum >= ceil(0.99 * tot) THEN c END) AS BIGINT) AS p99
+FROM scanned GROUP BY source ORDER BY source
+""",
+)
+def q190_group_quantiles_by_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile grid (p50/p90/p99, lower-quantile) by
+    counting — the q178 selection generalized to a grid: the shuffle
+    carries one row per DISTINCT (group, value), the cumulative window
+    runs over that cardinality-sized table partitioned by group, and
+    each quantile is a conditional-min over the scan. Built-in
+    `percentile` (q60) buffers every raw value per group; this shape's
+    state is bounded by value cardinality — the difference between
+    fitting and not fitting at 100 TB on a skewed long-tail column."""
+    d = load_table(spark, "documents", sf_dir)
+    counts = d.groupBy("source", F.col("n_chars").alias("c")).agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.partitionBy("source").orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy("source")
+    scanned = counts.withColumn("cum", F.sum("n").over(wc)).withColumn("tot", F.sum("n").over(wt))
+    def q_at(p: float):
+        return F.min(F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("tot")), F.col("c"))).cast("bigint")
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.min("tot").cast("bigint").alias("n_docs"),
+            q_at(0.5).alias("p50"),
+            q_at(0.9).alias("p90"),
+            q_at(0.99).alias("p99"),
+        )
+        .orderBy("source")
+    )
