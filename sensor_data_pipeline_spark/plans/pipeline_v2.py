@@ -247,7 +247,7 @@ def q160_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q161_orc_roundtrip",
-    category="json",
+    category="storage",
     oracle="""
 SELECT lang, source,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -328,7 +328,7 @@ def q163_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id,
        CAST(user_id AS BIGINT) AS user_id,
        quantile_cont(CAST(round(value * 100, 0) AS BIGINT), 0.5)
-         OVER (PARTITION BY user_id ORDER BY epoch(ts)
+         OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS med_cents
 FROM events
 WHERE user_id < 64

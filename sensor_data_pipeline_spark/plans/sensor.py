@@ -525,8 +525,8 @@ r AS (
 )
 SELECT device,
        count(*) AS n_ticks,
-       sum(CAST(180 + base % 150 AS BIGINT)) AS sum_temp_deci,
-       sum(CAST(180 + base % 150 AS BIGINT)) / CAST(10.0 * count(*) AS DOUBLE) AS avg_temp_c,
+       CAST(sum(180 + base % 150) AS BIGINT) AS sum_temp_deci,
+       CAST(sum(180 + base % 150) AS BIGINT) / CAST(10.0 * count(*) AS DOUBLE) AS avg_temp_c,
        min(CAST(40.0 AS DOUBLE) + ((base * 31) % 400) / CAST(10.0 AS DOUBLE)) AS min_rh,
        max(CAST(40.0 AS DOUBLE) + ((base * 31) % 400) / CAST(10.0 AS DOUBLE)) AS max_rh
 FROM r

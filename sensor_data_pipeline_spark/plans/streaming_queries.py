@@ -537,8 +537,11 @@ def q183_stream_observe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch aggregate — so the oracle differentially pins that the
     OBSERVED telemetry equals the TRUTH, which is the whole point of
     an audit channel. This is how a 100 TB ingest watches itself:
-    counts/sums come from metrics, never from a second scan."""
-    from pyspark.sql import Observation  # noqa: F401  (batch twin; streaming uses named observe)
+    counts/sums come from metrics, never from a second scan. Metrics
+    are collected via a StreamingQueryListener (sees every batch
+    exactly once) rather than recentProgress, whose 100-entry ring
+    buffer would silently undercount a drain of >100 micro-batches."""
+    from sensor_data_pipeline_spark.streaming.listener import ObservedMetricsListener
 
     stream = _events_stream(spark, sf_dir)
     observed = stream.observe(
@@ -548,6 +551,8 @@ def q183_stream_observe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    listener = ObservedMetricsListener("wire_audit")
+    spark.streams.addListener(listener)
     try:
         q = (
             observed.writeStream.format("noop")
@@ -555,13 +560,14 @@ def q183_stream_observe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        total_rows, total_cents = 0, 0
-        for p in q.recentProgress:
-            m = (p.get("observedMetrics") or {}).get("wire_audit")
-            if m is not None:
-                total_rows += m["n_rows"]
-                total_cents += m["sum_cents"]
+        last = q.lastProgress
+        if last is not None:
+            listener.wait_for_batch(str(q.id), last["batchId"])
+        totals = listener.totals(str(q.id))
+        total_rows = int(totals.get("n_rows", 0))
+        total_cents = int(totals.get("sum_cents", 0))
     finally:
+        spark.streams.removeListener(listener)
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.createDataFrame(
         [(total_rows, total_cents)], schema="n_rows long, sum_cents long"
