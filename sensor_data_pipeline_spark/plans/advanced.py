@@ -258,23 +258,52 @@ def q61_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q62_approx_aggs",
     category="aggregation",
-    # HLL / GK-sketch outputs are engine-specific by design; the
-    # rows-only check plus tests/test_advanced.py's error-bound
-    # invariants (vs exact counts) cover this one.
-    oracle=None,
+    # HLL / GK-sketch raw outputs are engine-specific, so the query
+    # emits the sketch values only as SELF-AUDIT booleans (the q93
+    # recall-audit pattern): the exact aggregates hash-check against
+    # DuckDB, and the booleans assert the sketch error bounds hold —
+    # TRUE is the contract, so the oracle states it literally.
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_within_10pct,
+       TRUE AS gk_within_rank_tol
+FROM events GROUP BY event_type ORDER BY event_type
+""",
 )
 def q62_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB interactive profiling:
     approx_count_distinct (HLL++) and percentile_approx (GK) — exact
     twins cost a full shuffle of the distinct sets; sketches are one
-    pass, mergeable, constant memory."""
+    pass, mergeable, constant memory. Because sketch values are
+    engine-specific (and GK merge order varies with partitioning), the
+    output exposes them as error-bound booleans audited against the
+    exact aggregates computed in the same pass: HLL at rsd=0.02 must
+    land within 10% of the exact distinct count, and the approximate
+    median must fall between the exact 0.45 and 0.55 quantiles (GK
+    rank-error guarantee n/accuracy = 0.1% of rows)."""
     ev = load_table(spark, "events", sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 1000).alias("approx_median_value"),
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("exact_users"),
+        F.percentile(F.col("value"), F.lit(0.45)).alias("p45"),
+        F.percentile(F.col("value"), F.lit(0.55)).alias("p55"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
     return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            F.percentile_approx("value", 0.5, 1000).alias("approx_median_value"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
+        agg.select(
+            "event_type",
+            "n",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.10 * F.col("exact_users")
+            ).alias("hll_within_10pct"),
+            F.col("approx_median_value").between(F.col("p45"), F.col("p55")).alias(
+                "gk_within_rank_tol"
+            ),
         )
         .orderBy("event_type")
     )

@@ -140,14 +140,46 @@ def q53_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q54_audio_features",
     category="multimodal",
-    # Byte-level statistics over blob payloads are not expressible in
-    # portable SQL (DuckDB has no blob-to-byte-list unnest); the driver
-    # records the rows-only check and tests/test_multimodal.py pins the
-    # exact values on a hand-built clip.
-    oracle=None,
+    # The payload is the UTF-8 text cycled/truncated to the
+    # deterministic length (operators/multimodal.py:_meta_from_id), and
+    # the fixture text is pure ASCII — so byte values equal per-char
+    # code points and the blob statistics are recomputable relationally:
+    # total = full_cycles * sum(chars) + sum(first rem chars). Sums stay
+    # integer until one final division/sqrt, so doubles are bit-exact
+    # across engines (both are single correctly-rounded IEEE ops).
+    oracle="""
+WITH a AS (
+  SELECT doc_id, text, length(text) AS L, 256 + doc_id % 1024 AS plen
+  FROM documents WHERE doc_id % 3 = 1
+),
+chars AS (
+  SELECT doc_id, plen, L, pos,
+         ord(substr(text, CAST(pos AS INT), 1)) AS v,
+         plen % L AS rem
+  FROM a, unnest(range(1, L + 1)) AS t(pos)
+),
+s AS (
+  SELECT doc_id,
+         any_value(plen) AS plen,
+         any_value(L) AS L,
+         sum(v) AS sum_all, sum(v * v) AS sumsq_all,
+         sum(CASE WHEN pos <= rem THEN v ELSE 0 END) AS sum_rem,
+         sum(CASE WHEN pos <= rem THEN v * v ELSE 0 END) AS sumsq_rem
+  FROM chars GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+       CAST(plen AS BIGINT) AS n_bytes,
+       ((plen // L) * sum_all + sum_rem) / CAST(plen AS DOUBLE) AS mean_byte,
+       sqrt(((plen // L) * sumsq_all + sumsq_rem) / CAST(plen AS DOUBLE)) AS rms_byte
+FROM s ORDER BY media_id
+""",
 )
 def q54_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched per-clip byte statistics (mean/RMS) over audio
-    payloads — the feature-extract stage shape for real waveforms."""
+    payloads — the feature-extract stage shape for real waveforms. The
+    oracle recomputes every byte statistic from the container's
+    generative formula (cycled ASCII text), turning the former
+    rows-only check into a full value-hash audit of encode + decode +
+    feature extraction end-to-end."""
     docs = load_table(spark, "documents", sf_dir)
     return audio_features(synthesize_media(docs)).orderBy("media_id")

@@ -103,15 +103,39 @@ def q67_stream_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q68_stream_sessionize",
     category="streaming",
-    # keyed applyInPandasWithState across micro-batches is not
-    # SQL-expressible; batch twins q26/q27 carry the oracle for the
-    # same arithmetic, tests pin the state semantics.
-    oracle=None,
+    # The per-key state machine (applyInPandasWithState) is replayed
+    # relationally: a session starts whenever last_sign * sign <= 0
+    # (module_rpi_ups_hat.c:253-258), so per-key session count =
+    # running sum of boundary flags. Valid because the fixture has no
+    # (user_id, ts) ties and the single-file source drains as one
+    # micro-batch, so the stream processes each key in global ts order
+    # — the same order the window below imposes.
+    oracle="""
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, ts, event_id,
+         CASE WHEN value - 50.0 > 0 THEN 1
+              WHEN value - 50.0 < 0 THEN -1 ELSE 0 END AS sgn
+  FROM events WHERE user_id < 32
+),
+b AS (
+  SELECT k,
+         CASE WHEN lag(sgn) OVER (PARTITION BY k ORDER BY ts, event_id) IS NULL
+                OR lag(sgn) OVER (PARTITION BY k ORDER BY ts, event_id) * sgn <= 0
+              THEN 1 ELSE 0 END AS brk
+  FROM t
+)
+SELECT k,
+       CAST(sum(brk) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM b GROUP BY k ORDER BY k
+""",
 )
 def q68_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-flip sessionization running as a real streaming query with
     per-key state: events keyed by user bucket, `value` as the signed
-    signal, drained via availableNow."""
+    signal, drained via availableNow. The oracle replays the state
+    machine with a lag window (new session iff last_sign*sign <= 0),
+    upgrading this from a rows-only check to a full value-hash audit."""
     stream = _events_stream(spark, sf_dir).filter(F.col("user_id") < 32)
     readings = stream.select(
         F.col("user_id").cast("string").alias("k"),

@@ -53,9 +53,10 @@ def test_driver_adapter_exposes_registry():
     assert set(qs) == set(REGISTRY)
     assert set(os_) == {n for n, s in REGISTRY.items() if s.oracle is not None}
     rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
-    # the rows-only set is deliberate and documented — it must not grow
-    # silently
-    assert rows_only == {"q54_audio_features", "q62_approx_aggs", "q68_stream_sessionize"}, rows_only
+    # every declared query now carries a full value-hash oracle (the
+    # former rows-only trio q54/q62/q68 was upgraded to deterministic
+    # self-audits in round 3) — this must not regress
+    assert rows_only == set(), rows_only
 
 
 def test_driver_window_spans_all_families():
