@@ -452,7 +452,7 @@ def q65_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        CAST(sum(len(regexp_extract_all(props, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS n_subtokens,
-       sum(CASE event_type WHEN 'purchase' THEN 5.0 WHEN 'click' THEN 1.0 ELSE 0.5 END) AS weight_total
+       sum(CAST(CASE event_type WHEN 'purchase' THEN 5.0 WHEN 'click' THEN 1.0 ELSE 0.5 END AS DOUBLE)) AS weight_total
 FROM events GROUP BY event_type ORDER BY event_type
 """,
 )
@@ -884,7 +884,7 @@ def q95_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH hourly AS (
   SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hour,
-         sum(CAST(round(value * 100, 0) AS BIGINT)) AS v_cents
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_cents
   FROM events WHERE user_id < 8 GROUP BY 1, 2
 ),
 spine AS (

@@ -663,8 +663,8 @@ r AS (
 )
 SELECT place,
        CAST(count(*) AS BIGINT) AS n_obs,
-       sum(CAST(100 + k AS BIGINT)) AS sum_deci,
-       sum(CAST(100 + k AS BIGINT)) / CAST(10.0 * count(*) AS DOUBLE) AS avg_reading,
+       CAST(sum(100 + k) AS BIGINT) AS sum_deci,
+       CAST(sum(100 + k) AS BIGINT) / CAST(10.0 * count(*) AS DOUBLE) AS avg_reading,
        min(reading) AS min_reading,
        max(reading) AS max_reading
 FROM r

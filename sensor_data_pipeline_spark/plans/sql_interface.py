@@ -45,7 +45,7 @@ ranked AS (
 SELECT o_orderpriority,
        count(*) AS n_top,
        sum(rev_scaled) / CAST(10000.0 AS DOUBLE) AS top_revenue,
-       sum(CASE WHEN n_lines >= 4 THEN 1 ELSE 0 END) AS n_wide_orders
+       CAST(sum(CASE WHEN n_lines >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_wide_orders
 FROM ranked
 WHERE rk <= 100
 GROUP BY o_orderpriority

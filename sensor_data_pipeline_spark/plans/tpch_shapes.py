@@ -771,9 +771,9 @@ def q143_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 180 THEN 'late'
             WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 60  THEN 'slow'
             ELSE 'ontime' END AS latency_class,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
          AS high_line_count,
-       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
          AS low_line_count
 FROM orders o
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey

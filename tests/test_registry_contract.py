@@ -75,3 +75,29 @@ def test_driver_window_spans_all_families():
         "time", "join", "window", "aggregation", "udf", "functions",
     ):
         assert family in cats, f"driver window misses family {family!r}"
+
+
+def test_no_hugeint_leaks_in_oracle_schemas():
+    """The q114 bug class: DuckDB's sum() over BIGINT returns HUGEINT,
+    which exports through Arrow as decimal128(38,0) while Spark emits
+    int64 — the driver's value-hash then mismatches even when every
+    value is identical. Guard: execute EVERY oracle at sf0.001 and
+    assert no decimal128(38,0) column survives (integer aggregates must
+    be outer-wrapped in CAST(... AS BIGINT)). Fractional decimals with
+    scale > 0 are allowed — they arise from intentional decimal-exact
+    queries (q99) and hash-match Spark's decimal/double output."""
+    import pyarrow as pa
+
+    from tools.compare_oracle import duck_conn
+
+    con = duck_conn("/root/testdata/sf0.001")
+    leaks = []
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        schema = con.execute(spec.oracle).arrow().schema
+        for f in schema:
+            if pa.types.is_decimal(f.type) and f.type.scale == 0:
+                leaks.append((name, f.name, str(f.type)))
+    con.close()
+    assert not leaks, f"HUGEINT/decimal-scale-0 leaked into oracle output: {leaks}"
