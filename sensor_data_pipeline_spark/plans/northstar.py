@@ -883,3 +883,78 @@ def q86_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "q191_banded_dedup_clusters",
+    category="dedup",
+    oracle=f"""
+WITH RECURSIVE emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, embedding AS raw
+  FROM embeddings
+),
+exact_pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ({_BAND_MATCH_SQL}) AS candidate
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE {_DUCK_COSINE.format(a="a.v", b="b.v")} >= CAST(0.4 AS DOUBLE)
+),
+bedges AS (SELECT id_a AS src, id_b AS dst FROM exact_pairs WHERE candidate
+           UNION SELECT id_b, id_a FROM exact_pairs WHERE candidate),
+eedges AS (SELECT id_a AS src, id_b AS dst FROM exact_pairs
+           UNION SELECT id_b, id_a FROM exact_pairs),
+breach AS (SELECT src AS node, src AS r FROM bedges
+           UNION SELECT e.dst AS node, breach.r FROM breach JOIN bedges e ON e.src = breach.node),
+ereach AS (SELECT src AS node, src AS r FROM eedges
+           UNION SELECT e.dst AS node, ereach.r FROM ereach JOIN eedges e ON e.src = ereach.node),
+bclust AS (SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id FROM breach GROUP BY node),
+eclust AS (SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS exact_label FROM ereach GROUP BY node)
+SELECT b.cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(e.exact_label) AS BIGINT) AS exact_cluster_id,
+       (min(e.exact_label) = max(e.exact_label)) AS within_one_exact_cluster
+FROM bclust b JOIN eclust e ON e.vec_id = b.vec_id
+GROUP BY b.cluster_id
+ORDER BY b.cluster_id
+""",
+)
+def q191_banded_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB near-dup pipeline END-TO-END with its default scale
+    path: banded sign-LSH pre-blocked pair generation
+    (embedding_neardup_pairs, never all-pairs) feeding connected
+    components (dedup_components min-label) — candidate generation,
+    clustering, and representative election as ONE declared query.
+
+    The audit rides along: banded edges are a subset of exact edges
+    (banding only prunes), so every banded cluster must sit inside
+    exactly one exact-path component. Each output row carries that
+    containing exact component id and the boolean stating containment
+    held — the oracle recomputes both closures (recursive SQL) from
+    the raw embeddings, making the whole composition value-hash
+    checkable. Cluster-count recall = rows here vs exact components
+    (q150 gives the pair-level recall; this gives the cluster-level
+    view a dedup sign-off actually reviews)."""
+    from sensor_data_pipeline_spark.operators.dedup import dedup_components
+    from sensor_data_pipeline_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    banded = embedding_neardup_pairs(emb, threshold=0.4)  # banded default
+    exact = embedding_neardup_pairs(emb, threshold=0.4, exact=True)
+    blab = dedup_components(banded.select("id_a", "id_b"))
+    elab = (
+        dedup_components(exact.select("id_a", "id_b"))
+        .withColumnRenamed("doc_id", "e_doc")
+        .withColumnRenamed("cluster_id", "exact_label")
+    )
+    return (
+        blab.join(elab, blab["doc_id"] == elab["e_doc"])
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("exact_label").cast("bigint").alias("exact_cluster_id"),
+            (F.min("exact_label") == F.max("exact_label")).alias(
+                "within_one_exact_cluster"
+            ),
+        )
+        .orderBy("cluster_id")
+    )
