@@ -15,6 +15,8 @@ Two paths:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -106,25 +108,64 @@ def ivf_topk(
     The quantizer here is deterministic — the first ``n_centroids``
     corpus vectors by id — so the DuckDB oracle can replay the exact
     partitioning; production would swap in MLlib KMeans centroids
-    without touching the dataflow. Scale shape: centroids broadcast to
-    both sides (tiny), corpus shuffles ONCE on centroid id, each query
-    joins ``n_probe`` posting lists instead of the whole corpus —
-    cost O(corpus + queries·n_probe·avg_list), the IVF trade
-    (recall < 1 when the true neighbor lives in an unprobed cell).
+    without touching the dataflow. The quantizer is materialized on the
+    driver (n_centroids rows — the "fitted model", exactly what a
+    KMeansModel is) and shipped to executors inside the assignment
+    UDF's closure, so nearest-centroid assignment is a map-only
+    Arrow-batched pass: the corpus is never widened n_centroids× by a
+    join and never shuffled for assignment. It shuffles ONCE, on
+    centroid id, for the posting-list join; each query joins
+    ``n_probe`` posting lists instead of the whole corpus — cost
+    O(corpus + queries·n_probe·avg_list), the IVF trade (recall < 1
+    when the true neighbor lives in an unprobed cell).
+
+    Bit-exactness: assignment cosines accumulate dimension-by-dimension
+    in index order (vectorized across the batch), the same rounding
+    sequence as cosine_arrow's _seq_dot and DuckDB's list_dot_product,
+    so assignment ties resolve identically to the oracle's; equal
+    cosines break toward the smaller cent_id via stable argsort over
+    the id-sorted centroid matrix.
     """
-    cents = corpus.orderBy(corpus_id).limit(n_centroids).select(
-        F.col(corpus_id).alias("cent_id"), F.col(vec_col).alias("_cent")
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = sorted(
+        corpus.orderBy(corpus_id)
+        .limit(n_centroids)
+        .select(F.col(corpus_id).alias("cent_id"), F.col(vec_col).alias("_cent"))
+        .collect(),
+        key=lambda r: r["cent_id"],
     )
+    cent_ids = np.asarray([r["cent_id"] for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["_cent"], dtype=np.float64) for r in cent_rows])
+    c_norm_sq = np.zeros(len(C))
+    for dim in range(C.shape[1]):  # sequential fold, matching _seq_dot
+        c_norm_sq += C[:, dim] * C[:, dim]
+    Cn = np.sqrt(c_norm_sq)
+
+    def make_assign(n_keep: int):
+        @pandas_udf("array<bigint>")
+        def assign(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="object")
+            X = np.stack(v.to_numpy()).astype(np.float64)
+            acc = np.zeros((len(X), len(C)))
+            x_norm_sq = np.zeros(len(X))
+            for k in range(X.shape[1]):
+                acc += np.outer(X[:, k], C[:, k])
+                x_norm_sq += X[:, k] * X[:, k]
+            cos = acc / (np.sqrt(x_norm_sq)[:, None] * Cn[None, :])
+            # stable sort on -cos: ties keep index order = cent_id asc
+            idx = np.argsort(-cos, axis=1, kind="stable")[:, :n_keep]
+            picked = cent_ids[idx]
+            return pd.Series(list(picked))
+
+        return assign
 
     def nearest(side: DataFrame, id_alias: str, n_keep: int) -> DataFrame:
-        scored = side.join(F.broadcast(cents)).withColumn(
-            "_cent_cos", cosine_arrow(F.col("_v"), F.col("_cent"))
-        )
-        w = Window.partitionBy(id_alias).orderBy(F.col("_cent_cos").desc(), F.col("cent_id"))
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= n_keep)
-            .drop("_cent", "_cent_cos", "_rn")
+        return side.select(
+            F.col(id_alias),
+            F.col("_v"),
+            F.explode(make_assign(n_keep)(F.col("_v"))).alias("cent_id"),
         )
 
     c = nearest(corpus.select(F.col(corpus_id).alias("match_id"), F.col(vec_col).alias("_v")), "match_id", 1)
