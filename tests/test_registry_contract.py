@@ -101,3 +101,12 @@ def test_no_hugeint_leaks_in_oracle_schemas():
                 leaks.append((name, f.name, str(f.type)))
     con.close()
     assert not leaks, f"HUGEINT/decimal-scale-0 leaked into oracle output: {leaks}"
+
+
+def test_survey_readme_counts_in_sync():
+    """Prose counts (SURVEY.md tally, README parenthetical) must be
+    generated from the registry — run tools/sync_counts.py after adding
+    a query (round-2 finding: three different totals in SURVEY.md)."""
+    from tools.sync_counts import sync
+
+    assert sync(check=True) == 0
