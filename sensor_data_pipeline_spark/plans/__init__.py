@@ -14,6 +14,7 @@ from sensor_data_pipeline_spark.plans import corpus_quality  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import sql_interface  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import api_surface  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import pipeline_v2  # noqa: F401,E402
+from sensor_data_pipeline_spark.plans import scale_ops  # noqa: F401,E402
 
 # Driver-window ordering: the driver's CORRECTNESS check covers the
 # FIRST 50 registered queries, so the first 50 must span every
@@ -21,65 +22,74 @@ from sensor_data_pipeline_spark.plans import pipeline_v2  # noqa: F401,E402
 # representatives each — rather than whatever import order produced.
 # Everything else follows in original registration order.
 _DRIVER_WINDOW = [
-    # §2.9 relational representatives (rest of the family shares these
-    # code paths and was driver-green in round 1)
-    "q01_pricing_summary",
-    "q12_window_lag_delta",  # A1 prev-value
-    "q94_udtf_expand",  # §2.8 UDTF
-    # §2.1 sources + §2.2-2.7 sensor pipeline
-    "q20_register_decode",  # P1-P7
-    "q21_json_extract",  # S7
-    "q22_sentinel_default",  # P12-P13
-    "q23_corrupt_routing",  # E1-E2
-    "q24_iso8601_roundtrip",  # T1-T2
-    "q25_explode_filter",  # S5 parse, P10-P11, T4
-    "q26_signflip_sessions",  # A2
-    "q27_session_rate_eta",  # A3-A5
-    "q28_staleness_sentinel",  # T3 batch
-    "q29_asof_join",  # J1
-    "q30_tumbling_window",
-    "q31_wire_roundtrip",  # S6 wire
-    "q113_asof_cogrouped",  # §2.8 cogroup
-    "q114_custom_source",  # S2-S4 custom source
-    "q138_asof_forward",
-    "q80_grouped_agg_udf",  # §2.8 pandas UDF
-    # streaming (S1, T3-streaming, T5)
-    "q67_stream_watermark_window",
-    "q68_stream_sessionize",
-    "q69_stream_dedup",
-    "q70_stream_static_join",
-    "q96_stream_stream_join",
-    # dedup
-    "q40_dedup_exact",
-    "q41_dedup_jaccard",
-    "q42_dedup_minhash_lsh",
-    "q43_dedup_simhash",
-    "q74_dedup_components",
-    "q86_minhash_calibration",
-    "q137_block_dedup_audit",
-    # similarity / ANN
-    "q48_cosine_topk",
-    "q49_lsh_bucket_ann",
-    "q50_embedding_neardup",
-    "q66_ivf_ann",
-    "q93_ann_recall",
-    # text analysis
-    "q44_doc_fingerprint",
-    "q45_token_stats",
-    "q46_quality_score",
-    "q47_lang_signal",
-    "q83_token_shards",
-    # multimodal
-    "q51_media_decode_stats",
-    "q52_image_resize_plan",
-    "q53_video_frame_sample",
-    "q54_audio_features",
-    # warehouse / cdc / analytics / corpus
-    "q89_profile",
-    "q90_merge_upsert",
-    "q91_scd2_history",
-    "q92_funnel",
-    "q136_stable_id_assignment",
+    # ROUND-3 ROTATION: the driver checks 50 queries per round, so the
+    # window rotates to maximize cumulative coverage. 43/50 (86%) were
+    # never driver-checked in rounds 1-2; the 7 previously-green slots
+    # are queries whose code/oracle CHANGED this round (q114 oracle
+    # type fix; q54/q62/q68 rows-only→hash upgrades) plus the single
+    # remaining family canaries (quality/analytics/stateful have no
+    # unchecked member).
+    # --- changed this round (previously checked) ---
+    "q114_custom_source",  # r2's one red row — proves the oracle type fix
+    "q54_audio_features",  # multimodal canary + new byte-stats oracle
+    "q62_approx_aggs",  # aggregation + new sketch self-audit oracle
+    "q68_stream_sessionize",  # streaming + new state-machine oracle
+    # --- family canaries with no never-checked member ---
+    "q26_signflip_sessions",  # stateful
+    "q89_profile",  # quality
+    "q92_funnel",  # analytics
+    # --- changed this round (never checked) ---
+    "q151_http_poll_source",
+    "q73_subtokens_map_lookup",
+    "q100_gap_fill",
+    "q144_latency_priority_matrix",
+    "q111_sql_text_interface",
+    "q161_orc_roundtrip",
+    "q164_rolling_median",
+    "q183_stream_observe_audit",
+    "q191_banded_dedup_clusters",
+    # --- never checked: streaming ---
+    "q162_stream_left_outer",
+    "q170_stream_session_window",
+    "q171_stream_complete_topk",
+    "q180_stream_dlq_routing",
+    # --- never checked: storage / sources ---
+    "q71_partition_pruning",
+    "q72_bucketed_join",
+    "q173_corrupt_file_skip",
+    # --- never checked: similarity ---
+    "q115_arrow_norms",
+    "q124_embedding_quantization",
+    "q150_neardup_lsh_recall",
+    # --- never checked: dedup / sketches ---
+    "q110_cluster_representatives",
+    "q152_incremental_dedup",
+    "q175_cdc_chunk_dedup",
+    "q168_countmin_calibration",
+    "q176_kmv_sketch_merge",
+    # --- never checked: text / corpus / sampling ---
+    "q107_repetition_gate",
+    "q108_pattern_scan",
+    "q157_token_chunking",
+    "q158_sequence_packing",
+    "q163_pii_redaction",
+    "q153_leakage_free_split",
+    # --- never checked: json / time / cdc ---
+    "q95_variant_json",
+    "q154_jsonl_roundtrip",
+    "q112_sliding_window",
+    "q166_cdc_compaction",
+    # --- never checked: window / aggregation ---
+    "q75_session_window",
+    "q76_range_frame_window",
+    "q59_grouping_sets",
+    # --- never checked: joins / udf / functions ---
+    "q55_range_join",
+    "q56_salted_join",
+    "q101_order_count_histogram",
+    "q181_interval_overlap_join",
+    "q122_arrow_python_udf",
+    "q65_array_map_funcs",
 ]
 
 

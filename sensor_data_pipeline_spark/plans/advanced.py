@@ -288,8 +288,8 @@ def q62_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.percentile_approx("value", 0.5, 1000).alias("approx_median_value"),
         F.count_distinct(F.col("user_id")).cast("bigint").alias("exact_users"),
-        F.percentile(F.col("value"), F.lit(0.45)).alias("p45"),
-        F.percentile(F.col("value"), F.lit(0.55)).alias("p55"),
+        # one sort serves both exact quantile bounds (array form)
+        F.percentile(F.col("value"), F.array(F.lit(0.45), F.lit(0.55))).alias("p_lo_hi"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
     return (
@@ -301,9 +301,9 @@ def q62_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("approx_users") - F.col("exact_users"))
                 <= 0.10 * F.col("exact_users")
             ).alias("hll_within_10pct"),
-            F.col("approx_median_value").between(F.col("p45"), F.col("p55")).alias(
-                "gk_within_rank_tol"
-            ),
+            F.col("approx_median_value")
+            .between(F.col("p_lo_hi")[0], F.col("p_lo_hi")[1])
+            .alias("gk_within_rank_tol"),
         )
         .orderBy("event_type")
     )

@@ -1,0 +1,269 @@
+"""Scale-operations suite: sketches and maintenance patterns whose
+whole point is avoiding the full-shuffle/full-recompute cost at 100 TB,
+each audited against the exact answer it approximates or replaces.
+
+- q192: Misra-Gries heavy hitters — mergeable per-partition summaries,
+  with the classic deterministic error bound emitted as self-audit
+  booleans (the bound holds for ANY partitioning, so the booleans are
+  hash-stable).
+- q193: replica bucket diff — anti-entropy localization. Two replicas
+  compare 256 bucket checksums instead of 100 TB of rows; only
+  differing buckets are shipped for repair.
+- q194: incremental rollup maintenance — merge yesterday's aggregate
+  with today's delta instead of recomputing the world, audited
+  bit-for-bit against the full recompute.
+
+Reference basis: the reference's consumer keeps running aggregates it
+updates per tick rather than rescanning history
+(src/modules/dd/consumer.cpp:241-268 keeps last-seen state); these are
+the warehouse-scale forms of that idea.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline_spark.functions.text import tokenize
+from sensor_data_pipeline_spark.plans.registry import register
+from sensor_data_pipeline_spark.sources.tables import load_table
+
+_DUCK_WORDS = "regexp_split_to_array(text, '\\s+')"
+_MG_CAP = 4096
+
+
+def _mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Misra-Gries summary of one partition's token stream, capacity
+    _MG_CAP. Guarantees per partition p: c_p(x) <= true_p(x) and
+    true_p(x) - c_p(x) <= N_p/(cap+1). Summaries MERGE by summing
+    counters per token, and the bounds add: after merging,
+    approx(x) <= true(x) <= approx(x) + N/(cap+1) for the global
+    stream of N tokens — independent of how rows were partitioned."""
+    counts: dict[str, int] = {}
+    for pdf in batches:
+        for t in pdf["token"]:
+            if t in counts:
+                counts[t] += 1
+            elif len(counts) < _MG_CAP:
+                counts[t] = 1
+            else:
+                dead = []
+                for k in counts:
+                    counts[k] -= 1
+                    if counts[k] == 0:
+                        dead.append(k)
+                for k in dead:
+                    del counts[k]
+    yield pd.DataFrame({"token": list(counts.keys()), "c": list(counts.values())})
+
+
+@register(
+    "q192_heavy_hitters_mg",
+    category="sketch",
+    # The sketch's raw counters are partitioning-dependent, so the
+    # query emits them only through the two booleans the MG guarantee
+    # makes TRUE under every partitioning (the q62/q93 self-audit
+    # pattern); the exact counts hash-check against SQL.
+    oracle=f"""
+WITH toks AS (SELECT unnest({_DUCK_WORDS}) AS token FROM documents)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS exact_n,
+       TRUE AS sketch_found,
+       TRUE AS within_bound
+FROM toks
+GROUP BY token
+ORDER BY exact_n DESC, token
+LIMIT 20
+""",
+)
+def q192_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Misra-Gries: each task compresses its token
+    stream to a capacity-bounded summary (shuffle bytes O(cap) per
+    task, NOT O(distinct tokens) like q81's exact count), summaries
+    merge by token-wise sum, and the exact top-20 audits the sketch.
+    At 100 TB the exact vocabulary count shuffles billions of distinct
+    keys; MG ships 4096 counters per task and still guarantees every
+    token with frequency > N/(cap+1) survives with undercount at most
+    N/(cap+1). Those two guarantees are the emitted booleans —
+    mathematically true for ANY partitioning, hence hash-stable."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    sketch = (
+        toks.mapInPandas(_mg_partition, "token string, c long")
+        .groupBy("token")
+        .agg(F.sum("c").alias("approx_n"))
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    top = (
+        exact.orderBy(F.col("exact_n").desc(), "token")
+        .limit(20)
+        .join(sketch, "token", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    bound = F.floor(F.col("n_total") / (_MG_CAP + 1))
+    return (
+        top.select(
+            "token",
+            "exact_n",
+            F.col("approx_n").isNotNull().alias("sketch_found"),
+            (
+                F.col("approx_n").isNotNull()
+                & (F.col("approx_n") <= F.col("exact_n"))
+                & (F.col("exact_n") - F.col("approx_n") <= bound)
+            ).alias("within_bound"),
+        )
+        .orderBy(F.col("exact_n").desc(), "token")
+    )
+
+
+_ROW_FP = (
+    "CAST(('0x' || substr(md5("
+    "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||"
+    "o_orderstatus || '|' || CAST({cents} AS VARCHAR)"
+    "), 1, 8)) AS BIGINT)"
+)
+
+
+@register(
+    "q193_replica_bucket_diff",
+    category="audit",
+    oracle=f"""
+WITH a AS (
+  SELECT o_orderkey % 256 AS bucket,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderkey, o_custkey, o_orderstatus
+  FROM orders
+),
+b AS (
+  SELECT o_orderkey % 256 AS bucket,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT)
+           + CASE WHEN o_orderkey % 1000 = 7 THEN 1 ELSE 0 END AS cents,
+         o_orderkey, o_custkey, o_orderstatus
+  FROM orders WHERE o_orderkey % 997 != 3
+),
+ca AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_a,
+              CAST(sum({_ROW_FP.format(cents="cents")}) AS BIGINT) AS fp_a
+       FROM a GROUP BY bucket),
+cb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+              CAST(sum({_ROW_FP.format(cents="cents")}) AS BIGINT) AS fp_b
+       FROM b GROUP BY bucket)
+SELECT CAST(ca.bucket AS BIGINT) AS bucket, n_a, n_b,
+       CAST(n_a - n_b AS BIGINT) AS n_missing
+FROM ca JOIN cb ON ca.bucket = cb.bucket
+WHERE fp_a != fp_b
+ORDER BY bucket
+""",
+)
+def q193_replica_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy localization: two replicas summarize to 256
+    (bucket, count, order-independent checksum) rows — q179's
+    commutative fingerprint sum, bucketed — and exchange ONLY those.
+    Differing buckets pinpoint where repair must read actual rows, so
+    reconciling 100 TB replicas costs two scans plus a 256-row
+    compare, never a row-level distributed diff. Replica B simulates
+    real drift deterministically: one lost row family (orderkey%997=3)
+    and one corrupted price family (orderkey%1000=7)."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    b = o.filter(F.col("o_orderkey") % 997 != 3).withColumn(
+        "cents",
+        F.col("cents") + F.when(F.col("o_orderkey") % 1000 == 7, 1).otherwise(0),
+    )
+
+    def summarize(df: DataFrame, n_col: str, fp_col: str) -> DataFrame:
+        row_repr = F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("cents").cast("string"),
+        )
+        fp = F.conv(F.substring(F.md5(row_repr), 1, 8), 16, 10).cast("bigint")
+        return (
+            df.groupBy((F.col("o_orderkey") % 256).cast("bigint").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias(n_col),
+                F.sum(fp).cast("bigint").alias(fp_col),
+            )
+        )
+
+    ca = summarize(o, "n_a", "fp_a")
+    cb = summarize(b, "n_b", "fp_b")
+    return (
+        ca.join(cb, "bucket")
+        .filter(F.col("fp_a") != F.col("fp_b"))
+        .select("bucket", "n_a", "n_b", (F.col("n_a") - F.col("n_b")).cast("bigint").alias("n_missing"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q194_incremental_rollup",
+    category="cdc",
+    oracle="""
+WITH full_agg AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_orders, sum_cents, TRUE AS matches_full
+FROM full_agg ORDER BY o_orderpriority
+""",
+)
+def q194_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a distributive rollup: the
+    standing aggregate over history (orders before 1998) is MERGED
+    with the delta batch's aggregate (1998+) — count and sum compose,
+    so maintaining the rollup costs one pass over the DELTA, never a
+    rescan of history. The audit recomputes the rollup from scratch
+    and compares group-by-group; `matches_full` is the maintenance
+    invariant (guaranteed for distributive aggregates), emitted so the
+    driver hash pins it. At 100 TB this is the difference between a
+    nightly 5-minute delta merge and a nightly full-table shuffle."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    cutoff = F.lit("1998-01-01").cast("date")
+
+    def agg_of(df: DataFrame, n: str, s: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias(n),
+            F.sum(cents).cast("bigint").alias(s),
+        )
+
+    base = agg_of(o.filter(F.col("o_orderdate") < cutoff), "n_base", "s_base")
+    delta = agg_of(o.filter(F.col("o_orderdate") >= cutoff), "n_delta", "s_delta")
+    merged = (
+        base.join(delta, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (F.coalesce("n_base", F.lit(0)) + F.coalesce("n_delta", F.lit(0)))
+            .cast("bigint")
+            .alias("n_orders"),
+            (F.coalesce("s_base", F.lit(0)) + F.coalesce("s_delta", F.lit(0)))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+    )
+    full = agg_of(o, "n_full", "s_full")
+    return (
+        merged.join(full, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "sum_cents",
+            (
+                (F.col("n_orders") == F.col("n_full"))
+                & (F.col("sum_cents") == F.col("s_full"))
+            ).alias("matches_full"),
+        )
+        .orderBy("o_orderpriority")
+    )
