@@ -267,3 +267,130 @@ def q194_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_EWMA_DEPTH = 20
+
+
+@register(
+    "q195_ewma_smoothing",
+    category="window",
+    oracle=f"""
+WITH t AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id < 64
+),
+l AS (
+  SELECT event_id, CAST(user_id AS BIGINT) AS user_id, rn,
+         {" + ".join(
+            f"coalesce(lag(cents, {d}) OVER (PARTITION BY user_id ORDER BY rn)"
+            f" * pow(2.0, {-d - 1}), 0.0)" for d in range(21)
+         )} AS ewma_cents
+  FROM t
+)
+SELECT event_id, user_id, ewma_cents FROM l ORDER BY event_id
+""",
+)
+def q195_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic EWMA smoother (alpha = 1/2, depth 21): the classic
+    exponential smoother made BIT-EXACT across engines by choosing
+    power-of-two weights — x*2^-k never rounds, and the 21-term sum
+    stays inside the 53-bit mantissa, so every partial sum is exact
+    and the result is identical under ANY evaluation order (no
+    float-summation nondeterminism, the usual blocker for oracle-
+    checking smoothers). One shuffle on user_id serves all 21 lags —
+    Catalyst collapses them into a single window frame pass. The
+    truncation at depth 21 is principled: weight 2^-21 is below cents
+    resolution, so the recursive EWMA and this finite kernel agree to
+    the cent at any history length."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 64)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ewma = None
+    for d in range(_EWMA_DEPTH + 1):
+        term = F.coalesce(F.lag(cents, d).over(w) * F.lit(2.0) ** F.lit(-d - 1), F.lit(0.0))
+        ewma = term if ewma is None else ewma + term
+    return ev.select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        ewma.alias("ewma_cents"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q196_first_touch_attribution",
+    category="join",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+         event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+carried AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(click_id IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS attr_click,
+         last_value(click_ts IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS attr_ts
+  FROM tagged
+)
+SELECT event_id AS purchase_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(CASE WHEN attr_ts >= ts - INTERVAL 1 HOUR THEN attr_click END AS BIGINT)
+         AS attributed_click,
+       (attr_ts IS NOT NULL AND attr_ts >= ts - INTERVAL 1 HOUR) AS attributed
+FROM carried
+WHERE event_type = 'purchase'
+ORDER BY purchase_id
+""",
+)
+def q196_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Touch attribution: every purchase is credited to the user's
+    most recent click within a 1-hour lookback — the ad-attribution /
+    conversion-credit operator, expressed as a single merged-stream
+    window pass instead of a purchases×clicks as-of join: tag both
+    event kinds in ONE scan, carry the last click forward with
+    last_value(IGNORE NULLS), then keep purchases. One shuffle on
+    user_id, no join, no per-key state — the same plan shape the as-of
+    cogroup (q113) would need two shuffles for. The tolerance becomes
+    a null-out instead of a filter so unattributed purchases stay
+    visible (the honest-reporting variant)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    carried = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(click_id, ignorenulls=True).over(w).alias("attr_click"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("attr_ts"),
+    )
+    in_window = F.col("attr_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.when(in_window, F.col("attr_click")).cast("bigint").alias("attributed_click"),
+            (F.col("attr_ts").isNotNull() & in_window).alias("attributed"),
+        )
+        .orderBy("purchase_id")
+    )

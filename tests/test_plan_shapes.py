@@ -352,3 +352,46 @@ def test_interval_overlap_join_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ivf_assignment_is_map_only(spark):
+    from sensor_data_pipeline_spark.plans.northstar import q66_ivf_ann
+
+    plan = plan_of(q66_ivf_ann(spark, SF))
+    # centroid assignment must not widen the corpus via a join or rank
+    # it through a per-id window: exactly the posting-list join's
+    # exchanges survive, plus the final per-query top-k window
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one window only (the final top-k), not one per nearest() call
+    assert plan.count("RunningWindowFunction") <= 1 or plan.count("Window") <= 2, plan
+
+
+def test_mg_sketch_shuffles_summaries_not_tokens(spark):
+    from sensor_data_pipeline_spark.plans.scale_ops import q192_heavy_hitters_mg
+
+    plan = plan_of(q192_heavy_hitters_mg(spark, SF))
+    # the sketch path aggregates mapInPandas summaries; the exact path
+    # must combine map-side before its exchange
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_replica_diff_exchanges_only_bucket_summaries(spark):
+    from sensor_data_pipeline_spark.plans.scale_ops import q193_replica_bucket_diff
+
+    plan = plan_of(q193_replica_bucket_diff(spark, SF))
+    # both replicas collapse to 256 bucket rows with map-side partial
+    # aggregation before any exchange; the diff join is on those
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_rollup_no_history_rescan_in_merge(spark):
+    from sensor_data_pipeline_spark.plans.scale_ops import q194_incremental_rollup
+
+    plan = plan_of(q194_incremental_rollup(spark, SF))
+    # the date split must push to the parquet scan so the delta branch
+    # reads only delta files at scale
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
