@@ -1386,12 +1386,18 @@ def q186_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank window sorts only the per-language gram table. Ties break
     on the gram itself, so the profile is engine-independent."""
     d = load_table(spark, "documents", sf_dir)
-    s = d.select(
+    # one array of 3-char grams per doc, THEN explode: exploding the
+    # position index instead would copy the full document string into
+    # every per-position row (~300x the byte volume through the
+    # operator). lower() runs on the 3-char gram, not the whole text,
+    # so the lambda body stays O(1) per element under CollapseProject
+    # (ASCII fixture: lower∘substr == substr∘lower).
+    tri = d.select(
         "lang",
-        F.lower(F.col("text")).alias("t"),
-        F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"),
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> lower(substr(text, i, 3)))")
+        ).alias("g"),
     )
-    tri = s.select("lang", F.expr("substr(t, i, 3)").alias("g"))
     counted = tri.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "g")
     return (
