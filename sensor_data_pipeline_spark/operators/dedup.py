@@ -130,6 +130,42 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT
+    |A∩B| / min(|A|, |B|): catches quote-inclusion and boilerplate
+    wrapping, where a short document lives inside a long one — pairs
+    Jaccard misses because the union is dominated by the longer side
+    (|A∩B|/|A∪B| ≈ |A|/|B| → 0 while containment → 1).
+
+    Same one-shuffle posting-list candidate generation as
+    jaccard_pairs — never an all-pairs join — with the same optional
+    frequency cap for stopword-shingle skew. Returns (id_a, id_b,
+    n_shared, containment) with id_a < id_b, containment >= threshold;
+    the division is the only float op (bit-exact from integers)."""
+    sh = _shingled(df.select(id_col, text_col), id_col, text_col, n).cache()
+    sizes = sh.select(F.col(id_col).alias("_id"), F.size("shingles").alias("_n"))
+    inv = _exploded(sh, id_col, "shingles", "shingle")
+    shared = (
+        _posting_pairs(inv, id_col, "shingle", max_shingle_freq)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"))), "id_a")
+        .join(F.broadcast(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"))), "id_b")
+        .withColumn("containment", F.col("n_shared") / F.least("n_a", "n_b"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_shared", "containment")
+    )
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, n: int = 3) -> DataFrame:
     """K-permutation MinHash signature: hash each *distinct* shingle
     once (documents repeat shingles heavily), broadcast the hash table

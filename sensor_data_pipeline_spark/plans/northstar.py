@@ -958,3 +958,103 @@ def q191_banded_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "q197_containment_pairs",
+    category="dedup",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+  FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM docs),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM docs),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared,
+       n_shared / least(sa.n, sb.n) AS containment
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_shared / least(sa.n, sb.n) >= 0.8
+ORDER BY id_a, id_b
+""",
+)
+def q197_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup (|A∩B|/min(|A|,|B|) >= 0.8): the
+    quote-inclusion detector — a short doc embedded in a longer one
+    scores ~1 here while its Jaccard vanishes into the big union, so
+    q41 misses it. Same posting-list candidate shuffle as q41; at
+    100 TB the only extra cost over Jaccard is the least() in the
+    final projection (operators/dedup.py::containment_pairs)."""
+    from sensor_data_pipeline_spark.operators.dedup import containment_pairs
+
+    d = load_table(spark, "documents", sf_dir)
+    return containment_pairs(d, "doc_id", "text", n=3, threshold=0.8).orderBy("id_a", "id_b")
+
+
+@register(
+    "q198_token_cooccurrence",
+    category="text",
+    oracle=f"""
+WITH dt AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_WORDS})) AS token FROM documents
+),
+top AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df
+  FROM dt GROUP BY token ORDER BY df DESC, token LIMIT 50
+),
+ft AS (SELECT dt.doc_id, dt.token FROM dt JOIN top USING (token)),
+p AS (
+  SELECT a.token AS tok_a, b.token AS tok_b, CAST(count(*) AS BIGINT) AS n_both
+  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+)
+SELECT tok_a, tok_b, n_both, ta.df AS n_a, tb.df AS n_b
+FROM p
+JOIN top ta ON ta.token = tok_a
+JOIN top tb ON tb.token = tok_b
+WHERE n_both >= 5
+ORDER BY n_both DESC, tok_a, tok_b
+""",
+)
+def q198_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence matrix over the top-50 vocabulary: the raw
+    counts behind PMI / word-association analysis, emitted as exact
+    integers (doc frequency of each token and of each pair) so the
+    result is engine-exact — PMI's log is a trivial post-step the
+    caller can apply. Scale shape: the vocabulary CAP bounds the pair
+    space (50·49/2), the cap set rides a broadcast semi-join, and
+    pair generation reuses the one-shuffle posting-list combinator
+    keyed by doc (each doc contributes its within-doc pairs JVM-side,
+    never a row-level self-join of the full token table)."""
+    from sensor_data_pipeline_spark.functions.text import tokenize
+    from sensor_data_pipeline_spark.operators.dedup import _posting_pairs
+
+    d = load_table(spark, "documents", sf_dir)
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("token")
+    )
+    top = (
+        dt.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(50)
+    )
+    ft = dt.join(F.broadcast(top.select("token")), "token")
+    pairs = (
+        _posting_pairs(ft, "token", "doc_id")
+        .groupBy(F.col("id_a").alias("tok_a"), F.col("id_b").alias("tok_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    return (
+        pairs.join(F.broadcast(top.select(F.col("token").alias("tok_a"), F.col("df").alias("n_a"))), "tok_a")
+        .join(F.broadcast(top.select(F.col("token").alias("tok_b"), F.col("df").alias("n_b"))), "tok_b")
+        .select("tok_a", "tok_b", "n_both", "n_a", "n_b")
+        .orderBy(F.col("n_both").desc(), "tok_a", "tok_b")
+    )
