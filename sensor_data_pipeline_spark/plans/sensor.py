@@ -709,3 +709,82 @@ def q151_http_poll_source(spark: SparkSession, sf_dir: str) -> DataFrame:  # noq
         )
         .orderBy("place")
     )
+
+
+@register(
+    "q199_custom_stream_drain",
+    category="source",
+    oracle="""
+WITH g AS (
+  SELECT t.range AS tick, d.range AS device_i
+  FROM range(0, 40) t, range(0, 5) d
+),
+r AS (
+  SELECT 'dev' || device_i AS device,
+         tick,
+         (device_i * 7919 + tick * 104729) % 1000 AS base
+  FROM g
+)
+SELECT device,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       CAST(min(tick) AS BIGINT) AS first_tick,
+       CAST(max(tick) AS BIGINT) AS last_tick,
+       CAST(sum(180 + base % 150) AS BIGINT) AS sum_temp_deci
+FROM r
+GROUP BY device
+ORDER BY device
+""",
+)
+def q199_custom_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    """S1 END-TO-END as a declared query: the custom Python STREAMING
+    source (sources/sensor_sim.py simpleStreamReader — the engine form
+    of the reference's fixed-interval collection loop,
+    src/event_loops.c:33-52) drained across MULTIPLE micro-batches
+    (40 ticks at 16/batch = 3 offset advances), then summarized per
+    device. Exactly-once here is structural: offsets are tick
+    counters, progress is a pure function of the checkpointed offset,
+    and the per-device min/max/count columns prove no tick was lost
+    or duplicated across batch boundaries — the oracle regenerates
+    the same readings relationally. (sf_dir unused: the source
+    synthesizes.)"""
+    import time
+
+    from sensor_data_pipeline_spark.sources.sensor_sim import register_sensor_sim
+
+    register_sensor_sim(spark)
+    stream = (
+        spark.readStream.format("sensor_sim")
+        .option("devices", "5")
+        .option("ticksPerBatch", "16")
+        .option("maxTicks", "40")
+        .load()
+    )
+    name = "q199_mem"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        target = 5 * 40
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql(f"SELECT count(*) AS n FROM {name}").first().n >= target:
+                break
+            time.sleep(0.15)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    out = spark.table(name)
+    return (
+        out.groupBy("device")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+            F.min("tick").cast("bigint").alias("first_tick"),
+            F.max("tick").cast("bigint").alias("last_tick"),
+            F.sum(F.col("temp_deci_c").cast("bigint")).cast("bigint").alias("sum_temp_deci"),
+        )
+        .orderBy("device")
+    )
