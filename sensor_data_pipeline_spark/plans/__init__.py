@@ -84,9 +84,9 @@ _DRIVER_WINDOW = [
     "q76_range_frame_window",
     "q59_grouping_sets",
     # --- never checked: joins / udf / functions ---
-    "q55_range_join",
+    "q192_heavy_hitters_mg",  # MG sketch, declared this round
     "q56_salted_join",
-    "q101_order_count_histogram",
+    "q199_custom_stream_drain",  # S1 streaming source, declared this round
     "q181_interval_overlap_join",
     "q122_arrow_python_udf",
     "q65_array_map_funcs",
