@@ -596,3 +596,52 @@ def q183_stream_observe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(total_rows, total_cents)], schema="n_rows long, sum_cents long"
     )
+
+
+@register(
+    "q200_stream_recursive_ewma",
+    category="streaming",
+    # The recursion is replayed relationally: DuckDB's recursive CTE
+    # walks each user's rows in (ts, event_id) order applying the
+    # identical float ops in the identical order, so the doubles are
+    # bit-equal. Valid for the same reason as q68: the fixture is
+    # (user_id, ts)-tie-free and the single-file source drains as one
+    # micro-batch in global ts order (and the state carries across
+    # batches if it ever splits).
+    oracle="""
+WITH RECURSIVE t AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id < 16
+),
+r AS (
+  SELECT user_id, event_id, rn, CAST(x AS DOUBLE) / 2 AS s FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.user_id, t.event_id, t.rn, (r.s + t.x) / 2 AS s
+  FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1
+)
+SELECT event_id, CAST(user_id AS VARCHAR) AS k, s AS ewma
+FROM r ORDER BY event_id
+""",
+)
+def q200_stream_recursive_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRUE recursive EWMA (s_t = (s_{t-1}+x_t)/2) as a stateful
+    streaming operator: per-key running state via
+    applyInPandasWithState, the unbounded-history counterpart of
+    q195's finite kernel — state is ONE double per key, so 10^9 keys
+    is gigabytes spread across executors and each micro-batch does
+    O(batch) work. The oracle replays the recursion with a recursive
+    CTE; alpha=1/2 makes every step's rounding identical on both
+    engines (halving is exact; only the add rounds)."""
+    from sensor_data_pipeline_spark.streaming.stateful import ewma_stream
+
+    stream = _events_stream(spark, sf_dir).filter(F.col("user_id") < 16)
+    readings = stream.select(
+        F.col("user_id").cast("string").alias("k"),
+        F.col("ts").alias("tick_ts"),
+        F.col("event_id"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+    )
+    out = _drain(ewma_stream(readings), "q200_mem")
+    return out.select("event_id", "k", "ewma").orderBy("event_id")

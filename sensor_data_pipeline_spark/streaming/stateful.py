@@ -174,3 +174,60 @@ def staleness_monitor_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# recursive EWMA (A1 prev-value memory, generalized to a smoother)
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT = StructType(
+    [
+        StructField("k", StringType()),
+        StructField("event_id", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+#: (s running smoothed value, initialized flag)
+EWMA_STATE = StructType(
+    [StructField("s", DoubleType()), StructField("init", IntegerType())]
+)
+
+
+def _ewma_group(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """True RECURSIVE exponential smoothing s_t = (s_{t-1} + x_t) / 2
+    carried across micro-batches in keyed state. alpha = 1/2 halves
+    exactly in binary, so each step costs exactly one float rounding
+    (the add) in a fixed order — bit-reproducible by any engine that
+    replays the same recursion (the DuckDB recursive-CTE oracle
+    does). The reference analog is the prev-value memory the consumer
+    keeps per topic (src/modules/dd/consumer.cpp:241-268), upgraded
+    from 'remember last' to 'remember a decayed summary'."""
+    if state.exists:
+        s, init = state.get
+    else:
+        s, init = 0.0, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["tick_ts", "event_id"])
+        out = []
+        for row in pdf.itertuples(index=False):
+            x = float(row.x)
+            s = x / 2 if not init else (s + x) / 2
+            init = 1
+            out.append((key[0], int(row.event_id), s))
+        yield pd.DataFrame(out, columns=[f.name for f in EWMA_OUTPUT.fields])
+    state.update((s, init))
+
+
+def ewma_stream(readings: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Streaming recursive EWMA. Input columns: k (string key),
+    tick_ts (timestamp), event_id (long), x (numeric signal)."""
+    return readings.groupBy("k").applyInPandasWithState(
+        _ewma_group,
+        outputStructType=EWMA_OUTPUT,
+        stateStructType=EWMA_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
