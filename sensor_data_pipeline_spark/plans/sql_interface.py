@@ -66,3 +66,59 @@ def q111_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     and conditional aggregation in one statement."""
     register_views(spark, sf_dir)
     return spark.sql(_PORTABLE_SQL)
+
+
+@register(
+    "q201_sql_scripting",
+    category="sql",
+    oracle="""
+WITH thresh AS (
+  SELECT sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) // count(*) AS avg_cents
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_above,
+       CAST(t.avg_cents AS BIGINT) AS avg_cents
+FROM orders, thresh t
+WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) > t.avg_cents
+GROUP BY o_orderpriority, t.avg_cents
+ORDER BY o_orderpriority
+""",
+)
+def q201_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (BEGIN...END, DECLARE, SET, compound statements —
+    the ISO/IEC 9075 procedural surface Spark 4 adds): a scalar is
+    computed into a session variable, then parameterizes the final
+    SELECT — the two-phase 'compute threshold, then filter by it'
+    pattern analysts otherwise do with string interpolation. The
+    threshold is integer cents DIV count so the scalar is
+    summation-order independent; the oracle inlines the same logic as
+    a CTE. Scripting stays a driver-side control plane: each statement
+    still compiles to a distributed Catalyst plan, so nothing here
+    fights the optimizer at 100 TB."""
+    register_views(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        df = spark.sql(
+            """
+BEGIN
+  DECLARE avg_cents BIGINT DEFAULT 0;
+  SET avg_cents = (
+    SELECT sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) DIV count(*)
+    FROM orders
+  );
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_above,
+         CAST(avg_cents AS BIGINT) AS avg_cents
+  FROM orders
+  WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) > avg_cents
+  GROUP BY o_orderpriority
+  ORDER BY o_orderpriority;
+END
+"""
+        )
+        df.collect()  # force execution under the scoped conf
+        return df
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)
