@@ -1590,3 +1590,58 @@ def q190_group_quantiles_by_counting(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q202_dynamic_partition_overwrite",
+    category="storage",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN event_type = 'click'
+                     THEN 2 * CAST(round(value * 100, 0) AS BIGINT)
+                     ELSE CAST(round(value * 100, 0) AS BIGINT) END) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q202_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse backfill primitive:
+    `mode=overwrite` with partitionOverwriteMode=dynamic replaces ONLY
+    the partitions present in the incoming frame (here: the `click`
+    slice, rewritten with doubled cents) and leaves every other
+    partition's files untouched. Static mode would have truncated the
+    whole table — the difference between a 5-minute partition backfill
+    and rewriting 100 TB. The read-back aggregate proves both halves:
+    clicks carry the new values, everything else the old ones."""
+    import re as _re
+
+    from sensor_data_pipeline_spark.sources.warehouse import SCRATCH
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    tag = _re.sub(r"[^A-Za-z0-9_]+", "_", sf_dir).strip("_")
+    path = f"{SCRATCH}/dpo/events_{tag}"
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+
+    backfill = ev.filter(F.col("event_type") == "click").withColumn(
+        "cents", F.col("cents") * 2
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        backfill.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
