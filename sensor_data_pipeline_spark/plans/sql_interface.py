@@ -122,3 +122,58 @@ END
         return df
     finally:
         spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+@register(
+    "q203_recursive_cte_rollup",
+    category="sql",
+    oracle="""
+WITH RECURSIVE anc(c_custkey, anc_key, cents) AS (
+  SELECT c_custkey, c_custkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT a.c_custkey, a.anc_key // 10, a.cents
+  FROM anc a WHERE a.anc_key >= 10
+)
+SELECT CAST(anc_key AS BIGINT) AS root_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(cents) AS BIGINT) AS sum_bal_cents
+FROM anc
+WHERE anc_key < 10
+GROUP BY anc_key
+ORDER BY root_id
+""",
+)
+def q203_recursive_cte_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (WITH RECURSIVE ... UNION ALL, new in Spark 4):
+    every customer walks its decimal-digit ancestry (parent = id DIV
+    10 — an id-encoded taxonomy, the same shape as account charts or
+    org paths packed into key prefixes) and the rollup aggregates
+    members and balances under each single-digit root. The recursion
+    is a DAG walk with strictly decreasing keys, so it terminates in
+    <= 7 iterations regardless of data size, and each iteration is a
+    full distributed plan — no driver-side looping. (Cyclic closure
+    needs distinct-UNION recursion, which Spark does not support yet —
+    dedup_components covers that case as an operator.) The oracle runs
+    the same recursion in DuckDB (`//` = Spark's DIV)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+WITH RECURSIVE anc(c_custkey, anc_key, cents) AS (
+  SELECT c_custkey, c_custkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT a.c_custkey, a.anc_key DIV 10, a.cents
+  FROM anc a WHERE a.anc_key >= 10
+)
+SELECT CAST(anc_key AS BIGINT) AS root_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(cents) AS BIGINT) AS sum_bal_cents
+FROM anc
+WHERE anc_key < 10
+GROUP BY anc_key
+ORDER BY root_id
+"""
+    )
