@@ -439,3 +439,53 @@ def q155_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q204_polymorphic_udtf",
+    category="udf",
+    oracle="""
+SELECT doc_id, w[1] AS tok_1, w[2] AS tok_2, w[3] AS tok_3
+FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+      FROM documents WHERE doc_id < 200)
+ORDER BY doc_id
+""",
+)
+def q204_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (§2.8 depth): the output schema is
+    computed at ANALYSIS time from the literal `k` argument
+    (analyze() -> AnalyzeResult), so `lead_tokens(text, 3)` produces
+    columns tok_1..tok_3 and `..., 5` would produce five — the
+    schema-from-arguments contract q94's fixed-schema UDTF cannot
+    express. eval() re-splits with the same regex as the oracle so
+    token boundaries are engine-identical. Lateral application stays
+    same-partition (no shuffle); Python UDTFs remain the slow path —
+    the hot-path equivalent is the element_at projection."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class LeadTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            n = int(k.value)
+            return AnalyzeResult(
+                StructType([StructField(f"tok_{i + 1}", StringType()) for i in range(n)])
+            )
+
+        def eval(self, text: str, k: int):
+            toks = _re.split(r"\s+", text or "")
+            yield tuple(toks[i] if i < len(toks) else None for i in range(int(k)))
+
+    spark.udtf.register("lead_tokens", udtf(LeadTokens))
+    d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    d.select("doc_id", "text").createOrReplaceTempView("q204_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.*
+        FROM q204_docs d, LATERAL lead_tokens(d.text, 3) t
+        ORDER BY d.doc_id
+        """
+    )

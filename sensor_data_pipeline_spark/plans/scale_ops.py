@@ -394,3 +394,118 @@ def q196_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "q205_canonical_selection",
+    category="dedup",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+         length(text) AS len
+  FROM documents
+),
+r AS (
+  SELECT fp, doc_id, len,
+         row_number() OVER (PARTITION BY fp ORDER BY len DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY fp) AS n_copies
+  FROM t
+)
+SELECT fp, doc_id AS keep_id,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(len AS BIGINT) AS keep_len
+FROM r WHERE rk = 1 ORDER BY fp
+""",
+)
+def q205_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup with QUALITY-AWARE canonical selection: each duplicate
+    group keeps its BEST copy (longest text, doc_id tiebreak) instead
+    of q40's arbitrary min-id — the policy real corpus dedup ships,
+    because boilerplate-stripped rescrapes beat truncated first
+    crawls. One shuffle, no window: the arg-max rides a single
+    max(struct(len, -doc_id)) aggregate, so the per-group state is one
+    struct regardless of group size (partial-aggregable map-side,
+    unlike the oracle's row_number formulation)."""
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    t = d.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.length("text").cast("bigint").alias("len"),
+    )
+    best = F.max(F.struct(F.col("len"), (-F.col("doc_id")).alias("neg_id"))).alias("m")
+    return (
+        t.groupBy("fp")
+        .agg(best, F.count(F.lit(1)).cast("bigint").alias("n_copies"))
+        .select(
+            "fp",
+            (-F.col("m.neg_id")).cast("bigint").alias("keep_id"),
+            "n_copies",
+            F.col("m.len").cast("bigint").alias("keep_len"),
+        )
+        .orderBy("fp")
+    )
+
+
+@register(
+    "q206_skew_gini",
+    category="aggregation",
+    oracle="""
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY user_id
+),
+n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(x) AS BIGINT) AS total_events
+  FROM c
+),
+r AS (
+  SELECT x, row_number() OVER (ORDER BY x, user_id) AS rk FROM c
+)
+SELECT n.n_users, n.total_events,
+       CAST(sum((2 * rk - n.n_users - 1) * x) AS BIGINT) AS gini_num,
+       CAST(n.n_users * n.total_events AS BIGINT) AS gini_den
+FROM r, n
+GROUP BY n.n_users, n.total_events
+""",
+)
+def q206_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact key-skew diagnostic: the Gini coefficient of the per-user
+    event distribution as an INTEGER numerator/denominator pair
+    (gini = num/den; no float until the caller divides) — the number a
+    shuffle-planning review wants before choosing salting. Ranking
+    uses the range-partitioned two-pass scan (operators/prefix.py)
+    over a unique composite key, NOT a global single-partition window:
+    at 10^9 keys the ranking stays parallel and the driver sees only
+    O(partitions) rows. The oracle uses the plain window formulation —
+    bit-equal because ranks over a unique total order are unique."""
+    from sensor_data_pipeline_spark.operators.prefix import global_running_sum
+
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    # unique, order-preserving composite key: (x, user_id) packed
+    keyed = c.select(
+        (F.col("x") * F.lit(10_000_000) + F.col("user_id")).alias("k"), "x"
+    ).withColumn("_one", F.lit(1).cast("bigint"))
+    ranked = global_running_sum(keyed, "k", "_one", out_col="rk")
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("total_events"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "n_users",
+            "total_events",
+            ((2 * F.col("rk") - F.col("n_users") - 1) * F.col("x")).alias("term"),
+        )
+        .groupBy("n_users", "total_events")
+        .agg(F.sum("term").cast("bigint").alias("gini_num"))
+        .select(
+            "n_users",
+            "total_events",
+            "gini_num",
+            (F.col("n_users") * F.col("total_events")).cast("bigint").alias("gini_den"),
+        )
+    )
