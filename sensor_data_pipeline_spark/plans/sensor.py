@@ -788,3 +788,79 @@ def q199_custom_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:  # 
         )
         .orderBy("device")
     )
+
+
+@register(
+    "q207_stream_cdc_apply",
+    category="streaming",
+    oracle="""
+WITH g AS (
+  SELECT t.range AS tick, d.range AS device_i
+  FROM range(0, 48) t, range(0, 4) d
+),
+r AS (
+  SELECT device_i, (device_i * 7919 + tick * 104729) % 1000 AS base
+  FROM g
+)
+SELECT CAST(device_i AS BIGINT) AS key,
+       CAST(sum(180 + base % 150) AS BIGINT) AS bal_cents
+FROM r GROUP BY device_i ORDER BY key
+""",
+)
+def q207_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    """Streaming CDC MERGE as a declared query: the custom streaming
+    source's ticks (48 at 16/batch = 3 non-empty micro-batches) flow
+    through foreachBatch into the VERSIONED parquet snapshot
+    (streaming/cdc.py — each epoch's state is a pure function of
+    (previous snapshot, batch), so replays are idempotent), and the
+    final snapshot must equal the closed-form per-device totals. This
+    is `MERGE INTO target USING changes` running continuously — the
+    warehouse-apply half of the reference's consumer loop — proven
+    end-to-end with a relational oracle. (sf_dir unused: the source
+    synthesizes.)"""
+    import shutil
+    import time
+
+    from sensor_data_pipeline_spark.sources.sensor_sim import reading, register_sensor_sim
+    from sensor_data_pipeline_spark.sources.warehouse import SCRATCH
+    from sensor_data_pipeline_spark.streaming.cdc import cdc_apply_stream, latest_snapshot
+
+    register_sensor_sim(spark)
+    devices, max_ticks = 4, 48
+    stream = (
+        spark.readStream.format("sensor_sim")
+        .option("devices", str(devices))
+        .option("ticksPerBatch", "16")
+        .option("maxTicks", str(max_ticks))
+        .load()
+    )
+    changes = stream.select(
+        F.regexp_replace("device", "dev", "").cast("bigint").alias("key"),
+        F.col("temp_deci_c").cast("bigint").alias("delta_cents"),
+    )
+    root = f"{SCRATCH}/cdc_stream/q207"
+    shutil.rmtree(root, ignore_errors=True)
+    expected = sum(
+        reading(d, t)[3] for d in range(devices) for t in range(max_ticks)
+    )
+    # scope the merge's shuffle width to the state volume (4 keys),
+    # not the session's batch setting — same rationale as _drain's
+    # state_partitions in plans/streaming_queries.py
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    q = cdc_apply_stream(changes, root, trigger_once=False)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                total = latest_snapshot(spark, root).agg(F.sum("bal_cents")).first()[0]
+            except Exception:
+                total = None  # snapshot version mid-write; retry
+            if total == expected:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return latest_snapshot(spark, root).orderBy("key")

@@ -395,3 +395,26 @@ def test_incremental_rollup_no_history_rescan_in_merge(spark):
     # reads only delta files at scale
     assert "PushedFilters" in plan and "o_orderdate" in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_canonical_selection_no_window(spark):
+    from sensor_data_pipeline_spark.plans.scale_ops import q205_canonical_selection
+
+    plan = plan_of(q205_canonical_selection(spark, SF))
+    # the arg-max is a partial-aggregable max(struct), never a
+    # per-group ranking window
+    assert "Window" not in plan
+    assert "partial_max" in plan or "partial_count" in plan
+
+
+def test_gini_rank_never_single_partition(spark):
+    from sensor_data_pipeline_spark.plans.scale_ops import q206_skew_gini
+
+    plan = plan_of(q206_skew_gini(spark, SF))
+    # ranking rides the range-partitioned scan: any Window in the plan
+    # must be partitioned by the physical partition id, not global
+    import re as _re
+
+    for m in _re.finditer(r"Window \[[^\]]*\]", plan):
+        frag = m.group(0)
+        assert "_pid" in frag, f"global window found: {frag}"
