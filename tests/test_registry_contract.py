@@ -35,8 +35,14 @@ def test_oracles_reference_only_registered_views():
     for name, spec in REGISTRY.items():
         if spec.oracle is None:
             continue
+        # CTE names, with or without an explicit column list:
+        #   WITH x AS (...)  |  WITH RECURSIVE x(a, b) AS (...)
         ctes = set(
-            re.findall(r"(?:WITH(?:\s+RECURSIVE)?|,)\s*([a-z_][a-z0-9_]*)\s+AS\s*\(", spec.oracle, re.I)
+            re.findall(
+                r"(?:WITH(?:\s+RECURSIVE)?|,)\s*([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(",
+                spec.oracle,
+                re.I,
+            )
         ) | table_functions
         targets = re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", spec.oracle, re.I)
         for t in targets:
