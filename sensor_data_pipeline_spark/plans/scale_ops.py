@@ -509,3 +509,108 @@ def q206_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_users") * F.col("total_events")).cast("bigint").alias("gini_den"),
         )
     )
+
+
+@register(
+    "q208_pipeline_end_to_end",
+    category="corpus",
+    oracle=r"""
+WITH RECURSIVE gated AS (
+  SELECT doc_id, lang, source, text,
+         len(regexp_split_to_array(text, '\s+')) AS n_tok
+  FROM documents
+  WHERE lang IN ('en', 'de') AND len(regexp_split_to_array(text, '\s+')) >= 20
+),
+ex AS (
+  SELECT gated.*, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM gated
+),
+s1 AS (
+  SELECT ex.* FROM ex
+  JOIN (SELECT fp, min(doc_id) AS keep FROM ex GROUP BY fp) k
+    ON ex.fp = k.fp AND ex.doc_id = k.keep
+),
+docs AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM s1)
+),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM docs),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM docs),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT id_a, id_b FROM shared
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.5
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM jp UNION SELECT id_b, id_a FROM jp),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.dst AS node, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+clust AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+s2 AS (
+  SELECT s1.* FROM s1
+  LEFT JOIN clust ON clust.node = s1.doc_id
+  WHERE clust.cluster_id IS NULL OR clust.cluster_id = s1.doc_id
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens_total,
+       CAST(sum((n_tok + 63) // 64) AS BIGINT) AS n_chunks_total,
+       CAST(sum(len(regexp_extract_all(text, '\b(dup|key|hash)\b'))) AS BIGINT)
+         AS n_redacted_total
+FROM s2 GROUP BY lang, source ORDER BY lang, source
+""",
+)
+def q208_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE training-data pipeline as ONE composed query — what a user
+    of this engine actually ships: language+length gate → exact dedup
+    (keep min-id per normalized fingerprint) → near-dup pruning
+    (word-3-gram Jaccard ≥ 0.5 posting-list pairs → connected
+    components → keep each cluster's representative) → PII redaction
+    accounting → 64-token chunk sizing → per-(lang, source) manifest.
+    Every stage is the already-audited operator (q79/q40/q41/q74/
+    q163/q157 machinery) composed end-to-end, and the oracle replays
+    the WHOLE composition — including the dup-graph closure via
+    recursive SQL — so the integration, not just the parts, is
+    hash-checked. Scale shape: three shuffles total (fingerprint
+    group, posting-list group, final rollup) plus the component loop;
+    no stage widens the data beyond its candidate pairs."""
+    from sensor_data_pipeline_spark.functions.text import doc_fingerprint, tokenize
+    from sensor_data_pipeline_spark.operators.dedup import dedup_components, jaccard_pairs
+
+    d = load_table(spark, "documents", sf_dir)
+    n_tok = F.size(tokenize(F.col("text"))).cast("bigint")
+    gated = d.filter(F.col("lang").isin("en", "de")).withColumn("n_tok", n_tok).filter(
+        F.col("n_tok") >= 20
+    )
+    ex = gated.withColumn("fp", doc_fingerprint(F.col("text")))
+    keep = ex.groupBy("fp").agg(F.min("doc_id").alias("_keep"))
+    s1 = ex.join(keep, "fp").filter(F.col("doc_id") == F.col("_keep")).drop("_keep")
+    pairs = jaccard_pairs(s1.select("doc_id", "text"), "doc_id", "text", n=3, threshold=0.5)
+    labels = dedup_components(pairs.select("id_a", "id_b")).withColumnRenamed(
+        "doc_id", "_node"
+    )
+    s2 = s1.join(labels, s1["doc_id"] == labels["_node"], "left").filter(
+        F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    )
+    red_pat = r"\b(dup|key|hash)\b"
+    return (
+        s2.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens_total"),
+            F.sum(F.expr("(n_tok + 63) DIV 64")).cast("bigint").alias("n_chunks_total"),
+            F.sum(F.regexp_count(F.col("text"), F.lit(red_pat)))
+            .cast("bigint")
+            .alias("n_redacted_total"),
+        )
+        .orderBy("lang", "source")
+    )
