@@ -17,6 +17,7 @@ nothing here costs more than its q0x DataFrame twin.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sensor_data_pipeline_spark.plans.registry import register
 from sensor_data_pipeline_spark.sources.tables import register_views
@@ -176,4 +177,79 @@ WHERE anc_key < 10
 GROUP BY anc_key
 ORDER BY root_id
 """
+    )
+
+
+@register(
+    "q209_collated_grouping",
+    category="sql",
+    oracle="""
+WITH mixed AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS src_mixed,
+         doc_id
+  FROM documents
+)
+SELECT lower(src_mixed) AS src_norm,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM mixed GROUP BY lower(src_mixed) ORDER BY src_norm
+""",
+)
+def q209_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATION surface (Spark 4): grouping under UTF8_LCASE merges
+    case variants ENGINE-SIDE — no lower() rewrite of the data, the
+    comparison itself is case-insensitive, which is what lets a
+    collated column keep its original bytes while joins/groups behave
+    case-insensitively (the i18n-correct path; lower() breaks for
+    Turkish dotless-i etc.). The fixture is deterministic mixed case
+    (even doc_ids upper-cased); output normalizes for the oracle,
+    which states the same semantics as lower()-grouping (equivalent
+    for ASCII). Plan: same single map-side-combinable shuffle as any
+    groupBy — collation changes the comparator, not the shape."""
+    from sensor_data_pipeline_spark.sources.tables import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    mixed = F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(F.col("source"))
+    return (
+        d.select(F.collate(mixed, "UTF8_LCASE").alias("src_ci"), "doc_id")
+        .groupBy("src_ci")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .select(F.lower(F.col("src_ci")).cast("string").alias("src_norm"), "n", "first_doc")
+        .orderBy("src_norm")
+    )
+
+
+@register(
+    "q210_parameterized_sql",
+    category="sql",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders
+WHERE o_totalprice > 150000.0
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q210_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL + IDENTIFIER clause: the threshold arrives as
+    a named parameter (:threshold) and the table as IDENTIFIER(:tbl) —
+    the injection-safe way to template queries (values are bound as
+    literals by the parser, identifiers validated as names; string
+    interpolation is how SQL injection and plan-cache misses happen).
+    Semantically identical to the static oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :threshold
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"tbl": "orders", "threshold": 150000.0},
     )
