@@ -309,3 +309,91 @@ def embedding_neardup_pairs(
         # pairs reach this shuffle.
         out = out.dropDuplicates(["id_a", "id_b"])
     return out
+
+
+def pq_scores(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_codes: int = 16,
+    n_subspaces: int = 4,
+) -> DataFrame:
+    """Product-quantization asymmetric scoring (the ANN memory-scale
+    technique IVF composes with): vectors are split into
+    ``n_subspaces`` contiguous subvectors, each encoded as the id of
+    its nearest codebook entry (here: the first ``n_codes`` corpus
+    vectors' subvectors — a deterministic "trained" codebook, same
+    convention as ivf_topk's quantizer), so a 32-float vector becomes
+    4 small ints (32x compression). Query-time distance is ADC: per
+    subspace a 16-entry lookup table of (query subvector -> code)
+    squared-L2 distances, and approx_dist(q, x) = sum of 4 table hits
+    — pure Catalyst element_at arithmetic over the broadcast tables,
+    no Python in the scoring join.
+
+    Returns (query_id, match_id, adist) for all pairs (self excluded).
+    Bit-exactness: every distance accumulates (x_i - c_i)^2 in
+    dimension order (the same sequential fold as cosine_arrow), and
+    table values are computed once driver-side with that fold, so the
+    DuckDB oracle replays them exactly.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = sorted(
+        corpus.orderBy(corpus_id)
+        .limit(n_codes)
+        .select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect(),
+        key=lambda r: r["cid"],
+    )
+    C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])  # (K, D)
+    dim = C.shape[1]
+    sub = dim // n_subspaces
+
+    def _sub_dists(X: np.ndarray, m: int) -> np.ndarray:
+        """(n, K) sequential-fold squared L2 over subspace m."""
+        acc = np.zeros((len(X), len(C)))
+        for k in range(m * sub, (m + 1) * sub):
+            diff = X[:, k, None] - C[None, :, k]
+            acc += diff * diff
+        return acc
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        codes = []
+        for m in range(n_subspaces):
+            d = _sub_dists(X, m)
+            codes.append(np.argsort(d, axis=1, kind="stable")[:, 0])  # ties -> low id
+        return pd.Series(list(np.stack(codes, axis=1).astype("int32")))
+
+    coded = corpus.select(
+        F.col(corpus_id).alias("match_id"), encode(F.col(vec_col)).alias("codes")
+    )
+
+    q_rows = sorted(
+        queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")).collect(),
+        key=lambda r: r["qid"],
+    )
+    table_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float64)[None, :]
+        tables = [[float(x) for x in _sub_dists(qv, m)[0]] for m in range(n_subspaces)]
+        table_rows.append((int(r["qid"]), *tables))
+    tcols = ", ".join(f"t{m} array<double>" for m in range(n_subspaces))
+    tables_df = queries.sparkSession.createDataFrame(
+        table_rows, schema=f"query_id long, {tcols}"
+    )
+
+    adist = None
+    for m in range(n_subspaces):
+        term = F.element_at(F.col(f"t{m}"), F.col("codes")[m] + 1)
+        adist = term if adist is None else adist + term
+    return (
+        coded.crossJoin(F.broadcast(tables_df))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id", adist.alias("adist"))
+    )

@@ -614,3 +614,125 @@ def q208_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+_DUCK_SUBDIST = (
+    "list_aggregate(list_transform(generate_series({m} * 16 + 1, {m} * 16 + 16), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
+)
+
+
+@register(
+    "q211_pq_ann_recall",
+    category="similarity",
+    oracle=f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+cb AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 16),
+ms AS (SELECT range AS m FROM range(0, 4)),
+subd AS (
+  SELECT e.vec_id AS match_id, ms.m, c.cid,
+         {_DUCK_SUBDIST.format(m="ms.m", a="e.v", b="c.cv")} AS d
+  FROM emb e, ms, cb c
+),
+codes AS (
+  SELECT match_id, m, cid AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY match_id, m ORDER BY d, cid) AS rn
+    FROM subd
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+qd AS (
+  SELECT q.query_id, s.match_id, s.m,
+         {_DUCK_SUBDIST.format(m="s.m", a="q.qv", b="c.cv")} AS d
+  FROM q, codes s
+  JOIN cb c ON c.cid = s.code
+  WHERE s.match_id != q.query_id
+),
+adist AS (
+  SELECT query_id, match_id,
+         list_aggregate(list(d ORDER BY m), 'sum') AS adist
+  FROM qd GROUP BY query_id, match_id
+),
+approx_top AS (
+  SELECT query_id, match_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, match_id) AS rk
+    FROM adist) WHERE rk <= 5
+),
+ex AS (
+  SELECT q.query_id, e.vec_id AS match_id,
+         list_aggregate(list_transform(generate_series(1, 64),
+             i -> (q.qv[i] - e.v[i]) * (q.qv[i] - e.v[i])), 'sum') AS d
+  FROM q, emb e WHERE e.vec_id != q.query_id
+),
+exact_top AS (
+  SELECT query_id, match_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, match_id) AS rk
+    FROM ex) WHERE rk <= 5
+)
+SELECT e.query_id,
+       CAST(count(a.match_id) AS BIGINT) AS n_hits,
+       count(a.match_id) / CAST(5.0 AS DOUBLE) AS recall_at_5
+FROM exact_top e
+LEFT JOIN approx_top a ON a.query_id = e.query_id AND a.match_id = e.match_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""",
+)
+def q211_pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with its honesty check: recall@5 of
+    PQ asymmetric-distance top-5 against the exact L2 baseline, per
+    query. PQ is the MEMORY-scale ANN lever (a 32-float vector
+    becomes 4 bytes of codes; a 100 TB embedding table becomes ~3 TB
+    of codes that fit hot storage) and composes with IVF (q66) —
+    coarse cells prune candidates, PQ codes score them without
+    touching raw vectors. Scoring is pure Catalyst lookups over
+    broadcast per-query tables (operators/similarity.py::pq_scores);
+    every distance folds (x-c)^2 in dimension order so the oracle
+    replays codes, tables, and both top-5 sets bit-for-bit."""
+    from sensor_data_pipeline_spark.operators.similarity import pq_scores
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    from pyspark.sql.window import Window
+
+    approx = pq_scores(queries, emb, n_codes=16, n_subspaces=4)
+    wa = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("match_id"))
+    approx_top = (
+        approx.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", F.col("match_id").alias("am"))
+    )
+
+    vd = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    q = queries.select(F.col("vec_id").alias("query_id"), vd(F.col("embedding")).alias("qv"))
+    c = emb.select(F.col("vec_id").alias("match_id"), vd(F.col("embedding")).alias("cv"))
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    we = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("match_id"))
+    exact_top = (
+        c.join(F.broadcast(q))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn("d", dist)
+        .withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "match_id")
+    )
+    return (
+        exact_top.join(
+            approx_top,
+            (exact_top["query_id"] == approx_top["query_id"])
+            & (exact_top["match_id"] == approx_top["am"]),
+            "left",
+        )
+        .groupBy(exact_top["query_id"])
+        .agg(
+            F.count("am").cast("bigint").alias("n_hits"),
+            (F.count("am") / F.lit(5.0)).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
