@@ -736,3 +736,41 @@ def q211_pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "q212_wire_key_census",
+    category="json",
+    oracle="""
+WITH kv AS (
+  SELECT props, unnest(json_keys(props)) AS k FROM events
+)
+SELECT k AS key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT json_extract_string(props, '$.' || k)) AS BIGINT)
+         AS n_distinct_values
+FROM kv GROUP BY k ORDER BY key
+""",
+)
+def q212_wire_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIRE-schema drift census: which JSON keys actually appear on
+    the wire, how often, and with how many distinct values — the
+    dynamic-schema counterpart of q188's on-disk parquet drift audit,
+    and the first thing to run when a producer 'just adds a field'
+    (the reference's consumer tolerates unknown keys silently,
+    consumer.cpp:124-131 — this makes that drift observable). The
+    payload parses ONCE into map<string,string> and explodes
+    executor-side; one map-side-combinable shuffle on key. At 100 TB
+    the key cardinality (tens), not the row count, sizes the result."""
+    ev = load_table(spark, "events", sf_dir)
+    kv = ev.select(
+        F.explode(F.from_json(F.col("props"), "map<string,string>")).alias("key", "v")
+    )
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(F.col("v")).cast("bigint").alias("n_distinct_values"),
+        )
+        .orderBy("key")
+    )
