@@ -15,6 +15,7 @@ from sensor_data_pipeline_spark.plans import sql_interface  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import api_surface  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import pipeline_v2  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import scale_ops  # noqa: F401,E402
+from sensor_data_pipeline_spark.plans import layout  # noqa: F401,E402
 
 # Driver-window ordering: the driver's CORRECTNESS check covers the
 # FIRST 50 registered queries, so the first 50 must span every
@@ -34,10 +35,10 @@ _DRIVER_WINDOW = [
     "q54_audio_features",  # multimodal canary + new byte-stats oracle
     "q62_approx_aggs",  # aggregation + new sketch self-audit oracle
     "q68_stream_sessionize",  # streaming + new state-machine oracle
-    # --- family canaries with no never-checked member ---
-    "q26_signflip_sessions",  # stateful
-    "q89_profile",  # quality
-    "q92_funnel",  # analytics
+    # --- declared late this round, never checked ---
+    "q200_stream_recursive_ewma",  # stateful (keyed streaming state)
+    "q174_filter_funnel",  # quality-gate attribution
+    "q208_pipeline_end_to_end",  # the composed training-data pipeline
     # --- changed this round (never checked) ---
     "q151_http_poll_source",
     "q73_subtokens_map_lookup",
@@ -59,7 +60,7 @@ _DRIVER_WINDOW = [
     "q173_corrupt_file_skip",
     # --- never checked: similarity ---
     "q115_arrow_norms",
-    "q124_embedding_quantization",
+    "q211_pq_ann_recall",  # product-quantization ANN, declared this round
     "q150_neardup_lsh_recall",
     # --- never checked: dedup / sketches ---
     "q110_cluster_representatives",
@@ -88,8 +89,8 @@ _DRIVER_WINDOW = [
     "q56_salted_join",
     "q199_custom_stream_drain",  # S1 streaming source, declared this round
     "q181_interval_overlap_join",
-    "q122_arrow_python_udf",
-    "q65_array_map_funcs",
+    "q203_recursive_cte_rollup",  # Spark 4 WITH RECURSIVE, declared this round
+    "q207_stream_cdc_apply",  # streaming CDC MERGE, declared this round
 ]
 
 

@@ -1,0 +1,329 @@
+"""Data-layout and shuffle-avoidance operators (100 TB design suite).
+
+Two patterns whose entire purpose is cutting I/O and network at
+warehouse scale, each audited with exact deterministic arithmetic:
+
+- q213: Z-order (Morton-curve) file layout — multi-dimensional
+  clustering so min/max file statistics prune BOTH predicate
+  dimensions. The query lays the same rows out z-ordered and
+  single-key-ordered, then replays a predicate grid against each
+  layout's per-file min/max stats and reports how many files (and
+  rows) each layout would have to scan. This is the audit you run
+  before committing a 100 TB table to a sort key.
+- q214: Bloom-filter pre-join — build a tiny bitmap over the dim-side
+  join keys and drop fact rows map-side before the join shuffle.
+  The query accounts exactly for what the filter passed: true
+  matches, false positives, and the structural no-false-negative
+  guarantee as an audited boolean.
+
+Both run as map-only passes over the fact table plus one small-key
+shuffle, so they hold their shape on a 1000-executor cluster.
+
+Reference basis: the reference pre-filters at the edge too — the
+consumer drops malformed/stale readings before they reach the display
+sink (src/modules/dd/consumer.cpp:124-145); these are the
+warehouse-scale forms of "reject early, ship less".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline_spark.plans.registry import register
+from sensor_data_pipeline_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# q213: Z-order layout audit
+# --------------------------------------------------------------------------
+
+_ZBITS = 8  # 8 bits per dimension -> 16-bit Morton code
+_ZFILES = 64  # files per layout; 65536 z-values / 64 = 1024 z-codes per file
+
+
+def _interleave_expr(x: str, y: str, intdiv: str) -> str:
+    """16-bit Morton interleave as pure integer arithmetic, valid in
+    both Spark SQL (intdiv='DIV') and DuckDB (intdiv='//'). Bit i of x
+    lands at position 2i+1, bit i of y at 2i, so the code orders by
+    the interleaved (x, y) space."""
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"((({x} {intdiv} {1 << i}) % 2) * {1 << (2 * i + 1)})")
+        terms.append(f"((({y} {intdiv} {1 << i}) % 2) * {1 << (2 * i)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+#: predicate grid replayed against each layout's file statistics, in
+#: normalized bucket space (0..255 per dimension). One selective box,
+#: one partkey-only slab (the case a partkey sort wins), one
+#: suppkey-only slab (the case a partkey sort catastrophically loses).
+_PREDICATES = (
+    (1, 64, 79, 128, 143),
+    (2, 32, 47, 0, 255),
+    (3, 0, 255, 200, 215),
+)
+
+
+@register(
+    "q213_zorder_layout",
+    category="storage",
+    oracle=f"""
+WITH mx AS (
+  SELECT max(l_partkey) AS mpk, max(l_suppkey) AS msk FROM lineitem
+),
+b AS (
+  SELECT CAST(l_partkey * 256 // (mpk + 1) AS BIGINT) AS x,
+         CAST(l_suppkey * 256 // (msk + 1) AS BIGINT) AS y
+  FROM lineitem, mx
+),
+placed AS (
+  SELECT x, y,
+         {_interleave_expr('x', 'y', '//')} // {65536 // _ZFILES} AS zfile,
+         x // {256 // _ZFILES} AS pfile
+  FROM b
+),
+files AS (
+  SELECT layout, file_id,
+         min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM (
+    SELECT 'zorder' AS layout, zfile AS file_id, x, y FROM placed
+    UNION ALL
+    SELECT 'by_partkey' AS layout, pfile AS file_id, x, y FROM placed
+  )
+  GROUP BY layout, file_id
+),
+preds(pred_id, xl, xh, yl, yh) AS (
+  VALUES {", ".join(f"({p}, {xl}, {xh}, {yl}, {yh})" for p, xl, xh, yl, yh in _PREDICATES)}
+),
+hits AS (
+  SELECT p.pred_id, f.layout,
+         CAST(count(*) AS BIGINT) AS files_hit,
+         CAST(sum(f.n_rows) AS BIGINT) AS rows_scanned
+  FROM preds p
+  JOIN files f
+    ON f.min_x <= p.xh AND f.max_x >= p.xl
+   AND f.min_y <= p.yh AND f.max_y >= p.yl
+  GROUP BY p.pred_id, f.layout
+),
+truth AS (
+  SELECT p.pred_id, CAST(count(*) AS BIGINT) AS rows_matching
+  FROM preds p
+  JOIN placed r
+    ON r.x BETWEEN p.xl AND p.xh AND r.y BETWEEN p.yl AND p.yh
+  GROUP BY p.pred_id
+)
+SELECT h.pred_id, h.layout, h.files_hit, h.rows_scanned,
+       coalesce(t.rows_matching, 0) AS rows_matching
+FROM hits h LEFT JOIN truth t ON h.pred_id = t.pred_id
+ORDER BY h.pred_id, h.layout
+""",
+)
+def q213_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs single-key layout: which one prunes?
+
+    Buckets (l_partkey, l_suppkey) into a 256x256 grid, assigns each
+    row to a file under two layouts — Morton-code tiling (``zfile``)
+    and partkey-only tiling (``pfile``) — then replays a 3-predicate
+    grid against each layout's per-file min/max stats. Output per
+    (predicate, layout): files hit, rows those files hold, and the
+    exact matching row count (layout-independent cross-check).
+
+    Scale design: the file assignment is a fixed z-space tiling, so it
+    is a MAP-ONLY expression — no global sort, no sampled range
+    boundaries — and the per-file stats take one shuffle keyed on
+    (layout, file_id): exactly the footer-stats pass a 100 TB OPTIMIZE
+    ZORDER job runs. Both layouts' stats come from a single pass
+    (explode of two tags), not two scans. The audit itself touches
+    only file-count-sized data. Production note: a real writer would
+    use ``repartitionByRange(z)`` for balanced files; the fixed tiling
+    here keeps file ids deterministic for the oracle while exercising
+    identical pruning math.
+
+    Reference basis: the HKO module selects one place's readings out
+    of the full response array each tick (src/modules/hko/hko.cpp:
+    102-107) — predicate-driven data skipping, here lifted to file
+    granularity.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    mx = F.broadcast(li.agg(F.max("l_partkey").alias("mpk"), F.max("l_suppkey").alias("msk")))
+    b = li.crossJoin(mx).select(
+        F.expr("CAST(l_partkey * 256 DIV (mpk + 1) AS BIGINT)").alias("x"),
+        F.expr("CAST(l_suppkey * 256 DIV (msk + 1) AS BIGINT)").alias("y"),
+    )
+    placed = b.select(
+        "x",
+        "y",
+        F.expr(f"{_interleave_expr('x', 'y', 'DIV')} DIV {65536 // _ZFILES}").alias("zfile"),
+        F.expr(f"x DIV {256 // _ZFILES}").alias("pfile"),
+    )
+    tagged = placed.select(
+        "x",
+        "y",
+        F.explode(
+            F.array(
+                F.struct(F.lit("zorder").alias("layout"), F.col("zfile").alias("file_id")),
+                F.struct(F.lit("by_partkey").alias("layout"), F.col("pfile").alias("file_id")),
+            )
+        ).alias("t"),
+    ).select("x", "y", "t.layout", "t.file_id")
+    files = tagged.groupBy("layout", "file_id").agg(
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    preds = F.broadcast(
+        spark.createDataFrame(list(_PREDICATES), "pred_id int, xl int, xh int, yl int, yh int")
+    )
+    hits = (
+        files.join(
+            preds,
+            (F.col("min_x") <= F.col("xh"))
+            & (F.col("max_x") >= F.col("xl"))
+            & (F.col("min_y") <= F.col("yh"))
+            & (F.col("max_y") >= F.col("yl")),
+        )
+        .groupBy("pred_id", "layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("files_hit"),
+            F.sum("n_rows").cast("bigint").alias("rows_scanned"),
+        )
+    )
+    truth = (
+        placed.crossJoin(preds)
+        .filter(F.col("x").between(F.col("xl"), F.col("xh")) & F.col("y").between(F.col("yl"), F.col("yh")))
+        .groupBy("pred_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows_matching"))
+    )
+    return (
+        hits.join(truth, "pred_id", "left")
+        .select(
+            "pred_id",
+            "layout",
+            "files_hit",
+            "rows_scanned",
+            F.coalesce("rows_matching", F.lit(0)).cast("bigint").alias("rows_matching"),
+        )
+        .orderBy("pred_id", "layout")
+    )
+
+
+# --------------------------------------------------------------------------
+# q214: Bloom-filter pre-join
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 64  # deliberately undersized so false positives are observable
+_BLOOM_HASHES = ((2654435761, 12345), (40503, 99991))
+_BUILD_NATIONS = ("NATION_3", "NATION_7", "NATION_11")
+
+
+def _bloom_pos(key: str, a: int, b: int) -> str:
+    """Universal-hash bit position, identical arithmetic in Spark SQL
+    and DuckDB: ((a*key + b) mod p) mod m with prime p = 1000003."""
+    return f"((({a} * {key} + {b}) % 1000003) % {_BLOOM_M})"
+
+
+@register(
+    "q214_bloom_semijoin",
+    category="join",
+    oracle=f"""
+WITH build AS (
+  SELECT s_suppkey FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name IN {_BUILD_NATIONS!r}
+),
+bloom AS (
+  SELECT DISTINCT pos FROM (
+    SELECT {_bloom_pos('s_suppkey', *_BLOOM_HASHES[0])} AS pos FROM build
+    UNION ALL
+    SELECT {_bloom_pos('s_suppkey', *_BLOOM_HASHES[1])} AS pos FROM build
+  )
+),
+probe AS (
+  SELECT l_returnflag,
+         ({_bloom_pos('l_suppkey', *_BLOOM_HASHES[0])} IN (SELECT pos FROM bloom)
+          AND {_bloom_pos('l_suppkey', *_BLOOM_HASHES[1])} IN (SELECT pos FROM bloom)) AS passed,
+         (l_suppkey IN (SELECT s_suppkey FROM build)) AS is_true
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS rows_passed_bloom,
+       CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS rows_true_match,
+       CAST(sum(CASE WHEN passed AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+       bool_and(passed OR NOT is_true) AS no_false_negatives
+FROM probe
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q214_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join with exact false-positive accounting.
+
+    Builds a {_BLOOM_M}-bit Bloom bitmap (2 universal hashes) over the
+    supplier keys of three nations, probes every lineitem row map-side,
+    and reports per returnflag: total rows, rows the bloom passed,
+    exact matches, false positives, and the bloom's structural
+    guarantee (no member filtered out) as an audited boolean.
+
+    Scale design: this is Spark's runtime-filter / DPP pattern made
+    explicit. The bitmap (here the distinct-position set, <= k*|build|
+    ints) is aggregated from the SMALL dim side and broadcast; the
+    100 TB probe side then filters in a map-only pass BEFORE any join
+    shuffle — the rows a later exact join would drop never enter the
+    exchange. m is deliberately undersized (m/n ~ 2) so the
+    false-positive column is non-trivially exercised; production sizes
+    m/n ~ 10 for <1% FP. The exact-match column doubles as the audit
+    that the pre-filter composes with a real semi-join.
+
+    Reference basis: the consumer rejects non-member topics/payloads
+    before its display update (src/modules/dd/consumer.cpp:111-131) —
+    membership screening at the edge; this is the distributed bitmap
+    form.
+    """
+    nat = load_table(spark, "nation", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    build = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .filter(F.col("n_name").isin(*_BUILD_NATIONS))
+        .select("s_suppkey")
+    )
+    h0 = _bloom_pos("s_suppkey", *_BLOOM_HASHES[0])
+    h1 = _bloom_pos("s_suppkey", *_BLOOM_HASHES[1])
+    # bitmap + exact key list as ONE broadcast single-row relation
+    bloom = F.broadcast(
+        build.agg(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.array(F.expr(h0), F.expr(h1))))
+            ).alias("bloom_bits"),
+            F.collect_set("s_suppkey").alias("build_keys"),
+        )
+    )
+    p0 = _bloom_pos("l_suppkey", *_BLOOM_HASHES[0])
+    p1 = _bloom_pos("l_suppkey", *_BLOOM_HASHES[1])
+    probe = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_returnflag", "l_suppkey")
+        .crossJoin(bloom)
+        .select(
+            "l_returnflag",
+            (
+                F.array_contains("bloom_bits", F.expr(p0))
+                & F.array_contains("bloom_bits", F.expr(p1))
+            ).alias("passed"),
+            F.array_contains("build_keys", F.col("l_suppkey")).alias("is_true"),
+        )
+    )
+    return (
+        probe.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+            F.sum(F.col("passed").cast("int")).cast("bigint").alias("rows_passed_bloom"),
+            F.sum(F.col("is_true").cast("int")).cast("bigint").alias("rows_true_match"),
+            F.sum((F.col("passed") & ~F.col("is_true")).cast("int")).cast("bigint").alias("false_positives"),
+            F.bool_and(F.col("passed") | ~F.col("is_true")).alias("no_false_negatives"),
+        )
+        .orderBy("l_returnflag")
+    )
