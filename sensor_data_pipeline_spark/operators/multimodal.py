@@ -217,3 +217,51 @@ def audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES.fields])
 
     return media.select("media_id", "content").mapInPandas(_features, AUDIO_FEATURES)
+
+
+PHASH_BLOCKS = 48  # 48-bit signature: 4 bands x 12 bits, top bit never set
+PHASH_BANDS = 4
+_PHASH_BAND_BITS = PHASH_BLOCKS // PHASH_BANDS
+
+PHASH_SCHEMA = T.StructType(
+    [T.StructField("media_id", T.LongType())]
+    + [T.StructField(f"band{i}", T.LongType()) for i in range(PHASH_BANDS)]
+)
+
+
+def phash_signature(media: DataFrame) -> DataFrame:
+    """Perceptual-hash-style signature over image payload bytes.
+
+    The payload is split into ``PHASH_BLOCKS`` contiguous blocks
+    (byte p -> block p*BLOCKS // payload_len); block bit = 1 iff the
+    block's byte sum exceeds the payload mean (integer-exact compare:
+    sum*BLOCKS > total). The 48-bit signature is emitted as 4 x 12-bit
+    band integers — the LSH-banding representation — so the full
+    signature is never materialized and band joins need no bit
+    slicing. With a real image codec this becomes mean-threshold aHash
+    over an 8x8 downsample; the banding/verify plumbing is identical.
+
+    Scale: one Arrow pass per blob (mapInPandas), signatures are 4
+    ints/image — the blob column never reaches a shuffle.
+    """
+
+    def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"].astype("int64"), pdf["content"]):
+                b = bytes(blob)
+                if b[:4] != MAGIC["image"]:
+                    continue
+                payload = np.frombuffer(b, dtype=np.uint8, offset=_HEADER_LEN).astype(np.int64)
+                plen = len(payload)
+                blocks = np.arange(plen, dtype=np.int64) * PHASH_BLOCKS // plen
+                bsum = np.bincount(blocks, weights=payload, minlength=PHASH_BLOCKS).astype(np.int64)
+                bits = (bsum * PHASH_BLOCKS > int(payload.sum())).astype(np.int64)
+                bands = [
+                    int((bits[i * _PHASH_BAND_BITS : (i + 1) * _PHASH_BAND_BITS] << np.arange(_PHASH_BAND_BITS)).sum())
+                    for i in range(PHASH_BANDS)
+                ]
+                rows.append((int(mid), *bands))
+            yield pd.DataFrame(rows, columns=[f.name for f in PHASH_SCHEMA.fields])
+
+    return media.select("media_id", "content").mapInPandas(_sig, PHASH_SCHEMA)

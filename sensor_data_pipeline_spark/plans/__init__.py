@@ -70,7 +70,7 @@ _DRIVER_WINDOW = [
     "q176_kmv_sketch_merge",
     # --- never checked: text / corpus / sampling ---
     "q107_repetition_gate",
-    "q108_pattern_scan",
+    "q109_cohort_retention",
     "q157_token_chunking",
     "q158_sequence_packing",
     "q163_pii_redaction",
@@ -83,7 +83,7 @@ _DRIVER_WINDOW = [
     # --- never checked: window / aggregation ---
     "q75_session_window",
     "q76_range_frame_window",
-    "q59_grouping_sets",
+    "q204_polymorphic_udtf",  # udf family, declared this round
     # --- never checked: joins / udf / functions ---
     "q192_heavy_hitters_mg",  # MG sketch, declared this round
     "q56_salted_join",

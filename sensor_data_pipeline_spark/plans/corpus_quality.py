@@ -142,7 +142,7 @@ def q108_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q109_cohort_retention",
-    category="aggregation",
+    category="analytics",
     oracle="""
 WITH user_weeks AS (
   SELECT user_id, date_trunc('week', ts) AS wk

@@ -183,3 +183,116 @@ def q54_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature extraction end-to-end."""
     docs = load_table(spark, "documents", sf_dir)
     return audio_features(synthesize_media(docs)).orderBy("media_id")
+
+
+@register(
+    "q215_media_phash_neardup",
+    category="multimodal",
+    # The oracle regenerates each image payload byte-for-byte from the
+    # container's generative formula (cycled ASCII text, q54's trick),
+    # recomputes the 48-bit block-threshold signature, and replays the
+    # identical band-collision candidate generation + Hamming verify.
+    oracle="""
+WITH img AS (
+  SELECT doc_id, text, length(text) AS tl, 256 + doc_id % 1024 AS plen
+  FROM documents WHERE doc_id % 3 = 0
+),
+bytes AS (
+  SELECT i.doc_id, p.range AS p, i.plen,
+         ascii(substr(i.text, CAST(p.range % i.tl AS INT) + 1, 1)) AS byte
+  FROM img i, range(0, 1280) p
+  WHERE p.range < i.plen
+),
+blocks AS (
+  SELECT doc_id, CAST(p * 48 // plen AS INT) AS b, sum(byte) AS bsum
+  FROM bytes GROUP BY doc_id, CAST(p * 48 // plen AS INT)
+),
+tot AS (SELECT doc_id, sum(bsum) AS total FROM blocks GROUP BY doc_id),
+bands AS (
+  SELECT blocks.doc_id, b // 12 AS band_idx,
+         sum(CASE WHEN bsum * 48 > total THEN CAST(1 AS BIGINT) << (b % 12) ELSE 0 END) AS band_val
+  FROM blocks JOIN tot ON blocks.doc_id = tot.doc_id
+  GROUP BY blocks.doc_id, b // 12
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bands a JOIN bands c
+    ON a.band_idx = c.band_idx AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+)
+SELECT p.id_a, p.id_b,
+       CAST(sum(CASE WHEN sa.band_val = sb.band_val THEN 1 ELSE 0 END) AS BIGINT) AS n_bands_equal,
+       CAST(sum(bit_count(xor(sa.band_val, sb.band_val))) AS BIGINT) AS hamming,
+       CAST(sum(bit_count(xor(sa.band_val, sb.band_val))) AS BIGINT) <= 10 AS is_neardup
+FROM cand p
+JOIN bands sa ON sa.doc_id = p.id_a
+JOIN bands sb ON sb.doc_id = p.id_b AND sb.band_idx = sa.band_idx
+GROUP BY p.id_a, p.id_b
+ORDER BY p.id_a, p.id_b
+""",
+)
+def q215_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over image blobs, end to end:
+    encode documents into binary containers, extract a 48-bit
+    mean-threshold signature per image in one Arrow pass
+    (operators/multimodal.py phash_signature), band it 4 x 12 bits,
+    and emit every band-collision candidate pair with its exact
+    Hamming distance and a near-dup verdict.
+
+    Scale design: identical shape to the text SimHash path — the blob
+    column dies at the signature stage (4 ints/image cross the wire),
+    candidates come from a posting-list self-join on (band_idx,
+    band_val) — one shuffle keyed on band values, never all-pairs —
+    and the Hamming verify runs only on collided pairs. With a real
+    codec the signature becomes aHash over an 8x8 downsample; every
+    stage after the UDF is unchanged.
+
+    Reference basis: register-block decode then threshold compare is
+    the reference's own idiom (src/modules/module_rpi_ups_hat.c:
+    130-180 decodes packed bytes, consumer.cpp:241-268 compares
+    against remembered state); here lifted to content fingerprints.
+    """
+    from sensor_data_pipeline_spark.operators.multimodal import PHASH_BANDS, phash_signature
+
+    docs = load_table(spark, "documents", sf_dir)
+    sig = phash_signature(synthesize_media(docs))
+    bands = sig.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("band_val"))
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "b.band_idx", "b.band_val")
+    a = bands.alias("a")
+    c = bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.band_val") == F.col("c.band_val"))
+            & (F.col("a.media_id") < F.col("c.media_id")),
+        )
+        .select(F.col("a.media_id").alias("id_a"), F.col("c.media_id").alias("id_b"))
+        .distinct()
+    )
+    sa = bands.select(
+        F.col("media_id").alias("id_a"), F.col("band_idx"), F.col("band_val").alias("val_a")
+    )
+    sb = bands.select(
+        F.col("media_id").alias("id_b"), F.col("band_idx"), F.col("band_val").alias("val_b")
+    )
+    ham = F.sum(F.bit_count(F.expr("val_a ^ val_b"))).cast("bigint")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "band_idx"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum((F.col("val_a") == F.col("val_b")).cast("int")).cast("bigint").alias("n_bands_equal"),
+            ham.alias("hamming"),
+            (ham <= 10).alias("is_neardup"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -771,7 +771,7 @@ def q173_corrupt_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q174_filter_funnel",
-    category="corpus",
+    category="quality",
     oracle="""
 WITH feats AS (
   SELECT doc_id, lang,

@@ -600,7 +600,7 @@ def q183_stream_observe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q200_stream_recursive_ewma",
-    category="streaming",
+    category="stateful",
     # The recursion is replayed relationally: DuckDB's recursive CTE
     # walks each user's rows in (ts, event_id) order applying the
     # identical float ops in the identical order, so the doubles are

@@ -418,3 +418,38 @@ def test_gini_rank_never_single_partition(spark):
     for m in _re.finditer(r"Window \[[^\]]*\]", plan):
         frag = m.group(0)
         assert "_pid" in frag, f"global window found: {frag}"
+
+
+def test_zorder_layout_map_only_placement(spark):
+    from sensor_data_pipeline_spark.plans.layout import q213_zorder_layout
+
+    plan = plan_of(q213_zorder_layout(spark, SF))
+    # file placement is fixed z-space tiling: no global sort before the
+    # stats aggregation, and the stats combine map-side
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan and "partial_max" in plan
+    # the predicate-grid join rides a broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bloom_semijoin_probe_is_map_only(spark):
+    from sensor_data_pipeline_spark.plans.layout import q214_bloom_semijoin
+
+    plan = plan_of(q214_bloom_semijoin(spark, SF))
+    # the 100 TB probe side must not shuffle before the bloom filter:
+    # the bitmap arrives by broadcast, membership is array_contains
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # final per-flag aggregation combines map-side
+    assert "partial_sum" in plan
+
+
+def test_phash_neardup_banded_not_allpairs(spark):
+    from sensor_data_pipeline_spark.plans.multimodal import q215_media_phash_neardup
+
+    plan = plan_of(q215_media_phash_neardup(spark, SF))
+    # candidate generation is an equi-join on (band_idx, band_val)
+    # posting lists — never an all-pairs cross product
+    assert "CartesianProduct" not in plan
+    # signatures come from one Arrow pass over the blobs
+    assert "MapInPandas" in plan
