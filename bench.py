@@ -26,10 +26,26 @@ def infer_sf(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _materialize(df) -> int:
+    """Pull the full result to the driver, preferring the Arrow path
+    (what a real client would use); Row-object collect() costs seconds
+    per 100k rows of pure deserialization, which would measure the
+    harness, not the engine. Falls back to collect() for result types
+    Arrow can't carry."""
+    try:
+        return len(df.toPandas())
+    except Exception:
+        return len(df.collect())
+
+
 def main() -> int:
     from sensor_data_pipeline_spark.plans import REGISTRY
     from sensor_data_pipeline_spark.session import get_spark
 
+    # a single JVM hosts all ~200 queries back-to-back; the default 8g
+    # heap slowly drowns in accumulated broadcasts/cache blocks and the
+    # tail of the run pays 3-4x in GC. Size the heap for the suite.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark(app_name="bench")
     # warm-up, outside the timed region: parquet footer caches, the
     # whole-stage-codegen compiler, the shuffle machinery, and the
@@ -66,38 +82,44 @@ def main() -> int:
     # objects to every query, so the persisted plans are actually hit.
     from sensor_data_pipeline_spark.sources.tables import load_table
 
-    for t in (
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings",
-    ):
-        df = load_table(spark, t, SF_DIR)
+    pinned = [
+        load_table(spark, t, SF_DIR)
+        for t in (
+            "region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings",
+        )
+    ]
+    for df in pinned:
         df.cache()
         df.count()  # materialize now so no query pays the fill
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name, spec in sorted(REGISTRY.items()):
+    for i, (name, spec) in enumerate(sorted(REGISTRY.items())):
         t0 = time.perf_counter()
         try:
-            rows = spec.spark(spark, SF_DIR).collect()
+            _materialize(spec.spark(spark, SF_DIR))
             timings[name] = round(time.perf_counter() - t0, 3)
-            del rows
             # second run: steady-state cost with this query's codegen /
             # file listings warm. The cold-warm gap is per-query JIT
             # constant overhead, which does not grow with data volume —
             # warm numbers are the ones that extrapolate to 100 TB.
             t1 = time.perf_counter()
-            spec.spark(spark, SF_DIR).collect()
+            _materialize(spec.spark(spark, SF_DIR))
             warm[name] = round(time.perf_counter() - t1, 3)
         except Exception as e:  # keep benching; surface the failure in the line
             failures[name] = str(e).splitlines()[0][:200]
-        # NOTE: no per-query clearCache() — it would evict the pinned
-        # base tables above. Intra-query caches (e.g. the MinHash
-        # signature table) are tiny at sf0.1 and keyed by plan, so
-        # leaving them resident is correct and mirrors a long-lived
-        # session; 128 GiB of executor memory dwarfs the suite's
-        # working set.
+        # cache hygiene, outside the timed region: queries that persist
+        # intermediates (MinHash signatures, component frontiers) leave
+        # them resident; across 200+ queries the leak crowds the block
+        # store and the run's tail pays for it in GC. Periodically drop
+        # everything and re-pin the base tables.
+        if (i + 1) % 40 == 0:
+            spark.catalog.clearCache()
+            for df in pinned:
+                df.cache()
+                df.count()
 
     full = {
         "metric": "declared_query_suite_wall_clock",

@@ -453,3 +453,25 @@ def test_phash_neardup_banded_not_allpairs(spark):
     assert "CartesianProduct" not in plan
     # signatures come from one Arrow pass over the blobs
     assert "MapInPandas" in plan
+
+
+def test_pagerank_single_dag_no_cartesian(spark):
+    from sensor_data_pipeline_spark.plans.iterative import q216_pagerank_integer
+
+    plan = plan_of(q216_pagerank_integer(spark, SF))
+    # 3 unrolled iterations stay one declarative DAG: equi-joins plus
+    # map-side-combinable sums, never a cross product or driver loop
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    # top-k is a per-partition heap + driver merge, not a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_centroids_broadcast_per_iteration(spark):
+    from sensor_data_pipeline_spark.plans.iterative import q217_kmeans_quantized
+
+    plan = plan_of(q217_kmeans_quantized(spark, SF))
+    # each assignment scores against the k-row centroid table by
+    # broadcast; the vector corpus never shuffles for scoring
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
