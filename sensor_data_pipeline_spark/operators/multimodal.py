@@ -265,3 +265,47 @@ def phash_signature(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in PHASH_SCHEMA.fields])
 
     return media.select("media_id", "content").mapInPandas(_sig, PHASH_SCHEMA)
+
+
+FRAME_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("fsum", T.LongType()),
+        T.StructField("total", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def frame_signatures(media: DataFrame) -> DataFrame:
+    """Per-frame byte-sum signatures for videos: byte p belongs to
+    frame p*n_frames // payload_len, its frame's signature is the
+    block byte sum (the same deterministic stand-in for a decoded
+    frame statistic that phash uses for images). One Arrow pass per
+    blob; the output is n_frames small integer rows per video, so
+    everything downstream (scene-cut windows, segment islands) runs
+    JVM-side on signature-sized data — the blob never leaves the scan.
+    """
+
+    def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in FRAME_SIG_SCHEMA.fields}
+            for mid, blob in zip(pdf["media_id"].astype("int64"), pdf["content"]):
+                b = bytes(blob)
+                if b[:4] != MAGIC["video"]:
+                    continue
+                nf = struct.unpack(_HEADER_FMT, b[4:_HEADER_LEN])[3]
+                payload = np.frombuffer(b, dtype=np.uint8, offset=_HEADER_LEN).astype(np.int64)
+                plen = len(payload)
+                frames = np.arange(plen, dtype=np.int64) * nf // plen
+                fsum = np.bincount(frames, weights=payload, minlength=nf).astype(np.int64)
+                total = int(payload.sum())
+                out["media_id"].extend([int(mid)] * nf)
+                out["frame_idx"].extend(range(nf))
+                out["fsum"].extend(int(x) for x in fsum)
+                out["total"].extend([total] * nf)
+                out["n_frames"].extend([nf] * nf)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(_sig, FRAME_SIG_SCHEMA)

@@ -296,3 +296,189 @@ def q215_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "q218_multimodal_manifest",
+    category="multimodal",
+    # Every gate and statistic is integer-exact: token counts from the
+    # same whitespace split, payload lengths from the container
+    # formula, and embedding "mass" as the sum of squared quantized
+    # components — so the manifest hashes bit-for-bit.
+    oracle=f"""
+WITH meta AS ({_DUCK_META}),
+toks AS (
+  SELECT doc_id, lang, len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+  FROM documents
+),
+emb AS (
+  SELECT vec_id,
+         list_sum(list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT)
+                       * CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT))) AS qnorm
+  FROM embeddings
+),
+manifest AS (
+  SELECT m.kind, t.lang, t.n_tokens, m.payload_len, e.qnorm
+  FROM toks t
+  JOIN meta m ON m.doc_id = t.doc_id
+  JOIN emb e ON e.vec_id = t.doc_id
+  WHERE t.n_tokens >= 10 AND m.payload_len >= 300
+)
+SELECT kind, lang,
+       CAST(count(*) AS BIGINT) AS n_examples,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(payload_len) AS BIGINT) AS sum_payload_bytes,
+       CAST(sum(qnorm) AS BIGINT) AS sum_qnorm
+FROM manifest
+GROUP BY kind, lang
+ORDER BY kind, lang
+""",
+)
+def q218_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated multimodal training manifest in one query: join the
+    text table (token gate), the decoded media containers (payload
+    gate), and the embedding table (quantized mass) on document id,
+    then roll up per (kind, lang) — the modality-balance summary a
+    data-mixture planner consumes.
+
+    Scale design: three co-keyed tables join on their shared id — on a
+    cluster these would be co-bucketed by doc_id making every join
+    exchange-free; the media blobs contribute only decoded header
+    columns (column pruning keeps bytes on disk), and the embedding
+    mass reduces 64 floats to one integer JVM-side (zip-free
+    aggregate over transform) before any shuffle. Gates filter BEFORE
+    the rollup, so the exchange carries only surviving manifest rows.
+
+    Reference basis: the consumer merges two sensor modalities into
+    one display row after validating each (src/modules/dd/
+    consumer.cpp:124-145); this is the N-modality warehouse form.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    media = decode_media_meta(synthesize_media(docs)).select("media_id", "kind", "payload_len")
+    qdim = lambda x: F.round(x.cast("double") * 127, 0).cast("bigint")  # noqa: E731
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.aggregate(
+            F.transform("embedding", lambda x: qdim(x) * qdim(x)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("qnorm"),
+    )
+    manifest = (
+        toks.join(media, toks.doc_id == media.media_id)
+        .join(emb, toks.doc_id == emb.vec_id)
+        .filter((F.col("n_tokens") >= 10) & (F.col("payload_len") >= 300))
+    )
+    return (
+        manifest.groupBy("kind", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_examples"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum("payload_len").cast("bigint").alias("sum_payload_bytes"),
+            F.sum("qnorm").cast("bigint").alias("sum_qnorm"),
+        )
+        .orderBy("kind", "lang")
+    )
+
+
+@register(
+    "q219_video_scene_segments",
+    category="multimodal",
+    # Scene-cut rule, integer-exact on both engines: a cut before
+    # frame f iff 2 * n_frames * |fsum[f] - fsum[f-1]| > total bytes.
+    oracle="""
+WITH vid AS (
+  SELECT doc_id, text, length(text) AS tl,
+         256 + doc_id % 1024 AS plen,
+         16 + doc_id % 240 AS nf
+  FROM documents WHERE doc_id % 3 = 2
+),
+bytes AS (
+  SELECT v.doc_id, p.range AS p, v.plen, v.nf,
+         ascii(substr(v.text, CAST(p.range % v.tl AS INT) + 1, 1)) AS byte
+  FROM vid v, range(0, 1280) p
+  WHERE p.range < v.plen
+),
+frames AS (
+  SELECT doc_id, nf, CAST(p * nf // plen AS INT) AS frame_idx, sum(byte) AS fsum
+  FROM bytes GROUP BY doc_id, nf, CAST(p * nf // plen AS INT)
+),
+tot AS (SELECT doc_id, sum(fsum) AS total FROM frames GROUP BY doc_id),
+cuts AS (
+  SELECT f.doc_id, f.nf, f.frame_idx, f.fsum, t.total,
+         CASE WHEN f.frame_idx > 0
+              AND 2 * f.nf * abs(f.fsum - lag(f.fsum) OVER w) > t.total
+              THEN 1 ELSE 0 END AS is_cut
+  FROM frames f JOIN tot t ON t.doc_id = f.doc_id
+  WINDOW w AS (PARTITION BY f.doc_id ORDER BY f.frame_idx)
+),
+segs AS (
+  SELECT doc_id, nf, frame_idx,
+         sum(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+  FROM cuts
+),
+seg_len AS (
+  SELECT doc_id, nf, seg_id, count(*) AS seg_frames
+  FROM segs GROUP BY doc_id, nf, seg_id
+)
+SELECT doc_id AS media_id,
+       CAST(nf AS INT) AS n_frames,
+       CAST(count(*) - 1 AS BIGINT) AS n_cuts,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(max(seg_frames) AS BIGINT) AS longest_segment
+FROM seg_len
+GROUP BY doc_id, nf
+ORDER BY media_id
+""",
+)
+def q219_video_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change segmentation for video blobs: per-frame signatures
+    come out of one Arrow pass (operators/multimodal.py
+    frame_signatures); cut detection (lag window), segment islands
+    (running cut count), and per-segment rollups all run JVM-side on
+    the signature table — the classic gap-islands shape keyed by
+    media_id, so a 100 TB video corpus segments with one shuffle of
+    integer rows and the blobs never leave their scan. With a real
+    codec the signature becomes a per-frame luma histogram delta; the
+    windowing is unchanged.
+
+    Reference basis: sign-flip change detection over a per-key ordered
+    stream is the reference's battery state machine
+    (src/modules/module_rpi_ups_hat.c:241-265); here the "flip" is a
+    frame-delta threshold and the key is the video.
+    """
+    from pyspark.sql import Window
+
+    from sensor_data_pipeline_spark.operators.multimodal import frame_signatures
+
+    docs = load_table(spark, "documents", sf_dir)
+    sig = frame_signatures(synthesize_media(docs))
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    cuts = sig.withColumn(
+        "is_cut",
+        (
+            (F.col("frame_idx") > 0)
+            & (2 * F.col("n_frames") * F.abs(F.col("fsum") - F.lag("fsum").over(w)) > F.col("total"))
+        ).cast("int"),
+    )
+    segs = cuts.withColumn(
+        "seg_id",
+        F.sum("is_cut").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    seg_len = segs.groupBy("media_id", "n_frames", "seg_id").agg(F.count(F.lit(1)).alias("seg_frames"))
+    return (
+        seg_len.groupBy("media_id", "n_frames")
+        .agg(
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_cuts"),
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.max("seg_frames").cast("bigint").alias("longest_segment"),
+        )
+        .orderBy("media_id")
+    )

@@ -1058,3 +1058,112 @@ def q198_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok_a", "tok_b", "n_both", "n_a", "n_b")
         .orderBy(F.col("n_both").desc(), "tok_a", "tok_b")
     )
+
+
+@register(
+    "q220_retrieve_rerank",
+    category="similarity",
+    # Two-stage retrieval, all-integer so ranks can never flip on
+    # float order: stage 1 ranks by quantized dot product, stage 2
+    # reranks the shortlist with a lexical-overlap interaction term.
+    oracle="""
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qry AS (SELECT vec_id AS qid, qv FROM qz WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, c.vec_id AS cid,
+         list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i] * c.qv[i])) AS qdot
+  FROM qry q JOIN qz c ON c.vec_id <> q.qid
+),
+shortlist AS (
+  SELECT qid, cid, qdot,
+         row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, cid) AS rnk
+  FROM scored
+),
+wordsets AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(text, '\\s+')) AS ws FROM documents
+),
+rerank AS (
+  SELECT s.qid, s.cid, s.qdot,
+         CAST(len(list_distinct(list_intersect(wq.ws, wc.ws))) AS BIGINT) AS overlap,
+         s.qdot + 10000 * CAST(len(list_distinct(list_intersect(wq.ws, wc.ws))) AS BIGINT) AS rerank_score
+  FROM shortlist s
+  JOIN wordsets wq ON wq.doc_id = s.qid
+  JOIN wordsets wc ON wc.doc_id = s.cid
+  WHERE s.rnk <= 20
+)
+SELECT qid, cid, qdot, overlap, rerank_score,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY rerank_score DESC, cid) AS BIGINT) AS final_rank
+FROM rerank
+QUALIFY final_rank <= 5
+ORDER BY qid, final_rank
+""",
+)
+def q220_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: broadcast the 5-query panel against the
+    corpus for a map-only quantized-dot-product scan, keep each
+    query's top-20 (one shuffle: per-query ranking window), then
+    rerank only the 100 shortlisted pairs with a lexical-overlap
+    interaction feature joined from the documents table. The final
+    top-5 per query is computed on shortlist-sized data.
+
+    This is the canonical LLM retrieval shape — cheap ANN-style first
+    stage over everything, expensive interaction scoring over almost
+    nothing. At 100 TB the stage-1 scan stays map-only (queries
+    broadcast), and stage 2's joins touch k*|queries| rows. Integer
+    scoring end to end: quantized dots and overlap counts, so the
+    ranking is bit-stable under any execution order.
+
+    Reference basis: the consumer's two-phase handling — cheap
+    validity screen on every message, expensive display update only
+    for survivors (src/modules/dd/consumer.cpp:124-145).
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    qz = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 127, 0).cast("bigint")).alias("qv"),
+    )
+    qry = qz.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("qv").alias("qvec"))
+    scored = (
+        qz.crossJoin(F.broadcast(qry))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.aggregate(
+                F.zip_with("qvec", "qv", lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("qid").orderBy(F.col("qdot").desc(), "cid")
+    shortlist = scored.withColumn("rnk", F.row_number().over(w1)).filter(F.col("rnk") <= 20)
+    wordsets = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.array_distinct(F.split("text", r"\s+")).alias("ws")
+    )
+    wq = wordsets.select(F.col("doc_id").alias("qid"), F.col("ws").alias("ws_q"))
+    wc = wordsets.select(F.col("doc_id").alias("cid"), F.col("ws").alias("ws_c"))
+    overlap = F.size(F.array_distinct(F.array_intersect("ws_q", "ws_c"))).cast("bigint")
+    reranked = (
+        shortlist.join(F.broadcast(wq), "qid")
+        .join(wc, "cid")
+        .select(
+            "qid",
+            "cid",
+            "qdot",
+            overlap.alias("overlap"),
+            (F.col("qdot") + 10000 * overlap).alias("rerank_score"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("rerank_score").desc(), "cid")
+    return (
+        reranked.withColumn("final_rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("final_rank") <= 5)
+        .orderBy("qid", "final_rank")
+    )

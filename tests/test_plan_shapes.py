@@ -475,3 +475,27 @@ def test_kmeans_centroids_broadcast_per_iteration(spark):
     # broadcast; the vector corpus never shuffles for scoring
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_retrieve_rerank_stage1_map_only(spark):
+    from sensor_data_pipeline_spark.plans.northstar import q220_retrieve_rerank
+
+    plan = plan_of(q220_retrieve_rerank(spark, SF))
+    # the query panel is broadcast: stage-1 scoring shuffles nothing
+    # but the per-query ranking window; no cross product anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_video_segments_blob_dies_at_signature(spark):
+    from sensor_data_pipeline_spark.plans.multimodal import q219_video_scene_segments
+
+    plan = plan_of(q219_video_scene_segments(spark, SF))
+    # frame features come from one Arrow pass; windows run on the
+    # integer signature table, partitioned by media_id (never global)
+    assert "MapInPandas" in plan
+    assert "Window" in plan
+    import re as _re
+
+    for m in _re.finditer(r"Window \[[^\]]*partitionBy=\[\]", plan):
+        raise AssertionError(f"global window: {m.group(0)}")
