@@ -110,9 +110,15 @@ def q216_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.select(
         (F.col("l_suppkey") * 2 + 1).alias("src"), (F.col("l_partkey") * 2).alias("dst")
     )
-    edges = fwd.union(rev).distinct()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # the edge list, degrees, and node set are loop INVARIANTS read by
+    # every iteration; without pinning them Spark re-derives each from
+    # the parquet scan per iteration (observed: 20 scans, 0 reused
+    # exchanges in the unrolled plan). Persisting the invariants is
+    # how every cluster PageRank runs — state per executor is the edge
+    # partition, exactly what a graph engine would hold.
+    edges = fwd.union(rev).distinct().persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     ranks = nodes.select("node", F.lit(_PR_SCALE).cast("bigint").alias("rank"))
     for _ in range(_PR_ITERS):
         contrib = (
@@ -230,10 +236,12 @@ def q217_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference basis: iterate-against-remembered-state, as q216.
     """
     emb = load_table(spark, "embeddings", sf_dir)
+    # the quantized corpus is read by every assign (k centroids) and
+    # every update — pin it once, as a cluster k-means would
     q = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: F.round(x.cast("double") * 127, 0).cast("bigint")).alias("qv"),
-    )
+    ).persist()
     cent = q.filter(F.col("vec_id") < _KM_K).select(F.col("vec_id").alias("cid"), F.col("qv").alias("cvec"))
 
     def assign(centroids: DataFrame) -> DataFrame:

@@ -1167,3 +1167,128 @@ def q220_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("final_rank") <= 5)
         .orderBy("qid", "final_rank")
     )
+
+
+_BPE_STEPS = 3
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE merge learning. Each step: count adjacent symbol
+    pairs weighted by word frequency, pick the winner (count desc,
+    pair asc), merge it everywhere. replace() is left-to-right
+    non-overlapping in both engines, so ' l l l ' merges identically."""
+    parts = [
+        """w0 AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+  GROUP BY w
+)""",
+        """s0 AS (
+  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s, n FROM w0
+)""",
+    ]
+    prev = "s0"
+    for i in range(1, _BPE_STEPS + 1):
+        parts.append(f"""arr{i} AS (
+  SELECT string_split(trim(s), ' ') AS a, n FROM {prev}
+)""")
+        parts.append(f"""pr{i} AS (
+  SELECT a, n, unnest(range(1, len(a))) AS i FROM arr{i}
+)""")
+        parts.append(f"""cnt{i} AS (
+  SELECT a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] AS pair, sum(n) AS support
+  FROM pr{i} GROUP BY 1
+)""")
+        parts.append(f"""b{i} AS (
+  SELECT pair, CAST(support AS BIGINT) AS support FROM cnt{i}
+  ORDER BY support DESC, pair LIMIT 1
+)""")
+        parts.append(f"""s{i} AS (
+  SELECT replace(x.s, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS s, x.n
+  FROM {prev} x, b{i} b
+)""")
+        prev = f"s{i}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, pair, replace(pair, ' ', '') AS merged, support FROM b{i}"
+        for i in range(1, _BPE_STEPS + 1)
+    )
+    return f"WITH {','.join(parts)}\n{union}\nORDER BY step"
+
+
+@register(
+    "q221_bpe_merge_learning",
+    category="text",
+    oracle=_bpe_oracle(),
+)
+def q221_bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the merge-learning loop itself: count
+    adjacent symbol pairs over the frequency-weighted vocabulary, pick
+    the most frequent pair (deterministic tie-break: count desc, pair
+    asc), merge it corpus-wide, repeat. Emits the learned merge table
+    (step, pair, merged, support) — the artifact a 100 TB tokenizer
+    training job actually ships.
+
+    Scale design: each step is one explode+groupBy over the DISTINCT
+    vocabulary (frequency-weighted — the corpus itself is never
+    rescanned after the initial word count), and the winning pair
+    joins back by broadcast of a single row. The unrolled loop is one
+    Catalyst DAG; symbol strings shrink monotonically. String merge
+    via literal replace() has identical left-to-right non-overlapping
+    semantics on both engines, which the oracle relies on.
+
+    Reference basis: the reference derives compact wire symbols from
+    raw streams once at init and reuses them every tick
+    (src/modules/dd/producer.c:124-141 builds the serialized form);
+    merge learning is the corpus-scale analog of choosing the wire
+    alphabet.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    words = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    chars = F.filter(F.split("word", ""), lambda c: c != "")
+    spaced = words.select(
+        F.concat(F.lit(" "), F.concat_ws(" ", chars), F.lit(" ")).alias("s"), "n"
+    )
+    bests = []
+    cur = spaced
+    for step in range(1, _BPE_STEPS + 1):
+        a = F.split(F.trim("s"), " ")
+        pair_idx = F.when(
+            F.size(a) >= 2, F.sequence(F.lit(0), F.size(a) - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = cur.select(
+            "n",
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.concat(
+                        F.element_at(a, i + 1), F.lit(" "), F.element_at(a, i + 2)
+                    ),
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n").cast("bigint").alias("support"))
+            .orderBy(F.col("support").desc(), "pair")
+            .limit(1)
+        )
+        bests.append(
+            best.select(
+                F.lit(step).alias("step"),
+                "pair",
+                F.replace("pair", F.lit(" "), F.lit("")).alias("merged"),
+                "support",
+            )
+        )
+        cur = cur.crossJoin(F.broadcast(best.select(F.col("pair").alias("_bp")))).select(
+            F.expr("replace(s, concat(' ', _bp, ' '), concat(' ', replace(_bp, ' ', ''), ' '))").alias("s"),
+            "n",
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("step")
