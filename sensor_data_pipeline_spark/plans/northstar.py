@@ -1075,7 +1075,7 @@ WITH qz AS (
 qry AS (SELECT vec_id AS qid, qv FROM qz WHERE vec_id < 5),
 scored AS (
   SELECT q.qid, c.vec_id AS cid,
-         list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i] * c.qv[i])) AS qdot
+         CAST(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i] * c.qv[i])) AS BIGINT) AS qdot
   FROM qry q JOIN qz c ON c.vec_id <> q.qid
 ),
 shortlist AS (
