@@ -864,3 +864,113 @@ def q207_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:  # noq
         q.awaitTermination()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return latest_snapshot(spark, root).orderBy("key")
+
+
+_TSS_M = 8  # subsequence length
+_TSS_K = 10  # results kept
+
+
+@register(
+    "q222_ts_subsequence_search",
+    category="timeseries",
+    # Distance is integer squared-L2 on centi-quantized readings, so
+    # ranking is bit-stable; the query pattern is user 1's first M
+    # readings in (ts, event_id) order.
+    oracle=f"""
+WITH q0 AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS qv,
+         row_number() OVER (ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id = 1
+),
+pat AS (SELECT list(qv ORDER BY rn) AS pv FROM q0 WHERE rn <= {_TSS_M}),
+ser AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS qv,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+  FROM events
+),
+win AS (
+  SELECT user_id, pos, list(qv) OVER (
+           PARTITION BY user_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {_TSS_M - 1} FOLLOWING) AS w
+  FROM ser
+),
+scored AS (
+  SELECT s.user_id, s.pos,
+         CAST(list_sum(list_transform(range(1, {_TSS_M} + 1),
+                       i -> (s.w[i] - p.pv[i]) * (s.w[i] - p.pv[i]))) AS BIGINT) AS dist
+  FROM win s, pat p
+  WHERE len(s.w) = {_TSS_M} AND NOT (s.user_id = 1 AND s.pos = 1)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(pos AS BIGINT) AS start_pos,
+       dist
+FROM scored
+ORDER BY dist, user_id, pos
+LIMIT {_TSS_K}
+""",
+)
+def q222_ts_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (the distributed
+    sliding-window pattern of EDBT'19 "Time Series Similarity Search
+    for Streaming Data in Distributed Systems"): find the top-10
+    subsequences closest to a query pattern across every user's
+    reading series. Sliding windows materialize per user via a frame-
+    bounded collect_list (rows are already co-partitioned by user —
+    ONE shuffle), the query pattern is broadcast, scoring is map-only
+    integer L2, and the global top-k is a per-partition heap + driver
+    merge (TakeOrderedAndProject), never a full sort. Production
+    variant would z-normalize per window (same plan shape, float).
+
+    Reference basis: the consumer compares the incoming reading
+    window against remembered recent state per sensor
+    (src/modules/dd/consumer.cpp:241-268); this generalizes "how
+    similar is now to then" across the whole fleet's history.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    qv = F.round(F.col("value") * 100, 0).cast("bigint")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ser = ev.select(
+        "user_id",
+        qv.alias("qv"),
+        F.row_number().over(w_user).alias("pos"),
+    )
+    win = ser.select(
+        "user_id",
+        "pos",
+        F.collect_list("qv")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("pos")
+            .rowsBetween(Window.currentRow, _TSS_M - 1)
+        )
+        .alias("w"),
+    ).filter(F.size("w") == _TSS_M)
+    pat = F.broadcast(
+        ser.filter((F.col("user_id") == 1) & (F.col("pos") <= _TSS_M))
+        .groupBy(F.lit(1).alias("_g"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "qv"))).alias("ps"))
+        .select(F.transform("ps", lambda s: s["qv"]).alias("pv"))
+    )
+    scored = (
+        win.crossJoin(pat)
+        .filter(~((F.col("user_id") == 1) & (F.col("pos") == 1)))
+        .select(
+            "user_id",
+            "pos",
+            F.aggregate(
+                F.zip_with("w", "pv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+    )
+    return (
+        scored.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("pos").cast("bigint").alias("start_pos"),
+            "dist",
+        )
+        .orderBy("dist", "user_id", "start_pos")
+        .limit(_TSS_K)
+    )
