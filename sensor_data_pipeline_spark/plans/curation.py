@@ -1,0 +1,679 @@
+"""Data-curation operators, round 3: the retrieval / filtering /
+mining layer a training-data pipeline runs between raw corpus and
+tokenizer — each one expressed as a single Catalyst DAG with the
+100 TB shuffle story stated in its docstring, each audited by a
+bit-exact DuckDB oracle.
+
+- q223: BM25 ranked retrieval with a RATIONAL idf ((N-df+0.5)/(df+0.5)
+  instead of its log) so every arithmetic step is an IEEE-754
+  correctly-rounded op that DuckDB reproduces bit-for-bit; per-term
+  scores are fixed-pointed (floor 1e6) BEFORE the per-doc sum so the
+  aggregation is integer and order-independent.
+- q224: positional inverted index + exact phrase query — the postings
+  shape (term, doc, pos) that substring-level corpus search needs;
+  the phrase is answered by an adjacency self-join of two posting
+  lists, never a full-text rescan.
+- q225: bigram-LM fluency gate — train add-one-smoothed bigram
+  probabilities over a capped vocabulary (OOV -> <unk>), score every
+  document map-side against the broadcast model, keep docs above a
+  fixed fluency floor. The model is vocabulary-bounded, never
+  corpus-bounded.
+- q226: SemDeDup (semantic dedup): quantized k-means assignment
+  against broadcast centroids, then pairwise integer-cosine ONLY
+  within a cluster — the all-pairs work is bounded by cluster size,
+  the cross-cluster pair space is never generated.
+- q227: deterministic contrastive negative sampling — (anchor,
+  positive, k hash-drawn negatives) triples, map-only: the "random"
+  draw is a pure hash so resampling any shard reproduces itself.
+- q228: robust anomaly gate (median/MAD) per sensor stream — exact
+  medians on integer cents, 3-sigma-equivalent MAD fence, one
+  aggregation pass + one broadcast-back scoring pass.
+
+Reference basis: the reference validates each reading against fixed
+plausibility fences before display (src/modules/dd/consumer.c range
+checks); q228 is the learned-fence version of that gate. The
+retrieval trio (q223-q225) and SemDeDup extend the corpus layer the
+reference lacks but a 100 TB training pipeline requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline_spark.functions.text import tokenize, word_hash32
+from sensor_data_pipeline_spark.plans.registry import register
+from sensor_data_pipeline_spark.sources.tables import load_table
+
+_DUCK_WORDS = "regexp_split_to_array(text, '\\s+')"
+
+# ---------------------------------------------------------------------------
+# q223 — BM25 ranked retrieval (rational idf, fixed-point scores)
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = "CAST(1.2 AS DOUBLE)"
+_BM25_B = "CAST(0.75 AS DOUBLE)"
+# Per-(doc, term) BM25 partial, fixed-pointed at 1e6. The SAME text is
+# compiled by Spark SQL and DuckDB so the double-precision expression
+# tree is identical: +, *, / are IEEE correctly-rounded, so identical
+# inputs + identical tree = identical bits, and floor() of identical
+# bits is the same integer in both engines.
+_BM25_TERM_FP = (
+    "CAST(floor(CAST(1000000 AS DOUBLE) * "
+    "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+    " * (CAST(tf AS DOUBLE) * ({k1} + CAST(1 AS DOUBLE)) / "
+    "(CAST(tf AS DOUBLE) + {k1} * (CAST(1 AS DOUBLE) - {b} + {b} * (CAST(dl AS DOUBLE) / avgdl))))"
+    ") AS BIGINT)"
+).format(k1=_BM25_K1, b=_BM25_B)
+
+
+@register(
+    "q223_bm25_retrieval",
+    category="text",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_WORDS}) AS token FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+df AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY token
+),
+qterms AS (
+  SELECT token, df
+  FROM (SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS rnk FROM df)
+  WHERE rnk BETWEEN 5 AND 8
+),
+tf AS (
+  SELECT t.doc_id, t.token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks t JOIN qterms q USING (token)
+  GROUP BY t.doc_id, t.token
+),
+scored AS (
+  SELECT tf.doc_id,
+         {_BM25_TERM_FP} AS term_fp
+  FROM tf
+  JOIN qterms USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus
+),
+ranked AS (
+  SELECT doc_id,
+         CAST(sum(term_fp) AS BIGINT) AS bm25_fp,
+         CAST(count(*) AS BIGINT) AS n_terms_hit,
+         row_number() OVER (ORDER BY CAST(sum(term_fp) AS BIGINT) DESC, doc_id) AS rnk
+  FROM scored
+  GROUP BY doc_id
+)
+SELECT doc_id, bm25_fp, n_terms_hit, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 10 ORDER BY rank
+""",
+)
+def q223_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over the corpus for a df-derived 4-term query.
+
+    Scale shape: one tokenize scan feeds doc-length, doc-frequency and
+    term-frequency aggregates; the query's term set (4 rows) and the
+    corpus constants (1 row) ride broadcasts, so scoring is the tf
+    aggregate (pre-filtered to query terms by a broadcast semi-join —
+    the shuffle carries |query| terms per doc, not the vocabulary) plus
+    map-side arithmetic. Rational idf (N-df+0.5)/(df+0.5) keeps the
+    monotone ordering of log-idf without a transcendental, so Spark and
+    DuckDB agree to the bit; per-term scores are floored to 1e6
+    fixed-point BEFORE summation, making the per-doc reduce an integer
+    sum that no partial-aggregation order can perturb.
+
+    At 100 TB: df/avgdl are corpus statistics maintained incrementally
+    (q194's delta-merge pattern) rather than recomputed per query; the
+    per-query cost is then the broadcast-pruned tf scan only.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    df = toks.groupBy("token").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
+    # ranks 5-8 of the df table: TakeOrderedAndProject(8) then a window
+    # over those 8 rows — never a global row_number over the vocabulary.
+    qterms = (
+        df.orderBy(F.col("df").desc(), "token")
+        .limit(8)
+        .withColumn("rnk", F.row_number().over(Window.orderBy(F.col("df").desc(), "token")))
+        .filter(F.col("rnk").between(5, 8))
+        .select("token", "df")
+    )
+    tf = (
+        toks.join(F.broadcast(qterms.select("token")), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", F.expr(_BM25_TERM_FP).alias("term_fp"))
+    )
+    ranked = scored.groupBy("doc_id").agg(
+        F.sum("term_fp").cast("bigint").alias("bm25_fp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+    )
+    # top-10 via TakeOrderedAndProject (per-partition heaps + driver
+    # merge of 10-row tops), then rank the 10 survivors — the global
+    # row_number window never sees corpus-sized input.
+    w = Window.orderBy(F.col("bm25_fp").desc(), "doc_id")
+    return (
+        ranked.orderBy(F.col("bm25_fp").desc(), "doc_id")
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "bm25_fp", "n_terms_hit", "rank")
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q224 — positional inverted index + exact phrase query
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q224_phrase_search",
+    category="text",
+    # Oracle sidesteps the positional join with a per-doc bigram-list
+    # count — a different algorithm for the same answer, which is the
+    # point of a differential oracle.
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS a FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i + 1])) AS bigram
+  FROM w
+),
+top AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS n_total,
+         row_number() OVER (ORDER BY count(*) DESC, bigram) AS rnk
+  FROM bg GROUP BY bigram
+),
+phrase AS (SELECT bigram, n_total FROM top WHERE rnk = 1)
+SELECT b.doc_id,
+       p.bigram AS phrase,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM bg b JOIN phrase p ON b.bigram = p.bigram
+GROUP BY b.doc_id, p.bigram
+ORDER BY n_occ DESC, b.doc_id
+LIMIT 25
+""",
+)
+def q224_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index + exact phrase query.
+
+    Spark side builds the REAL search structure: postings
+    (term, doc_id, pos) via posexplode — the index a corpus-scale
+    substring search engine shuffles once and bucket-stores by term.
+    The most frequent corpus bigram (deterministic tie-break) is then
+    answered as an adjacency self-join: postings(w1) ⋈ postings(w2)
+    ON same doc AND pos+1 — touching only the two terms' posting
+    lists, never rescanning text. The DuckDB oracle computes the same
+    answer by per-doc bigram counting — an independent algorithm, so
+    agreement checks the index construction, not the arithmetic.
+
+    At 100 TB: postings partition by term (the phrase probe prunes to
+    2 partitions); pos fits int; the bigram-frequency side (phrase
+    selection) is the q192 heavy-hitter problem and would run sketched.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    postings = d.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "term")
+    )
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, '\\\\s+')) - 1),"
+                " i -> concat(element_at(split(text, '\\\\s+'), i), ' ',"
+                " element_at(split(text, '\\\\s+'), i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    phrase = (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+        # winner via TakeOrderedAndProject(1), not a global window
+        .orderBy(F.col("n_total").desc(), "bigram")
+        .limit(1)
+        .select(
+            F.split("bigram", " ").getItem(0).alias("w1"),
+            F.split("bigram", " ").getItem(1).alias("w2"),
+            F.col("bigram").alias("phrase"),
+        )
+    )
+    p = F.broadcast(phrase)
+    p1 = postings.join(p, postings["term"] == p["w1"]).select(
+        "doc_id", F.col("pos").alias("pos1"), "phrase"
+    )
+    p2 = postings.join(p, postings["term"] == p["w2"]).select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2")
+    )
+    hits = p1.join(
+        p2,
+        (p1["doc_id"] == p2["doc_id2"]) & (p2["pos2"] == p1["pos1"] + 1),
+    )
+    return (
+        hits.groupBy("doc_id", "phrase")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), "doc_id")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q225 — bigram-LM fluency gate (capped vocab, add-one smoothing)
+# ---------------------------------------------------------------------------
+
+_LM_VOCAB = 20  # tokens ranked > _LM_VOCAB map to <unk> — the OOV path is exercised
+_LM_FLOOR = 30_000_000  # fixed-point avg P(w2|w1) floor (1e9 scale)
+
+
+@register(
+    "q225_lm_fluency_gate",
+    category="quality",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS a FROM documents),
+pos AS (
+  SELECT doc_id, i AS pos, a[i] AS raw
+  FROM w CROSS JOIN unnest(range(1, len(a) + 1)) AS t(i)
+),
+vocab AS (
+  SELECT raw AS token
+  FROM (SELECT raw, row_number() OVER (ORDER BY count(*) DESC, raw) AS rnk
+        FROM pos GROUP BY raw)
+  WHERE rnk <= {_LM_VOCAB}
+),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN raw IN (SELECT token FROM vocab) THEN raw ELSE '<unk>' END AS tok
+  FROM pos
+),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM m GROUP BY tok),
+bi AS (
+  SELECT a.tok AS t1, b.tok AS t2, CAST(count(*) AS BIGINT) AS c12
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+docbg AS (
+  SELECT a.doc_id, a.tok AS t1, b.tok AS t2
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(floor(CAST(1000000000 AS DOUBLE) *
+              (CAST(bi.c12 + 1 AS DOUBLE) / CAST(uni.c1 + {_LM_VOCAB + 1} AS DOUBLE))
+         ) AS BIGINT) AS p_fp
+  FROM docbg d
+  JOIN uni ON uni.tok = d.t1
+  JOIN bi ON bi.t1 = d.t1 AND bi.t2 = d.t2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(CAST(sum(p_fp) AS BIGINT) // count(*) AS BIGINT) AS fluency_fp,
+       CAST(CAST(sum(p_fp) AS BIGINT) // count(*) >= {_LM_FLOOR} AS BOOLEAN) AS keep
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q225_lm_fluency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency gate — the KenLM-style quality
+    filter of an LLM data pipeline, reduced to exact arithmetic.
+
+    Train: map tokens through a capped vocabulary (top-{vocab} by
+    corpus frequency, deterministic tie-break; everything else
+    becomes <unk>), count unigrams and bigrams. The MODEL is
+    vocabulary-bounded — at most (V+1)^2 bigram rows regardless of
+    corpus size — so it broadcasts. Score: every document's bigrams
+    join the broadcast model map-side; add-one-smoothed conditional
+    probability (c12+1)/(c1+V+1) is fixed-pointed at 1e9 per bigram
+    (IEEE division, identical bits in DuckDB), summed as integers, and
+    divided (integer div) by the bigram count — so the per-doc
+    fluency score is bit-deterministic under any partitioning. Gate:
+    keep docs whose mean bigram probability clears a fixed floor.
+
+    At 100 TB: two corpus scans (train, score) with the train shuffle
+    keyed by a bounded vocabulary; scoring is map-only.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    pos = d.select("doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "raw"))
+    # top-V vocabulary via TakeOrderedAndProject — the candidate pool
+    # a production pipeline would pre-sketch (q192); never a global
+    # row_number over the full vocabulary.
+    vocab = (
+        pos.groupBy("raw")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "raw")
+        .limit(_LM_VOCAB)
+        .select(F.col("raw").alias("token"))
+    )
+    m = pos.join(F.broadcast(vocab), pos["raw"] == vocab["token"], "left").select(
+        "doc_id", "pos", F.coalesce("token", F.lit("<unk>")).alias("tok")
+    )
+    nxt = m.select(F.col("doc_id").alias("doc_id2"), (F.col("pos") - 1).alias("pos2"), F.col("tok").alias("t2"))
+    docbg = m.join(
+        nxt, (m["doc_id"] == nxt["doc_id2"]) & (m["pos"] == nxt["pos2"])
+    ).select("doc_id", F.col("tok").alias("t1"), "t2")
+    uni = m.groupBy(F.col("tok").alias("t1")).agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    bi = docbg.groupBy("t1", "t2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    p_fp = F.expr(
+        f"CAST(floor(CAST(1000000000 AS DOUBLE) * "
+        f"(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + {_LM_VOCAB + 1} AS DOUBLE))) AS BIGINT)"
+    )
+    scored = (
+        docbg.join(F.broadcast(uni), "t1")
+        .join(F.broadcast(bi), ["t1", "t2"])
+        .select("doc_id", p_fp.alias("p_fp"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.floor(F.sum("p_fp").cast("bigint") / F.count(F.lit(1))).cast("bigint").alias("fluency_fp"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "fluency_fp",
+        (F.col("fluency_fp") >= _LM_FLOOR).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q226 — SemDeDup: cluster-then-dedup on quantized embeddings
+# ---------------------------------------------------------------------------
+
+_SEM_K = 8  # centroids = quantized vectors of vec_id 0..7 (deterministic init)
+_SEM_THR2_E4 = 9025  # cos >= 0.95  <=>  1e4*dot^2 >= 9025*|a|^2*|b|^2 (dot > 0)
+
+_QUANT = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT))"
+_DOT = "CAST(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])) AS BIGINT)"
+
+
+@register(
+    "q226_semdedup",
+    category="dedup",
+    oracle=f"""
+WITH qz AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
+cent AS (SELECT vec_id AS cid, qv AS cv FROM qz WHERE vec_id < {_SEM_K}),
+dist AS (
+  SELECT q.vec_id, c.cid,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+              i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS d2
+  FROM qz q CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cid
+  FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rnk FROM dist)
+  WHERE rnk = 1
+),
+norms AS (
+  SELECT vec_id, CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2 FROM qz
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_DOT.format(a="qa.qv", b="qb.qv")} AS dot,
+         na.n2 AS n2_a, nb.n2 AS n2_b
+  FROM assign a
+  JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN qz qa ON qa.vec_id = a.vec_id
+  JOIN qz qb ON qb.vec_id = b.vec_id
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+),
+dup AS (
+  SELECT DISTINCT id_b AS vec_id
+  FROM pairs
+  WHERE dot > 0 AND 10000 * dot * dot >= {_SEM_THR2_E4} * n2_a * n2_b
+)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+       CAST(d.vec_id IS NULL AS BOOLEAN) AS kept
+FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+ORDER BY a.vec_id
+""",
+)
+def q226_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal
+    by clustering embeddings and comparing pairs ONLY within a
+    cluster — the trick that makes embedding dedup feasible at
+    corpus scale, because the quadratic term is bounded by cluster
+    size, not corpus size.
+
+    Assignment: k broadcast centroids (deterministic init: the first
+    k quantized vectors — q217's trained centroids would slot in),
+    integer squared-L2 argmin with row_number tie-break. Dedup: the
+    cluster-keyed self-join generates within-cluster pairs only;
+    integer cosine test (1e4*dot^2 >= thr*|a|^2*|b|^2, dot>0) avoids
+    sqrt entirely; of any near-dup pair the lower vec_id is kept.
+
+    At 100 TB: k scales to ~sqrt(N) (still a broadcast of centroids);
+    the pair join keys on cluster id so each task handles one
+    cluster's block; oversized clusters get the q41 skew cap.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    qz = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 127, 0).cast("bigint")).alias("qv"),
+    )
+    cent = qz.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    assign = (
+        qz.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", d2.alias("d2"))
+        .withColumn("rnk", F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cid")))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "cid")
+    )
+    n2 = F.aggregate(
+        F.transform("qv", lambda x: x * x), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    side = qz.join(assign, "vec_id").select("vec_id", "cid", "qv", n2.alias("n2"))
+    a = side.select(
+        F.col("vec_id").alias("id_a"), "cid", F.col("qv").alias("qv_a"), F.col("n2").alias("n2_a")
+    )
+    b = side.select(
+        F.col("vec_id").alias("id_b"), F.col("cid").alias("cid_b"), F.col("qv").alias("qv_b"), F.col("n2").alias("n2_b")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv_a", "qv_b", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dup = (
+        a.join(b, (a["cid"] == b["cid_b"]) & (a["id_a"] < b["id_b"]))
+        .select("id_b", dot.alias("dot"), "n2_a", "n2_b")
+        .filter((F.col("dot") > 0) & (10000 * F.col("dot") * F.col("dot") >= _SEM_THR2_E4 * F.col("n2_a") * F.col("n2_b")))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assign.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").cast("bigint").alias("cluster"),
+            F.col("is_dup").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q227 — deterministic contrastive negative sampling
+# ---------------------------------------------------------------------------
+
+_NEG_K = 4
+
+
+@register(
+    "q227_negative_sampling",
+    category="sampling",
+    oracle=f"""
+WITH anchors AS (
+  SELECT doc_id AS qid, source,
+         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS pid
+  FROM documents
+),
+pairs AS (SELECT qid, pid, source FROM anchors WHERE pid IS NOT NULL),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+draws AS (
+  SELECT p.qid, p.pid, p.source, t.j,
+         CAST(('0x' || substr(md5('0:' || CAST(p.qid AS VARCHAR) || ':' || CAST(t.j AS VARCHAR)), 1, 8)) AS BIGINT)
+           % n.n_docs AS neg_id
+  FROM pairs p
+  CROSS JOIN unnest(range(1, {_NEG_K} + 1)) AS t(j)
+  CROSS JOIN n
+)
+SELECT d.qid, d.pid, CAST(d.j AS BIGINT) AS j, d.neg_id,
+       CAST(d.neg_id = d.qid OR d.neg_id = d.pid AS BOOLEAN) AS is_collision,
+       CAST(nd.source = d.source AS BOOLEAN) AS is_hard
+FROM draws d JOIN documents nd ON nd.doc_id = d.neg_id
+ORDER BY d.qid, j
+""",
+)
+def q227_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triple mining: (anchor, positive, k
+    negatives) where the positive is the next same-source document
+    and each negative is a HASH-drawn corpus row — md5(qid:j) mod N,
+    a pure function of the anchor, so any shard of the output can be
+    regenerated independently (the property "random" sampling loses
+    the moment a task retries). Collisions with the anchor/positive
+    are flagged, not silently redrawn (redraw loops are not
+    shard-stable); hard negatives (same source as the anchor) are
+    labeled for curriculum weighting.
+
+    Scale shape: the positive comes from a per-source window (one
+    shuffle, same key the corpus is naturally bucketed by); draws are
+    a map-side k-fold expand; the only other cost is the join that
+    fetches each negative's metadata, keyed by doc_id. Nothing is
+    ever sampled via orderBy(rand()) — there is no global sort.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    anchors = d.select(
+        F.col("doc_id").alias("qid"),
+        "source",
+        F.lead("doc_id").over(Window.partitionBy("source").orderBy("doc_id")).alias("pid"),
+    ).filter(F.col("pid").isNotNull())
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    draws = (
+        anchors.crossJoin(F.broadcast(n))
+        .select(
+            "qid", "pid", "source", "n_docs",
+            F.explode(F.sequence(F.lit(1), F.lit(_NEG_K))).alias("j"),
+        )
+        .select(
+            "qid", "pid", "source",
+            F.col("j").cast("bigint").alias("j"),
+            (word_hash32(F.concat_ws(":", F.col("qid"), F.col("j"))) % F.col("n_docs")).alias("neg_id"),
+        )
+    )
+    meta = d.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source"))
+    return (
+        draws.join(meta, "neg_id")
+        .select(
+            "qid", "pid", "j", "neg_id",
+            ((F.col("neg_id") == F.col("qid")) | (F.col("neg_id") == F.col("pid"))).alias("is_collision"),
+            (F.col("neg_source") == F.col("source")).alias("is_hard"),
+        )
+        .orderBy("qid", "j")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q228 — median/MAD robust anomaly gate per sensor stream
+# ---------------------------------------------------------------------------
+
+_MAD_SIGMA = "CAST(1.4826 AS DOUBLE)"  # MAD -> sigma consistency constant
+_MAD_FENCE = "CAST(3 AS DOUBLE)"
+
+
+@register(
+    "q228_mad_anomaly_gate",
+    category="quality",
+    oracle=f"""
+WITH cents AS (
+  SELECT user_id, event_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT user_id, quantile_cont(cents, 0.5) AS med
+  FROM cents GROUP BY user_id
+),
+dev AS (
+  SELECT c.user_id, c.event_id, c.cents, m.med,
+         abs(CAST(c.cents AS DOUBLE) - m.med) AS adev
+  FROM cents c JOIN med m USING (user_id)
+),
+mad AS (
+  SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY user_id
+)
+SELECT d.user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(any_value(d.med), 4) AS med,
+       round(any_value(m.mad), 4) AS mad,
+       CAST(sum(CASE WHEN d.adev > {_MAD_FENCE} * {_MAD_SIGMA} * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies
+FROM dev d JOIN mad m USING (user_id)
+GROUP BY d.user_id
+ORDER BY d.user_id
+""",
+)
+def q228_mad_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-stream anomaly gate: median + MAD (median absolute
+    deviation) fences instead of mean/stddev, so the fence itself is
+    not dragged by the outliers it is meant to catch. The learned
+    version of the reference's fixed plausibility ranges
+    (src/modules/dd/consumer.c validates each reading against
+    hard-coded bounds before display).
+
+    Exactness: readings become integer cents; both medians are exact
+    (`percentile`, not approx) over integers or integer-diff doubles,
+    so every median is k or k+0.5 exactly and both engines agree
+    bit-for-bit; the 3*1.4826*MAD fence multiplies identical doubles.
+    Display columns round(4) per the repo's float-emission convention.
+
+    Scale shape: two groupBy passes on the stream key (median, then
+    MAD of deviations) and a final count — at 100 TB the exact
+    median would swap for the repo's counting-based quantile
+    (cardinality-bounded cents domain, plans/pipeline_v2.py) without
+    changing this query's contract.
+    """
+    e = load_table(spark, "events", sf_dir)
+    cents = e.select(
+        "user_id", "event_id", F.round(F.col("value") * 100, 0).cast("bigint").alias("cents")
+    )
+    med = cents.groupBy("user_id").agg(F.expr("percentile(cents, 0.5)").alias("med"))
+    dev = cents.join(med, "user_id").select(
+        "user_id",
+        "event_id",
+        "med",
+        F.abs(F.col("cents").cast("double") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("user_id").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    fence = F.expr(f"{_MAD_FENCE} * {_MAD_SIGMA} * mad")
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(F.when(F.col("adev") > fence, 1).otherwise(0)).cast("bigint").alias("n_anomalies"),
+        )
+        .orderBy("user_id")
+    )
