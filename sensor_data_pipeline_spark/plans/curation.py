@@ -677,3 +677,347 @@ def q228_mad_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q229 — triangle counting on the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+_TRI_MIN_W = 2  # keep edges co-occurring in >= 2 orders ("strong" edges)
+
+
+@register(
+    "q229_triangle_count",
+    category="graph",
+    oracle=f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_TRI_MIN_W}
+),
+tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM e e1
+  JOIN e e2 ON e2.pa = e1.pb
+  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles_total FROM tri),
+pernode AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY node
+),
+ranked AS (
+  SELECT node, n_triangles, row_number() OVER (ORDER BY n_triangles DESC, node) AS rnk
+  FROM pernode
+)
+SELECT r.node AS part, r.n_triangles, t.n_triangles_total, CAST(r.rnk AS BIGINT) AS rank
+FROM ranked r CROSS JOIN total t
+WHERE r.rnk <= 10
+ORDER BY rank
+""",
+)
+def q229_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph (parts bought
+    together in one order; edges kept when the pair co-occurs in >=
+    {w} orders). The graph-analytics primitive behind clustering
+    coefficients and community pruning of near-dup clusters.
+
+    Shape: co-occurrence edges come from the one-shuffle posting-list
+    combinator keyed by order (operators/dedup._posting_pairs — never
+    a row-level self-join of lineitem); triangles close with two
+    joins on the id-ordered edge list (a<b<c means each triangle is
+    produced exactly once). The co-occurrence-count floor thins the
+    graph to signal edges, which is also what bounds the join fan-out.
+
+    At 100 TB the refinement is degree-ordered orientation (orient
+    each edge toward the higher-(degree, id) endpoint, making
+    out-degrees O(sqrt(m)) and the wedge join skew-proof); the
+    id-ordering used here is the same plan with a cheaper comparator,
+    correct at any scale, optimal when — as after the strong-edge
+    floor — degree skew is bounded.
+
+    Reference basis: none (the reference has no graph layer); this is
+    part of the warehouse-analytics superset, like q216's PageRank.
+    """.format(w=_TRI_MIN_W)
+    from sensor_data_pipeline_spark.operators.dedup import _posting_pairs
+
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    e = (
+        _posting_pairs(op, "l_partkey", "l_orderkey")
+        .groupBy(F.col("id_a").alias("pa"), F.col("id_b").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_W)
+        .select("pa", "pb")
+    )
+    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = e.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
+    e3 = e.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
+    tri = (
+        e1.join(e2, e1["b"] == e2["b2"])
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    total = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles_total"))
+    pernode = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    top = (
+        pernode.orderBy(F.col("n_triangles").desc(), "node")
+        .limit(10)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("n_triangles").desc(), "node")).cast("bigint"),
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(F.col("node").alias("part"), "n_triangles", "n_triangles_total", "rank")
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q230 — Simpson-diversity repetition gate (log-free "entropy")
+# ---------------------------------------------------------------------------
+
+_SIMPSON_FLOOR = 940_000_000  # keep docs with diversity >= 0.94 (1e9 fixed-point)
+
+
+@register(
+    "q230_simpson_diversity_gate",
+    category="quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, unnest({_DUCK_WORDS}) AS tok FROM documents
+),
+c1 AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+d AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(c * c) AS BIGINT) AS sum_sq
+  FROM c1 GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(CAST(1000000000 AS DOUBLE) *
+            (CAST(n_tokens * n_tokens - sum_sq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE))
+       ) AS BIGINT) AS diversity_fp,
+       CAST(floor(CAST(1000000000 AS DOUBLE) *
+            (CAST(n_tokens * n_tokens - sum_sq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE))
+       ) AS BIGINT) >= {_SIMPSON_FLOOR} AS keep
+FROM d
+ORDER BY doc_id
+""",
+)
+def q230_simpson_diversity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-diversity quality gate via the Simpson index
+    1 - sum(p_i^2) — the log-free stand-in for Shannon entropy, so the
+    whole gate is rational arithmetic: the numerator n^2 - sum(c_i^2)
+    and denominator n^2 are exact integers, one IEEE division +
+    floor(1e9 ...) fixed-points it identically in both engines. Low
+    diversity = token-stuffed/repetitive document (the famous failure
+    mode exact dedup misses because each spammy doc is unique).
+
+    Shape: one tokenize scan -> per-(doc, token) counts -> per-doc
+    integer moments; everything keys on doc_id, no broadcast needed,
+    no window. Complements q107 (verbatim n-gram repetition) and
+    q225 (bigram fluency): q107 catches phrase loops, q225 catches
+    ungrammatical noise, this catches low-vocabulary stuffing.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    c1 = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    agg = c1.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
+    )
+    div_fp = F.expr(
+        "CAST(floor(CAST(1000000000 AS DOUBLE) * "
+        "(CAST(n_tokens * n_tokens - sum_sq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE))) AS BIGINT)"
+    )
+    return (
+        agg.select("doc_id", "n_tokens", div_fp.alias("diversity_fp"))
+        .withColumn("keep", F.col("diversity_fp") >= _SIMPSON_FLOOR)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q231 — Gopher-style rule gate (all-integer rule algebra)
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOP = "('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it')"
+
+
+@register(
+    "q231_gopher_rules_gate",
+    category="quality",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS a, text FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(a) AS BIGINT) AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(a, x -> x IN {_GOPHER_STOP})) AS BIGINT) AS n_stop,
+         CAST(len(list_filter(a, x -> regexp_full_match(x, '[A-Za-z]+'))) AS BIGINT) AS n_alpha
+  FROM w
+)
+SELECT doc_id,
+       n_tokens >= 20 AND n_tokens <= 1000 AS rule_len,
+       n_chars >= 3 * n_tokens AND n_chars <= 10 * n_tokens AS rule_wordlen,
+       n_stop >= 2 AS rule_stopwords,
+       5 * n_alpha >= 4 * n_tokens AS rule_alpha,
+       (n_tokens >= 20 AND n_tokens <= 1000)
+         AND (n_chars >= 3 * n_tokens AND n_chars <= 10 * n_tokens)
+         AND n_stop >= 2
+         AND 5 * n_alpha >= 4 * n_tokens AS keep
+FROM m
+ORDER BY doc_id
+""",
+)
+def q231_gopher_rules_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic rule gate (Rae et al. 2021 §A1.1, the
+    public rule family every big English corpus pipeline reuses):
+    document length in [20, 1000] tokens, mean word length in [3, 10]
+    chars, >= 2 stopwords, >= 80% alphabetic tokens. Every rule is
+    stated as INTEGER algebra (3*n <= chars <= 10*n instead of a
+    float mean; 5*alpha >= 4*n instead of a 0.8 ratio), so the gate
+    has no float anywhere and is trivially partitioning-invariant.
+
+    Shape: one map-side pass — per-doc counters come from Catalyst
+    higher-order functions on the token array (functions/text.py
+    style), no shuffle at all except the presentation sort. At 100 TB
+    this is the cheapest gate in the pipeline and runs first; per-rule
+    booleans are emitted (not just the conjunction) because curation
+    tuning needs the per-rule rejection rates (q174's funnel reads
+    them).
+    """
+    d = load_table(spark, "documents", sf_dir)
+    words = tokenize(F.col("text"))
+    sw = F.array(*[F.lit(s) for s in ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")])
+    m = d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_tokens"),
+        F.length(F.regexp_replace("text", " ", "")).cast("bigint").alias("n_chars"),
+        F.size(F.filter(words, lambda w: F.array_contains(sw, w))).cast("bigint").alias("n_stop"),
+        F.size(F.filter(words, lambda w: w.rlike("^[A-Za-z]+$"))).cast("bigint").alias("n_alpha"),
+    )
+    rule_len = (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000)
+    rule_wordlen = (F.col("n_chars") >= 3 * F.col("n_tokens")) & (
+        F.col("n_chars") <= 10 * F.col("n_tokens")
+    )
+    rule_stop = F.col("n_stop") >= 2
+    rule_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        rule_len.alias("rule_len"),
+        rule_wordlen.alias("rule_wordlen"),
+        rule_stop.alias("rule_stopwords"),
+        rule_alpha.alias("rule_alpha"),
+        (rule_len & rule_wordlen & rule_stop & rule_alpha).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q232 — sparse TF-IDF pairwise cosine (posting-keyed, stop-term capped)
+# ---------------------------------------------------------------------------
+
+_TFIDF_MAX_DF_PCT = 20  # terms in more than 20% of docs are stop-terms: skipped
+_TFIDF_THR2_E4 = 2500  # cos >= 0.5  <=>  1e4*dot^2 >= 2500*|a|^2*|b|^2
+
+_IDF_FP = (
+    # scale 10, not 1000: wt = tf*idf_fp enters dot^2, and the
+    # threshold algebra multiplies 1e4 * dot^2 — headroom math:
+    # wt <~ 2e3, dot <~ 1e7, 1e4*dot^2 <~ 1e18 < int64 max.
+    "CAST(floor(CAST(10 AS DOUBLE) * "
+    "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / "
+    "(CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))) AS BIGINT)"
+)
+
+
+@register(
+    "q232_tfidf_cosine_pairs",
+    category="similarity",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_WORDS}) AS token FROM documents),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY token),
+rare AS (
+  SELECT token, {_IDF_FP} AS idf_fp
+  FROM df CROSS JOIN n
+  WHERE 100 * df <= {_TFIDF_MAX_DF_PCT} * n_docs
+),
+w AS (
+  SELECT t.doc_id, t.token, CAST(count(*) AS BIGINT) * r.idf_fp AS wt
+  FROM toks t JOIN rare r USING (token)
+  GROUP BY t.doc_id, t.token, r.idf_fp
+),
+norms AS (SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS n2 FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(sum(a.wt * b.wt) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.id_a, d.id_b, d.dot, na.n2 AS n2_a, nb.n2 AS n2_b
+FROM dots d
+JOIN norms na ON na.doc_id = d.id_a
+JOIN norms nb ON nb.doc_id = d.id_b
+WHERE d.dot > 0 AND 10000 * d.dot * d.dot >= {_TFIDF_THR2_E4} * na.n2 * nb.n2
+ORDER BY id_a, id_b
+""",
+)
+def q232_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs — the lexical twin of
+    q50's dense-embedding near-dup: documents sharing RARE vocabulary
+    score high even when their token sets differ enough to beat
+    Jaccard. Weights are integer (tf * 1e3-fixed-point rational idf),
+    dot products and norms are integer sums, and the cosine threshold
+    is the sqrt-free algebra of q226 (1e4*dot^2 >= thr*|a|^2*|b|^2) —
+    bit-exact end to end.
+
+    Scale shape: the pair space is generated ONLY through shared-term
+    posting lists (one shuffle keyed by term), and the stop-term cap
+    (df > {{pct}}% of corpus) is what bounds it — a term in every
+    document would otherwise emit the full quadratic pair space; after
+    the cap, posting lists are short by construction. This is the q41
+    skew cap restated for weighted vectors. Norms ride broadcast-able
+    doc-keyed joins.
+    """.format(pct=_TFIDF_MAX_DF_PCT)
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    n = toks.agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
+    df = toks.groupBy("token").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
+    rare = (
+        df.crossJoin(F.broadcast(n))
+        .filter(100 * F.col("df") <= _TFIDF_MAX_DF_PCT * F.col("n_docs"))
+        .select("token", F.expr(_IDF_FP).alias("idf_fp"))
+    )
+    w = (
+        toks.join(F.broadcast(rare), "token")
+        .groupBy("doc_id", "token", "idf_fp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .select("doc_id", "token", (F.col("tf") * F.col("idf_fp")).alias("wt"))
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt")).cast("bigint").alias("n2"))
+    wa = w.select(F.col("doc_id").alias("id_a"), "token", F.col("wt").alias("wt_a"))
+    wb = w.select(F.col("doc_id").alias("id_b"), F.col("token").alias("token_b"), F.col("wt").alias("wt_b"))
+    dots = (
+        wa.join(wb, (wa["token"] == wb["token_b"]) & (wa["id_a"] < wb["id_b"]))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wt_a") * F.col("wt_b")).cast("bigint").alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("n2_a")), "id_a")
+        .join(norms.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("n2_b")), "id_b")
+        .filter(
+            (F.col("dot") > 0)
+            & (10000 * F.col("dot") * F.col("dot") >= _TFIDF_THR2_E4 * F.col("n2_a") * F.col("n2_b"))
+        )
+        .select("id_a", "id_b", "dot", "n2_a", "n2_b")
+        .orderBy("id_a", "id_b")
+    )
