@@ -722,7 +722,7 @@ ORDER BY rank
 def q229_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting on the part co-purchase graph (parts bought
     together in one order; edges kept when the pair co-occurs in >=
-    {w} orders). The graph-analytics primitive behind clustering
+    {w} orders — the strong-edge floor). The graph-analytics primitive behind clustering
     coefficients and community pruning of near-dup clusters.
 
     Shape: co-occurrence edges come from the one-shuffle posting-list
@@ -741,7 +741,7 @@ def q229_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference basis: none (the reference has no graph layer); this is
     part of the warehouse-analytics superset, like q216's PageRank.
-    """.format(w=_TRI_MIN_W)
+    """
     from sensor_data_pipeline_spark.operators.dedup import _posting_pairs
 
     li = load_table(spark, "lineitem", sf_dir)
@@ -982,12 +982,12 @@ def q232_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the pair space is generated ONLY through shared-term
     posting lists (one shuffle keyed by term), and the stop-term cap
-    (df > {{pct}}% of corpus) is what bounds it — a term in every
+    (df > 20% of corpus) is what bounds it — a term in every
     document would otherwise emit the full quadratic pair space; after
     the cap, posting lists are short by construction. This is the q41
     skew cap restated for weighted vectors. Norms ride broadcast-able
     doc-keyed joins.
-    """.format(pct=_TFIDF_MAX_DF_PCT)
+    """
     d = load_table(spark, "documents", sf_dir)
     toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
     n = toks.agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
