@@ -43,14 +43,23 @@ def global_running_sum(
     The result is identical to the single-partition window for any
     range partitioning, because each row's prefix sum depends only on
     the set of rows ordered before it, not on where the cuts fall.
+
+    The range-partitioned frame is ``persist()``-ed before the totals
+    pass: the offsets job and the final join job are SEPARATE Spark
+    jobs, and without pinning, the second job re-executes the range
+    exchange — whose boundary SAMPLING may cut differently — so the
+    collected offsets would attach to the wrong partitions (observed
+    as shifted prefix sums under adaptive.enabled=false at sf0.01).
+    The cache holds exactly one pass of the input and is dropped once
+    the caller's action has consumed the join.
     """
     parts = df.repartitionByRange(*( [num_partitions] if num_partitions else [] ), F.col(order_col))
-    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    with_pid = parts.withColumn("_pid", F.spark_partition_id()).persist()
     w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = with_pid.withColumn("_local_sum", F.sum(value_col).over(w))
     totals = (
-        local.groupBy("_pid").agg(F.sum(value_col).alias("_part_total")).orderBy("_pid").collect()
-    )  # O(numPartitions) rows — a scan-combine, not a data collect
+        with_pid.groupBy("_pid").agg(F.sum(value_col).alias("_part_total")).orderBy("_pid").collect()
+    )  # O(numPartitions) rows — a scan-combine, not a data collect; materializes the pin
     offsets, acc = [], 0
     for row in totals:
         offsets.append((row["_pid"], acc))

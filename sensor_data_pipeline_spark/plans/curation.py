@@ -230,15 +230,16 @@ def q224_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = d.select(
         "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "term")
     )
-    bigrams = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, '\\\\s+')) - 1),"
-                " i -> concat(element_at(split(text, '\\\\s+'), i), ' ',"
-                " element_at(split(text, '\\\\s+'), i + 1)))"
-            )
-        ).alias("bigram"),
+    # arrays_zip(slice, slice), NOT transform(sequence, element_at):
+    # CollapseProject inlines the upstream split into every lambda
+    # reference, turning the bigram build O(len^2) regex splits per
+    # doc (the q107 lesson — ~5s of optimizer+exec at sf0.1).
+    w = tokenize(F.trim(F.col("text")))
+    bg = F.expr("arrays_zip(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1))")
+    bigrams = (
+        d.select("doc_id", w.alias("w"))
+        .select("doc_id", F.explode(bg).alias("p"))
+        .select("doc_id", F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("bigram"))
     )
     phrase = (
         bigrams.groupBy("bigram")
@@ -392,7 +393,8 @@ def q225_lm_fluency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q226 — SemDeDup: cluster-then-dedup on quantized embeddings
 # ---------------------------------------------------------------------------
 
-_SEM_K = 8  # centroids = quantized vectors of vec_id 0..7 (deterministic init)
+_SEM_K = 8  # centroid-count floor (deterministic init: first k quantized vectors)
+_SEM_DOCS_PER_CLUSTER = 64  # k = max(_SEM_K, N / this) keeps cluster size O(1) in N
 _SEM_THR2_E4 = 9025  # cos >= 0.95  <=>  1e4*dot^2 >= 9025*|a|^2*|b|^2 (dot > 0)
 
 _QUANT = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT))"
@@ -404,7 +406,8 @@ _DOT = "CAST(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i
     category="dedup",
     oracle=f"""
 WITH qz AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
-cent AS (SELECT vec_id AS cid, qv AS cv FROM qz WHERE vec_id < {_SEM_K}),
+k AS (SELECT greatest({_SEM_K}, count(*) // {_SEM_DOCS_PER_CLUSTER}) AS k FROM qz),
+cent AS (SELECT vec_id AS cid, qv AS cv FROM qz CROSS JOIN k WHERE vec_id < k.k),
 dist AS (
   SELECT q.vec_id, c.cid,
          CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
@@ -450,22 +453,33 @@ def q226_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Assignment: k broadcast centroids (deterministic init: the first
     k quantized vectors — q217's trained centroids would slot in),
-    integer squared-L2 argmin with row_number tie-break. Dedup: the
-    cluster-keyed self-join generates within-cluster pairs only;
-    integer cosine test (1e4*dot^2 >= thr*|a|^2*|b|^2, dot>0) avoids
-    sqrt entirely; of any near-dup pair the lower vec_id is kept.
+    integer squared-L2 argmin via min(struct(d2, cid)) — a partially
+    aggregable reduce (map-side combine), NOT a per-vector window.
+    k tracks the corpus (max(8, N/64)) so mean cluster size — and
+    with it the quadratic within-cluster pair term — stays constant
+    as the corpus grows: the within-cluster self-join emits ~N*64/2
+    pairs at ANY scale. Dedup: integer cosine test
+    (1e4*dot^2 >= thr*|a|^2*|b|^2, dot>0) avoids sqrt entirely; of
+    any near-dup pair the lower vec_id is kept.
 
-    At 100 TB: k scales to ~sqrt(N) (still a broadcast of centroids);
-    the pair join keys on cluster id so each task handles one
-    cluster's block; oversized clusters get the q41 skew cap.
+    At 100 TB: centroids stay a broadcast (N/64 rows of 64 ints is
+    ~1 GB per billion docs — at that point init switches to a sampled
+    subset, same plan); the pair join keys on cluster id so each task
+    handles one cluster's block; oversized clusters get the q41 skew
+    cap.
     """
     emb = load_table(spark, "embeddings", sf_dir)
     qz = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: F.round(x.cast("double") * 127, 0).cast("bigint")).alias("qv"),
     )
-    cent = qz.filter(F.col("vec_id") < _SEM_K).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    kval = qz.agg(
+        F.greatest(F.lit(_SEM_K).cast("bigint"), F.floor(F.count(F.lit(1)) / _SEM_DOCS_PER_CLUSTER)).alias("k")
+    )
+    cent = (
+        qz.crossJoin(F.broadcast(kval))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
     )
     d2 = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
@@ -475,9 +489,9 @@ def q226_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = (
         qz.crossJoin(F.broadcast(cent))
         .select("vec_id", "cid", d2.alias("d2"))
-        .withColumn("rnk", F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cid")))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
     )
     n2 = F.aggregate(
         F.transform("qv", lambda x: x * x), F.lit(0).cast("bigint"), lambda acc, x: acc + x
@@ -1020,4 +1034,143 @@ def q232_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b", "dot", "n2_a", "n2_b")
         .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q234 — per-domain quota sampling (hash-ranked, shard-stable)
+# ---------------------------------------------------------------------------
+
+_QUOTA_K = 10
+
+
+@register(
+    "q234_domain_quota_sample",
+    category="sampling",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('0:q234:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, hv,
+         row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rnk
+  FROM h
+)
+SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {_QUOTA_K}
+ORDER BY source, rnk
+""",
+)
+def q234_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling — cap every source domain at K
+    documents, chosen by HASH rank (md5 of the doc id under a query
+    salt), not by rand(): the selection is a pure function of the
+    row, so shard retries, incremental re-runs, and cross-engine
+    replays all pick the identical sample (the q227 shard-stability
+    argument, applied to the "don't let one crawl domain dominate the
+    mixture" step every corpus pipeline runs).
+
+    Shape: one shuffle on the domain key, a keyed window (never
+    global), and the top-K filter — at 100 TB the window input is
+    bounded per domain, and a domain too large for one task would move
+    to the q192-sketch + threshold form of the same selection.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    h = d.select(
+        "doc_id",
+        "source",
+        word_hash32(F.concat(F.lit("q234:"), F.col("doc_id"))).alias("hv"),
+    )
+    w = Window.partitionBy("source").orderBy("hv", "doc_id")
+    return (
+        h.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _QUOTA_K)
+        .select("doc_id", "source", "rnk")
+        .orderBy("source", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q235 — exact equi-depth histogram via distributed prefix scan
+# ---------------------------------------------------------------------------
+
+_EQD_BUCKETS = 16
+
+
+@register(
+    "q235_equidepth_histogram",
+    category="aggregation",
+    oracle=f"""
+WITH cents AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v FROM lineitem
+),
+vc AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM cents GROUP BY v),
+cum AS (
+  SELECT v, cnt,
+         CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS BIGINT)
+           AS cum_before,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+  FROM vc
+),
+b AS (
+  SELECT least({_EQD_BUCKETS} - 1, cum_before * {_EQD_BUCKETS} // n_total) AS bucket, v, cnt
+  FROM cum
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(min(v) AS BIGINT) AS lo_cents,
+       CAST(max(v) AS BIGINT) AS hi_cents,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def q235_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (equi-height) histogram of the price column —
+    the optimizer/profiling statistic — with bucket boundaries from
+    EXACT ranks, not approx_percentile: each distinct value's
+    exclusive cumulative count assigns it bucket
+    floor(cum_before * B / N), so equal values always share a bucket
+    and bucket populations are as equal as ties allow.
+
+    Scale shape: the rank computation is the repo's two-pass
+    distributed prefix scan (operators/prefix.py — range partition,
+    intra-partition window, O(numPartitions) offset combine), never a
+    single-partition global window; everything else is a groupBy on
+    the bounded distinct-value domain. The DuckDB oracle uses the
+    plain global window the scan replaces — agreement IS the proof
+    the scan equals the single-partition semantics.
+    """
+    from sensor_data_pipeline_spark.operators.prefix import global_running_sum
+
+    li = load_table(spark, "lineitem", sf_dir)
+    vc = (
+        li.select(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    cum = global_running_sum(vc, "v", "cnt", out_col="running")
+    total = vc.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    b = (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "v",
+            "cnt",
+            # integer DIV, not floor(double /): exact past 2^53 rows
+            F.least(
+                F.lit(_EQD_BUCKETS - 1).cast("bigint"),
+                F.expr(f"(running - cnt) * {_EQD_BUCKETS} DIV n_total"),
+            ).cast("bigint").alias("bucket"),
+        )
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.min("v").cast("bigint").alias("lo_cents"),
+            F.max("v").cast("bigint").alias("hi_cents"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        )
+        .orderBy("bucket")
     )

@@ -645,3 +645,59 @@ def q200_stream_recursive_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain(ewma_stream(readings), "q200_mem")
     return out.select("event_id", "k", "ewma").orderBy("event_id")
+
+
+@register(
+    "q233_stream_token_bucket",
+    category="stateful",
+    # The admission sequence is a pure integer function of each key's
+    # (ts, event_id)-ordered event list, so DuckDB replays it with a
+    # recursive CTE — the q200 pattern. Valid for the same reasons:
+    # the fixture is (user_id, ts)-tie-free and state carries across
+    # micro-batch splits via GroupState.
+    oracle="""
+WITH RECURSIVE t AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id < 16
+),
+r AS (
+  SELECT user_id, event_id, rn, es,
+         CAST(5 - 1 AS BIGINT) AS tokens, TRUE AS allowed
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.user_id, t.event_id, t.rn, t.es,
+         CASE WHEN least(5, r.tokens + (t.es - r.es) // 60) >= 1
+              THEN least(5, r.tokens + (t.es - r.es) // 60) - 1
+              ELSE least(5, r.tokens + (t.es - r.es) // 60) END,
+         least(5, r.tokens + (t.es - r.es) // 60) >= 1
+  FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1
+)
+SELECT event_id, CAST(user_id AS VARCHAR) AS k, tokens AS tokens_after, allowed
+FROM r ORDER BY event_id
+""",
+)
+def q233_stream_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key token-bucket rate limiter: capacity 5, one
+    token per full minute of EVENT time, state = (last_ts, tokens) —
+    two integers per key, so admission control over 10^9 keys is
+    gigabytes of state spread across executors and each micro-batch
+    does O(batch) work. All-integer refill arithmetic makes the
+    admit/reject sequence bit-deterministic and replayable by the
+    recursive-CTE oracle, across any micro-batch partitioning of the
+    input (state carries the bucket over batch boundaries).
+
+    This is the keyed, distributed form of the reference's redraw
+    throttle (src/modules/dd/consumer.cpp suppresses updates arriving
+    faster than the display can refresh)."""
+    from sensor_data_pipeline_spark.streaming.stateful import token_bucket_stream
+
+    stream = _events_stream(spark, sf_dir).filter(F.col("user_id") < 16)
+    readings = stream.select(
+        F.col("user_id").cast("string").alias("k"),
+        F.col("ts").alias("tick_ts"),
+        F.col("event_id"),
+    )
+    out = _drain(token_bucket_stream(readings), "q233_mem")
+    return out.select("event_id", "k", "tokens_after", "allowed").orderBy("event_id")

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -228,6 +229,78 @@ def ewma_stream(readings: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
         _ewma_group,
         outputStructType=EWMA_OUTPUT,
         stateStructType=EWMA_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-bucket rate limiter (per-key admission control)
+# ---------------------------------------------------------------------------
+
+BUCKET_OUTPUT = StructType(
+    [
+        StructField("k", StringType()),
+        StructField("event_id", LongType()),
+        StructField("tokens_after", LongType()),
+        StructField("allowed", BooleanType()),
+    ]
+)
+
+#: (event-time epoch-seconds of last seen event, tokens remaining, initialized)
+BUCKET_STATE = StructType(
+    [
+        StructField("last_es", LongType()),
+        StructField("tokens", LongType()),
+        StructField("init", IntegerType()),
+    ]
+)
+
+BUCKET_CAP = 5  # bucket capacity (burst size)
+BUCKET_REFILL_SEC = 60  # one token per full minute of EVENT time
+
+
+def _token_bucket_group(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key token bucket in EVENT time, all-integer state: refill
+    floor(delta_seconds / refill) tokens (capped), spend one per
+    admitted event. Integer arithmetic end to end means the decision
+    sequence is a pure function of the key's (ts, event_id)-ordered
+    event list — replayable by a recursive CTE, stable across
+    micro-batch boundaries because the state rides GroupState.
+
+    The reference analog is the duty-cycle guard that drops sensor
+    ticks arriving faster than the display can refresh
+    (src/modules/dd/consumer.cpp throttles redraws); this is the
+    keyed, distributed form of that admission control."""
+    if state.exists:
+        last_es, tokens, init = state.get
+    else:
+        last_es, tokens, init = 0, BUCKET_CAP, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["tick_ts", "event_id"])
+        out = []
+        for row in pdf.itertuples(index=False):
+            es = int(row.tick_ts.value // 1_000_000_000)  # ns -> whole seconds
+            if init:
+                tokens = min(BUCKET_CAP, tokens + (es - last_es) // BUCKET_REFILL_SEC)
+            allowed = tokens >= 1
+            if allowed:
+                tokens -= 1
+            last_es, init = es, 1
+            out.append((key[0], int(row.event_id), int(tokens), bool(allowed)))
+        yield pd.DataFrame(out, columns=[f.name for f in BUCKET_OUTPUT.fields])
+    state.update((int(last_es), int(tokens), init))
+
+
+def token_bucket_stream(readings: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Streaming per-key rate limiter. Input columns: k (string key),
+    tick_ts (timestamp), event_id (long)."""
+    return readings.groupBy("k").applyInPandasWithState(
+        _token_bucket_group,
+        outputStructType=BUCKET_OUTPUT,
+        stateStructType=BUCKET_STATE,
         outputMode="append",
         timeoutConf=timeout,
     )
