@@ -26,12 +26,12 @@ from sensor_data_pipeline_spark.plans import curation  # noqa: F401,E402
 # Everything else follows in original registration order.
 _DRIVER_WINDOW = [
     # ROUND-3 ROTATION: the driver checks 50 queries per round, so the
-    # window rotates to maximize cumulative coverage. 43/50 (86%) were
-    # never driver-checked in rounds 1-2; the 7 previously-green slots
+    # window rotates to maximize cumulative coverage. 46/50 (92%) were
+    # never driver-checked in rounds 1-2; the 4 previously-green slots
     # are queries whose code/oracle CHANGED this round (q114 oracle
-    # type fix; q54/q62/q68 rows-only→hash upgrades) plus the single
-    # remaining family canaries (quality/analytics/stateful have no
-    # unchecked member).
+    # type fix; q54/q62/q68 rows-only→hash upgrades). Six slots carry
+    # this session's new operators (q223/q226/q229/q232/q233/q235 —
+    # the last also proves the prefix-scan persist() fix).
     # --- changed this round (previously checked) ---
     "q114_custom_source",  # r2's one red row — proves the oracle type fix
     "q54_audio_features",  # multimodal canary + new byte-stats oracle
@@ -54,14 +54,14 @@ _DRIVER_WINDOW = [
     # --- never checked: streaming ---
     "q162_stream_left_outer",
     "q170_stream_session_window",
-    "q171_stream_complete_topk",
+    "q229_triangle_count",  # graph analytics, declared this round
     "q180_stream_dlq_routing",
     # --- never checked: storage / sources ---
     "q71_partition_pruning",
     "q72_bucketed_join",
     "q173_corrupt_file_skip",
     # --- never checked: similarity ---
-    "q115_arrow_norms",
+    "q232_tfidf_cosine_pairs",  # sparse lexical cosine, declared this round
     "q211_pq_ann_recall",  # product-quantization ANN, declared this round
     "q150_neardup_lsh_recall",
     # --- never checked: dedup / sketches ---
@@ -73,17 +73,17 @@ _DRIVER_WINDOW = [
     # --- never checked: text / corpus / sampling ---
     "q107_repetition_gate",
     "q109_cohort_retention",
-    "q157_token_chunking",
+    "q226_semdedup",  # semantic dedup, declared this round
     "q158_sequence_packing",
     "q163_pii_redaction",
     "q153_leakage_free_split",
     # --- never checked: json / time / cdc ---
     "q95_variant_json",
-    "q154_jsonl_roundtrip",
-    "q112_sliding_window",
+    "q223_bm25_retrieval",  # ranked retrieval, declared this round
+    "q235_equidepth_histogram",  # equi-depth via prefix scan — proves the persist() fix
     "q166_cdc_compaction",
     # --- never checked: window / aggregation ---
-    "q75_session_window",
+    "q233_stream_token_bucket",  # keyed admission control, declared this round
     "q76_range_frame_window",
     "q204_polymorphic_udtf",  # udf family, declared this round
     # --- never checked: joins / udf / functions ---
