@@ -1187,3 +1187,233 @@ def q235_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q236 — exact duplicate-span detection (k-gram posting lists + islands)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # span window, tokens
+
+
+@register(
+    "q236_span_dedup_audit",
+    category="dedup",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS a FROM documents),
+g AS (
+  SELECT doc_id, i AS pos,
+         list_aggregate(a[i:i + {_SPAN_K} - 1], 'string_agg', ' ') AS gram
+  FROM w CROSS JOIN unnest(range(1, len(a) - {_SPAN_K} + 2)) AS t(i)
+),
+shared AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN shared USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + {_SPAN_K} - 1) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+),
+lab AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island,
+         min(pos) AS s, max(pos) + {_SPAN_K} - 1 AS e
+  FROM lab GROUP BY doc_id, island
+),
+cov AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_dup_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+),
+base AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens FROM w)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(c.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(c.dup_tokens, 0) AS dup_tokens,
+       coalesce(c.dup_tokens, 0) * 2 >= b.n_tokens AS flagged
+FROM base b LEFT JOIN cov c USING (doc_id)
+ORDER BY b.doc_id
+""",
+)
+def q236_span_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN detection — the substring-level dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), which catches boilerplate shared between
+    otherwise-distinct documents that whole-doc dedup (q40) and
+    set-similarity dedup (q41/q42) both miss. A span is any k-token
+    window occurring in >= 2 distinct documents; per document,
+    overlapping duplicated windows are merged into maximal islands
+    (running-max interval union) and the audit reports span count,
+    duplicated-token coverage, and a >=50%-duplicated flag.
+
+    Scale shape: the k-gram table is built with arrays_zip over k
+    shifted slices (k references to the token array — constant per
+    doc, never the O(len^2) inlined-split trap), the shared-gram set
+    is one groupBy on the gram key, and the island merge is a window
+    partitioned BY DOCUMENT (bounded by doc length). The reference
+    algorithm's suffix array is inherently sequential; k-gram posting
+    lists are its standard distributed surrogate. At 100 TB grams
+    would carry a 64-bit hash instead of the string (q44's
+    fingerprint), cutting shuffle bytes ~5x.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    w = tokenize(F.trim(F.col("text")))
+    zips = ", ".join(f"slice(a, {j + 1}, size(a) - {_SPAN_K - 1})" for j in range(_SPAN_K))
+    fields = ", ".join(f"p['{j}']" for j in range(_SPAN_K))
+    base = d.select("doc_id", w.alias("a")).select(
+        "doc_id", F.size("a").cast("bigint").alias("n_tokens"), F.expr(f"arrays_zip({zips})").alias("z")
+    )
+    g = (
+        base.select("doc_id", F.posexplode("z").alias("pos0", "p"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), F.expr(f"concat_ws(' ', {fields})").alias("gram"))
+    )
+    shared = g.groupBy("gram").agg(F.count_distinct("doc_id").alias("dfc")).filter(F.col("dfc") >= 2).select("gram")
+    hits = g.join(shared, "gram").select("doc_id", "pos")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + _SPAN_K - 1).over(wdoc.rowsBetween(Window.unboundedPreceding, -1))
+    lab = (
+        hits.withColumn("new_island", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int"))
+        .withColumn("island", F.sum("new_island").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    spans = lab.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + _SPAN_K - 1).alias("e")
+    )
+    cov = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            (F.coalesce("dup_tokens", F.lit(0)) * 2 >= F.col("n_tokens")).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q237 — exact correlation-moment matrix (profiling, one pass)
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["qty", "price", "disc", "tax"]
+
+
+@register(
+    "q237_correlation_moments",
+    category="profile",
+    oracle="""
+WITH m AS (
+  SELECT CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice, 0) AS BIGINT) AS price,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS disc,
+         CAST(round(l_tax * 100, 0) AS BIGINT) AS tax
+  FROM lineitem
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qty) AS BIGINT) AS s_qty, CAST(sum(price) AS BIGINT) AS s_price,
+         CAST(sum(disc) AS BIGINT) AS s_disc, CAST(sum(tax) AS BIGINT) AS s_tax,
+         CAST(sum(qty * price) AS BIGINT) AS s_qty_price,
+         CAST(sum(qty * disc) AS BIGINT) AS s_qty_disc,
+         CAST(sum(qty * tax) AS BIGINT) AS s_qty_tax,
+         CAST(sum(price * disc) AS BIGINT) AS s_price_disc,
+         CAST(sum(price * tax) AS BIGINT) AS s_price_tax,
+         CAST(sum(disc * tax) AS BIGINT) AS s_disc_tax
+  FROM m
+)
+SELECT t.col_x, t.col_y, a.n,
+       CASE t.col_x WHEN 'qty' THEN a.s_qty WHEN 'price' THEN a.s_price WHEN 'disc' THEN a.s_disc ELSE a.s_tax END AS sum_x,
+       CASE t.col_y WHEN 'price' THEN a.s_price WHEN 'disc' THEN a.s_disc ELSE a.s_tax END AS sum_y,
+       CASE t.col_x || '|' || t.col_y
+         WHEN 'qty|price' THEN a.s_qty_price WHEN 'qty|disc' THEN a.s_qty_disc
+         WHEN 'qty|tax' THEN a.s_qty_tax WHEN 'price|disc' THEN a.s_price_disc
+         WHEN 'price|tax' THEN a.s_price_tax ELSE a.s_disc_tax END AS sum_xy,
+       a.n * (CASE t.col_x || '|' || t.col_y
+         WHEN 'qty|price' THEN a.s_qty_price WHEN 'qty|disc' THEN a.s_qty_disc
+         WHEN 'qty|tax' THEN a.s_qty_tax WHEN 'price|disc' THEN a.s_price_disc
+         WHEN 'price|tax' THEN a.s_price_tax ELSE a.s_disc_tax END)
+       - (CASE t.col_x WHEN 'qty' THEN a.s_qty WHEN 'price' THEN a.s_price WHEN 'disc' THEN a.s_disc ELSE a.s_tax END)
+         * (CASE t.col_y WHEN 'price' THEN a.s_price WHEN 'disc' THEN a.s_disc ELSE a.s_tax END)
+         AS cov_num
+FROM (VALUES ('qty','price'),('qty','disc'),('qty','tax'),
+             ('price','disc'),('price','tax'),('disc','tax')) AS t(col_x, col_y)
+CROSS JOIN agg a
+ORDER BY col_x, col_y
+""",
+)
+def q237_correlation_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation-moment matrix over the numeric measure
+    columns — the profiling statistic behind a feature-correlation
+    heatmap, emitted as EXACT integer moments (n, sum_x, sum_y,
+    sum_xy, and the covariance numerator n*sum_xy - sum_x*sum_y)
+    instead of the float Pearson r: the caller divides by the sqrt
+    term; the engine's contract is the moments, which no aggregation
+    order can perturb. built-in corr() is float partial-aggregation
+    (Welford merge order changes low bits); this is the deterministic
+    replacement.
+
+    Scale shape: ONE scan computes all 10 sums (Catalyst evaluates
+    the 6 pairwise products map-side, partial aggregation combines
+    per-partition moments — the classic one-pass moment matrix); the
+    pair expansion joins a 6-row literal frame against the broadcast
+    1-row aggregate. Integer headroom: rounded price (~1e5) squared
+    times 1e9 rows nears int64 — the 100 TB variant moves the sums to
+    DECIMAL(38,0) (q99's exact-decimal path) with the same shape.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    m = li.select(
+        F.round("l_quantity", 0).cast("bigint").alias("qty"),
+        F.round("l_extendedprice", 0).cast("bigint").alias("price"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("disc"),
+        F.round(F.col("l_tax") * 100, 0).cast("bigint").alias("tax"),
+    )
+    sums = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for c in _CORR_COLS:
+        sums.append(F.sum(c).cast("bigint").alias(f"s_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        sums.append(F.sum(F.col(a) * F.col(b)).cast("bigint").alias(f"s_{a}_{b}"))
+    agg = m.agg(*sums)
+    pair_lits = F.array(
+        *[F.struct(F.lit(a).alias("col_x"), F.lit(b).alias("col_y")) for a, b in pairs]
+    )
+    long = agg.select(F.explode(pair_lits).alias("p"), "*")
+    sum_of = lambda side: F.coalesce(  # noqa: E731
+        *[
+            F.when(F.col(f"p.{side}") == c, F.col(f"s_{c}"))
+            for c in _CORR_COLS
+        ]
+    )
+    sum_xy = F.coalesce(
+        *[
+            F.when(
+                (F.col("p.col_x") == a) & (F.col("p.col_y") == b), F.col(f"s_{a}_{b}")
+            )
+            for a, b in pairs
+        ]
+    )
+    return long.select(
+        F.col("p.col_x").alias("col_x"),
+        F.col("p.col_y").alias("col_y"),
+        "n",
+        sum_of("col_x").alias("sum_x"),
+        sum_of("col_y").alias("sum_y"),
+        sum_xy.alias("sum_xy"),
+        (F.col("n") * sum_xy - sum_of("col_x") * sum_of("col_y")).alias("cov_num"),
+    ).orderBy("col_x", "col_y")
