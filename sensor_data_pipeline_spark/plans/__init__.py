@@ -55,7 +55,7 @@ _DRIVER_WINDOW = [
     "q162_stream_left_outer",
     "q170_stream_session_window",
     "q229_triangle_count",  # graph analytics, declared this round
-    "q180_stream_dlq_routing",
+    "q112_sliding_window",  # 'time' family representative
     # --- never checked: storage / sources ---
     "q71_partition_pruning",
     "q72_bucketed_join",
