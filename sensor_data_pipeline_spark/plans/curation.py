@@ -1417,3 +1417,207 @@ def q237_correlation_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_xy.alias("sum_xy"),
         (F.col("n") * sum_xy - sum_of("col_x") * sum_of("col_y")).alias("cov_num"),
     ).orderBy("col_x", "col_y")
+
+
+# ---------------------------------------------------------------------------
+# q238 — retrieval evaluation: ANN rank-of-truth + hit@k (all integer)
+# ---------------------------------------------------------------------------
+
+_EVAL_NQ = 10  # queries = vec_id < 10
+_EVAL_BITS = 16  # axis-parallel sign bucket over the first 16 dims
+_EVAL_AT = 10
+
+
+@register(
+    "q238_ann_eval_metrics",
+    category="similarity",
+    oracle=f"""
+WITH qz AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
+sig AS (
+  SELECT vec_id, qv,
+         list_aggregate(list_transform(range(1, {_EVAL_BITS} + 1),
+             i -> CASE WHEN qv[i] >= 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket
+  FROM qz
+),
+qry AS (SELECT vec_id AS qid, qv AS qvec, bucket AS qbucket FROM sig WHERE vec_id < {_EVAL_NQ}),
+scored AS (
+  SELECT q.qid, s.vec_id AS cid, s.bucket, q.qbucket,
+         {_DOT.format(a="q.qvec", b="s.qv")} AS qdot
+  FROM qry q JOIN sig s ON s.vec_id <> q.qid
+),
+exact AS (
+  SELECT qid, cid AS exact_top1
+  FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, cid) AS rnk FROM scored)
+  WHERE rnk = 1
+),
+cand AS (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, cid) AS ann_rank
+  FROM scored WHERE bucket = qbucket
+),
+nc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_candidates FROM cand GROUP BY qid)
+SELECT e.qid, e.exact_top1,
+       CAST(coalesce(c.ann_rank, 0) AS BIGINT) AS ann_rank,
+       coalesce(c.ann_rank, 0) BETWEEN 1 AND {_EVAL_AT} AS hit_at_k,
+       coalesce(n.n_candidates, 0) AS n_candidates
+FROM exact e
+LEFT JOIN cand c ON c.qid = e.qid AND c.cid = e.exact_top1
+LEFT JOIN nc n ON n.qid = e.qid
+ORDER BY e.qid
+""",
+)
+def q238_ann_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-eval harness for the ANN stack: for each query, where
+    does the TRUE top-1 neighbor (by exact quantized dot product) land
+    in the LSH-bucketed candidate ranking? Emits rank-of-truth (0 =
+    candidate set missed it), hit@k, and candidate-set size — the
+    integer sufficient statistics behind recall@k / MRR curves, so the
+    eval itself is bit-deterministic (the q93/q150 audit pattern
+    extended from set-recall to rank-aware metrics).
+
+    The bucket key is axis-parallel sign-LSH (sign of the first 16
+    quantized dims) — deterministic, oracle-portable, and the same
+    family as q49's hyperplane buckets. Scale shape: queries ride a
+    broadcast; exact scoring is the map-only brute-force scan (the
+    eval HAS to touch everything once — that is what makes it exact);
+    candidate ranking keys on (query, bucket) with per-query windows
+    over candidate-sized input.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    qz = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 127, 0).cast("bigint")).alias("qv"),
+    )
+    sig = qz.select(
+        "vec_id",
+        "qv",
+        F.expr(
+            f"concat_ws('', transform(slice(qv, 1, {_EVAL_BITS}),"
+            " x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"
+        ).alias("bucket"),
+    )
+    qry = sig.filter(F.col("vec_id") < _EVAL_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "qv", lambda a, b: a * b), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    scored = (
+        sig.crossJoin(F.broadcast(qry))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), "bucket", "qbucket", dot.alias("qdot"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("qdot").desc(), "cid")
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") == 1)
+        .select("qid", F.col("cid").alias("exact_top1"))
+    )
+    cand = (
+        scored.filter(F.col("bucket") == F.col("qbucket"))
+        .withColumn("ann_rank", F.row_number().over(wq))
+        .select("qid", "cid", "ann_rank")
+    )
+    nc = cand.groupBy("qid").agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    return (
+        exact.join(
+            cand.select("qid", F.col("cid").alias("exact_top1"), "ann_rank"),
+            ["qid", "exact_top1"],
+            "left",
+        )
+        .join(nc, "qid", "left")
+        .select(
+            "qid",
+            "exact_top1",
+            F.coalesce("ann_rank", F.lit(0)).cast("bigint").alias("ann_rank"),
+            F.coalesce("ann_rank", F.lit(0)).between(1, _EVAL_AT).alias("hit_at_k"),
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+        )
+        .orderBy("qid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q239 — temperature-flattened mixture allocation (largest remainder)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 1000  # total samples to allocate across source domains
+
+
+@register(
+    "q239_mixture_allocation",
+    category="sampling",
+    oracle=f"""
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs,
+         CAST(floor(CAST(1000000 AS DOUBLE) * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS weight_fp
+  FROM s
+),
+t AS (SELECT CAST(sum(weight_fp) AS BIGINT) AS w_total, CAST(count(*) AS BIGINT) AS n_src FROM w),
+q AS (
+  SELECT w.source, w.n_docs, w.weight_fp,
+         {_MIX_BUDGET} * w.weight_fp // t.w_total AS base_quota,
+         {_MIX_BUDGET} * w.weight_fp % t.w_total AS rem
+  FROM w CROSS JOIN t
+),
+leftover AS (SELECT {_MIX_BUDGET} - CAST(sum(base_quota) AS BIGINT) AS extra_n FROM q),
+r AS (
+  SELECT q.*, row_number() OVER (ORDER BY rem DESC, source) AS rrank, l.extra_n
+  FROM q CROSS JOIN leftover l
+)
+SELECT source, n_docs, weight_fp,
+       CAST(base_quota AS BIGINT) AS base_quota,
+       CAST(CASE WHEN rrank <= extra_n THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(base_quota + CASE WHEN rrank <= extra_n THEN 1 ELSE 0 END AS BIGINT) AS final_quota
+FROM r
+ORDER BY source
+""",
+)
+def q239_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain-mixture allocation: sample quotas
+    proportional to n^tau with tau=0.5 — the standard flattening that
+    up-weights small domains (multilingual / multi-source training
+    mixes) — allocated as EXACT integers by the largest-remainder
+    method, so quotas always sum to the budget and the allocation is
+    reproducible: sqrt is IEEE-correctly-rounded (bit-identical in
+    both engines, unlike log/pow), fixed-pointed at 1e6 before any
+    arithmetic that could diverge, and every subsequent step is
+    integer division/modulo with a deterministic remainder ranking.
+
+    Scale shape: one groupBy on the domain key; everything after runs
+    on the domain-cardinality table (broadcast-sized); the remainder
+    ranking is a window over that same bounded set. The final quotas
+    feed q234's per-domain hash-ranked selection.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    s = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    w = s.select(
+        "source",
+        "n_docs",
+        F.floor(F.lit(1e6) * F.sqrt(F.col("n_docs").cast("double"))).cast("bigint").alias("weight_fp"),
+    )
+    t = w.agg(F.sum("weight_fp").cast("bigint").alias("w_total"))
+    q = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "weight_fp",
+        F.expr(f"{_MIX_BUDGET} * weight_fp DIV w_total").alias("base_quota"),
+        F.expr(f"{_MIX_BUDGET} * weight_fp % w_total").alias("rem"),
+    )
+    leftover = q.agg((F.lit(_MIX_BUDGET) - F.sum("base_quota")).cast("bigint").alias("extra_n"))
+    r = (
+        q.crossJoin(F.broadcast(leftover))
+        .withColumn("rrank", F.row_number().over(Window.orderBy(F.col("rem").desc(), "source")))
+    )
+    extra = F.when(F.col("rrank") <= F.col("extra_n"), 1).otherwise(0).cast("bigint")
+    return r.select(
+        "source",
+        "n_docs",
+        "weight_fp",
+        F.col("base_quota").cast("bigint").alias("base_quota"),
+        extra.alias("extra"),
+        (F.col("base_quota") + extra).cast("bigint").alias("final_quota"),
+    ).orderBy("source")
