@@ -1621,3 +1621,195 @@ def q239_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra.alias("extra"),
         (F.col("base_quota") + extra).cast("bigint").alias("final_quota"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q240 — conjunctive (AND) posting-list search
+# ---------------------------------------------------------------------------
+
+_AND_NTERMS = 3
+_AND_MIN_DF = 10
+
+
+@register(
+    "q240_conjunctive_search",
+    category="text",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_WORDS}) AS token FROM documents),
+df AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY token HAVING count(DISTINCT doc_id) >= {_AND_MIN_DF}
+),
+qt AS (SELECT token FROM df ORDER BY df ASC, token LIMIT {_AND_NTERMS}),
+tf AS (
+  SELECT t.doc_id, t.token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks t JOIN qt USING (token) GROUP BY 1, 2
+),
+hits AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+  FROM tf GROUP BY doc_id HAVING count(DISTINCT token) = {_AND_NTERMS}
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM hits
+QUALIFY rank <= 20
+ORDER BY rank
+""",
+)
+def q240_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (all-terms-must-match) search over the inverted
+    index — the AND twin of q224's phrase query and q223's ranked OR:
+    documents containing every query term, ranked by total term
+    frequency. The query is the 3 rarest sufficiently-common terms
+    (df >= 10, rarity-ordered, deterministic tie-break) — the
+    smallest-posting-lists-first heuristic every search engine uses,
+    expressed as data: the broadcast term set prunes the postings scan
+    to the shortest lists BEFORE any shuffle, so the intersection
+    groupBy touches only candidate (doc, term) rows.
+
+    At 100 TB: postings bucket by term; the conjunctive check is
+    HAVING count(DISTINCT term) = |query| on the pruned rows — one
+    shuffle keyed by doc, input bounded by the rarest term's df.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    df = (
+        toks.groupBy("token")
+        .agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
+        .filter(F.col("df") >= _AND_MIN_DF)
+    )
+    qt = df.orderBy(F.col("df").asc(), "token").limit(_AND_NTERMS).select("token")
+    tf = (
+        toks.join(F.broadcast(qt), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    hits = (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("score"),
+            F.count_distinct("token").alias("nt"),
+        )
+        .filter(F.col("nt") == _AND_NTERMS)
+        .select("doc_id", "score")
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        hits.orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q241 — join-cardinality estimation audit (capped key histograms)
+# ---------------------------------------------------------------------------
+
+_CARD_TOPK = 100  # per-side frequent-key histogram size
+
+
+@register(
+    "q241_join_cardinality_estimate",
+    category="profile",
+    oracle=f"""
+WITH a AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1),
+b AS (SELECT o_custkey % 2000 AS k, CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1),
+ta AS (SELECT k, cnt FROM a ORDER BY cnt DESC, k LIMIT {_CARD_TOPK}),
+tb AS (SELECT k, cnt FROM b ORDER BY cnt DESC, k LIMIT {_CARD_TOPK}),
+top_est AS (
+  SELECT CAST(coalesce(sum(ta.cnt * tb.cnt), 0) AS BIGINT) AS est_top
+  FROM ta JOIN tb USING (k)
+),
+rest AS (
+  SELECT CAST(coalesce(sum(CASE WHEN ta.k IS NULL THEN a.cnt END), 0) AS BIGINT) AS rest_a_rows,
+         CAST(coalesce(count(CASE WHEN ta.k IS NULL THEN 1 END), 0) AS BIGINT) AS rest_a_keys
+  FROM a LEFT JOIN ta ON ta.k = a.k
+),
+restb AS (
+  SELECT CAST(coalesce(sum(CASE WHEN tb.k IS NULL THEN b.cnt END), 0) AS BIGINT) AS rest_b_rows,
+         CAST(coalesce(count(CASE WHEN tb.k IS NULL THEN 1 END), 0) AS BIGINT) AS rest_b_keys
+  FROM b LEFT JOIN tb ON tb.k = b.k
+),
+exact AS (
+  SELECT CAST(coalesce(sum(a.cnt * b.cnt), 0) AS BIGINT) AS exact_rows
+  FROM a JOIN b USING (k)
+)
+SELECT e.exact_rows,
+       t.est_top + CASE WHEN greatest(r.rest_a_keys, rb.rest_b_keys) > 0
+            THEN r.rest_a_rows * rb.rest_b_rows // greatest(r.rest_a_keys, rb.rest_b_keys)
+            ELSE 0 END AS est_rows,
+       t.est_top AS est_top,
+       r.rest_a_rows, r.rest_a_keys, rb.rest_b_rows, rb.rest_b_keys
+FROM exact e CROSS JOIN top_est t CROSS JOIN rest r CROSS JOIN restb rb
+""",
+)
+def q241_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-statistics audit: estimate |A join B| from capped
+    per-side key histograms (top-100 frequent keys exact, tail
+    uniform-over-distinct), next to the TRUE join cardinality computed
+    without materializing the join (sum of per-key count products).
+    This is the statistic a cost-based planner consults before
+    choosing broadcast vs shuffle vs skew-salting (q56) — histogram
+    stats that miss a heavy key are how 100 TB joins explode, and
+    this query makes the estimate-vs-truth gap a first-class, exactly
+    reproducible number (all-integer arithmetic, DIV for the tail).
+
+    Scale shape: two groupBys (one per side, keyed by the join key),
+    top-k via TakeOrderedAndProject, everything downstream operates
+    on histogram-sized (broadcast) data. The exact cardinality uses
+    the count-product identity — a key-keyed join of two COUNT tables,
+    never the row-level join itself.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    a = li.groupBy(F.col("l_partkey").alias("k")).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    b = o.groupBy((F.col("o_custkey") % 2000).alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    ta = a.orderBy(F.col("cnt").desc(), "k").limit(_CARD_TOPK)
+    tb = b.orderBy(F.col("cnt").desc(), "k").limit(_CARD_TOPK)
+    est_top = (
+        ta.select("k", F.col("cnt").alias("cnt_a"))
+        .join(tb.select("k", F.col("cnt").alias("cnt_b")), "k")
+        .agg(F.coalesce(F.sum(F.col("cnt_a") * F.col("cnt_b")), F.lit(0)).cast("bigint").alias("est_top"))
+    )
+    rest_a = (
+        a.join(ta.select("k", F.lit(1).alias("_t")), "k", "left")
+        .filter(F.col("_t").isNull())
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("rest_a_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("rest_a_keys"),
+        )
+    )
+    rest_b = (
+        b.join(tb.select("k", F.lit(1).alias("_t")), "k", "left")
+        .filter(F.col("_t").isNull())
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("rest_b_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("rest_b_keys"),
+        )
+    )
+    exact = (
+        a.select("k", F.col("cnt").alias("cnt_a"))
+        .join(b.select("k", F.col("cnt").alias("cnt_b")), "k")
+        .agg(F.coalesce(F.sum(F.col("cnt_a") * F.col("cnt_b")), F.lit(0)).cast("bigint").alias("exact_rows"))
+    )
+    tail_est = F.when(
+        F.greatest("rest_a_keys", "rest_b_keys") > 0,
+        F.expr("rest_a_rows * rest_b_rows DIV greatest(rest_a_keys, rest_b_keys)"),
+    ).otherwise(F.lit(0))
+    return (
+        exact.crossJoin(F.broadcast(est_top))
+        .crossJoin(F.broadcast(rest_a))
+        .crossJoin(F.broadcast(rest_b))
+        .select(
+            "exact_rows",
+            (F.col("est_top") + tail_est).cast("bigint").alias("est_rows"),
+            "est_top",
+            "rest_a_rows",
+            "rest_a_keys",
+            "rest_b_rows",
+            "rest_b_keys",
+        )
+    )
