@@ -301,3 +301,61 @@ def test_attribution_lookback_boundary(spark):
         .collect()
     }
     assert out == {101: 100, 201: None, 302: 301}
+
+
+def test_global_running_sum_stable_without_aqe(spark):
+    """Regression: the offsets job and the final join job are separate
+    Spark jobs; without the persist() pin the second job re-samples the
+    range-partitioner boundaries and the collected offsets can attach
+    to the wrong partitions (observed as shifted prefix sums with
+    adaptive.enabled=false on a ~60k-row aggregate at sf0.01)."""
+    from pyspark.sql.window import Window
+
+    from sensor_data_pipeline_spark.operators.prefix import global_running_sum
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # groupBy output (like q235's distinct-value counts): the
+        # nondeterministic-sampling shape that exposed the bug
+        base = (
+            spark.range(0, 20000)
+            .select((F.pmod(F.col("id") * 131 + 7, F.lit(7919))).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("v"))
+        )
+        got = {r.k: r.running_sum for r in global_running_sum(base, "k", "v").collect()}
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        want = {r.k: r.rs for r in base.withColumn("rs", F.sum("v").over(w)).collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_token_bucket_refill_and_burst():
+    """Batch-level unit check of the streaming token bucket's integer
+    refill/spend sequence (the stateful operator's core loop)."""
+    import pandas as pd
+
+    from sensor_data_pipeline_spark.streaming.stateful import (
+        BUCKET_CAP,
+        _token_bucket_group,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    # 7 events in the same minute: capacity 5 admits the first five,
+    # rejects the next two; an event 10 minutes later refills to full.
+    ts = pd.to_datetime(
+        ["2026-01-01 00:00:%02d" % s for s in range(0, 35, 5)] + ["2026-01-01 00:10:30"]
+    )
+    pdf = pd.DataFrame({"k": "7", "tick_ts": ts, "event_id": range(len(ts))})
+    out = pd.concat(list(_token_bucket_group(("7",), iter([pdf]), FakeState())))
+    assert list(out["allowed"]) == [True] * BUCKET_CAP + [False, False, True]
+    assert list(out["tokens_after"])[:6] == [4, 3, 2, 1, 0, 0]
+    # 10 min of event time refills min(cap, 0 + 10) -> full bucket, spend 1
+    assert out["tokens_after"].iloc[-1] == BUCKET_CAP - 1
