@@ -253,3 +253,48 @@ def q210_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "threshold": 150000.0},
     )
+
+
+@register(
+    "q242_sql_pipe_syntax",
+    category="functions",
+    # DuckDB has no pipe syntax; the oracle is the same dataflow in
+    # classic ANSI form — which is the point: |> is pure front-end
+    # sugar over the identical logical plan.
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+HAVING count(*) > 10
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q242_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4 `|>`, from the SQL:has-pipes lineage
+    popularized by GoogleSQL): the pricing-summary dataflow written as
+    a linear pipeline — FROM |> WHERE |> AGGREGATE ... GROUP BY |>
+    WHERE (post-aggregation filter) |> ORDER BY. Front-end surface
+    only: the parser lowers each stage onto the same Catalyst
+    operators as the classic form (the oracle IS the classic form),
+    so pushdown/pruning/codegen are unchanged — proven by the
+    hash-equal result.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> AGGREGATE
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_lines > 10
+        |> SELECT l_returnflag, l_linestatus, n_lines, sum_qty, sum_price_cents
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
