@@ -1813,3 +1813,136 @@ def q241_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFram
             "rest_b_keys",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q243 — event-time disorder profile (the watermark-delay diagnostic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q243_disorder_profile",
+    category="time",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+lat AS (
+  SELECT user_id, event_id, es,
+         greatest(CAST(0 AS BIGINT),
+           coalesce(max(es) OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), es) - es)
+           AS late_s
+  FROM seq
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+       CAST(max(late_s) AS BIGINT) AS max_late_s,
+       CAST(sum(CASE WHEN late_s > 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_over_1m,
+       CAST(sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_over_1h
+FROM lat
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q243_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder profile: per stream key, how late does each
+    event arrive relative to the running event-time high-watermark of
+    its ARRIVAL order (event_id — the ingestion sequence)? Emits
+    out-of-order counts, worst lateness, and threshold buckets — the
+    exact statistic that justifies a `withWatermark` delay: q67's
+    10-minute watermark is a CLAIM about disorder; this query measures
+    it (pick the delay that covers n_late_over_* at your loss
+    tolerance). The reference has the same problem in miniature — its
+    consumer tolerates sensor ticks arriving behind the display clock
+    (src/modules/dd/consumer.cpp) with a fixed 6 s grace.
+
+    Shape: one keyed window (running max over the arrival order — per
+    key, never global), one groupBy; integer epoch-second lateness
+    end to end.
+    """
+    e = load_table(spark, "events", sf_dir)
+    seq = e.select(
+        "user_id", "event_id", F.floor(F.unix_timestamp("ts")).cast("bigint").alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    lat = seq.select(
+        "user_id",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.coalesce(F.max("es").over(w), F.col("es")) - F.col("es"),
+        ).alias("late_s"),
+    )
+    return (
+        lat.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0)).cast("bigint").alias("n_out_of_order"),
+            F.max("late_s").cast("bigint").alias("max_late_s"),
+            F.sum(F.when(F.col("late_s") > 60, 1).otherwise(0)).cast("bigint").alias("n_late_over_1m"),
+            F.sum(F.when(F.col("late_s") > 3600, 1).otherwise(0)).cast("bigint").alias("n_late_over_1h"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q244 — k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@register(
+    "q244_k_anonymity_audit",
+    category="quality",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang, source,
+         CAST(n_chars // 100 AS BIGINT) AS len_bucket
+  FROM documents
+),
+g AS (
+  SELECT lang, source, len_bucket, CAST(count(*) AS BIGINT) AS grp_n
+  FROM q GROUP BY 1, 2, 3
+)
+SELECT g.lang, g.source, g.len_bucket, g.grp_n,
+       g.grp_n < {_KANON_K} AS below_k,
+       CAST(CASE WHEN g.grp_n < {_KANON_K} THEN g.grp_n ELSE 0 END AS BIGINT) AS n_suppressed
+FROM g
+ORDER BY g.lang, g.source, g.len_bucket
+""",
+)
+def q244_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (lang, source, length-bucket): any equivalence class smaller than
+    k re-identifies its members by attribute combination alone, so a
+    privacy-preserving release must suppress or generalize those rows.
+    Emits every class with its size, the below-k flag, and the
+    suppression count — the audit that runs AFTER q163's direct-PII
+    redaction (direct identifiers and quasi-identifiers are different
+    attack surfaces; a pipeline needs both gates).
+
+    Shape: one groupBy on the quasi-identifier key (map-side
+    combinable counts), integer bucketing via DIV — no window, no
+    broadcast, trivially 100 TB-safe. Generalization (widening the
+    length bucket until every class clears k) iterates this same
+    query over coarser keys.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    q = d.select(
+        "lang", "source", F.expr("n_chars DIV 100").cast("bigint").alias("len_bucket")
+    )
+    g = q.groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("grp_n")
+    )
+    return g.select(
+        "lang",
+        "source",
+        "len_bucket",
+        "grp_n",
+        (F.col("grp_n") < _KANON_K).alias("below_k"),
+        F.when(F.col("grp_n") < _KANON_K, F.col("grp_n")).otherwise(0).cast("bigint").alias("n_suppressed"),
+    ).orderBy("lang", "source", "len_bucket")
