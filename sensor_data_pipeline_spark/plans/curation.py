@@ -1946,3 +1946,72 @@ def q244_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("grp_n") < _KANON_K).alias("below_k"),
         F.when(F.col("grp_n") < _KANON_K, F.col("grp_n")).otherwise(0).cast("bigint").alias("n_suppressed"),
     ).orderBy("lang", "source", "len_bucket")
+
+
+# ---------------------------------------------------------------------------
+# q245 — counting-based rank normalization (percentile encoding)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q245_rank_normalize",
+    category="aggregation",
+    oracle="""
+WITH cents AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v FROM events
+),
+vc AS (
+  SELECT event_type, v, CAST(count(*) AS BIGINT) AS cnt
+  FROM cents GROUP BY 1, 2
+),
+tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_type FROM vc GROUP BY 1),
+cum AS (
+  SELECT event_type, v, cnt,
+         CAST(coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM vc
+)
+SELECT c.event_type, c.v AS cents, c.cnt, c.cum_before,
+       CASE WHEN t.n_type > 1
+            THEN c.cum_before * 1000000 // (t.n_type - 1) ELSE 0 END AS pctl_fp
+FROM cum c JOIN tot t USING (event_type)
+ORDER BY c.event_type, c.v
+""",
+)
+def q245_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank (percentile) normalization of a measure column per stream
+    type — the distribution-free feature encoding (quantile
+    transform) a training pipeline applies to heavy-tailed signals.
+    Emitted as the VALUE-level lookup table (value -> fixed-point
+    percentile of strictly-smaller mass), which is what a scoring job
+    broadcasts; per-row encoding is then a map-side join.
+
+    Scale shape: this is the COUNTING-BASED rank, not a row-level
+    window — the per-type window runs over DISTINCT values (bounded
+    cents domain), so a group with a billion rows but 10^6 distinct
+    values sorts 10^6 entries, and the ranks come from integer
+    cumulative counts. percent_rank() over rows would single-task
+    each group; this never touches row-level ordering. Integer DIV
+    fixed-point, exact at any scale.
+    """
+    e = load_table(spark, "events", sf_dir)
+    vc = (
+        e.select("event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("v"))
+        .groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = vc.groupBy("event_type").agg(F.sum("cnt").cast("bigint").alias("n_type"))
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vc.withColumn("cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint"))
+    return (
+        cum.join(tot, "event_type")
+        .select(
+            "event_type",
+            F.col("v").alias("cents"),
+            "cnt",
+            "cum_before",
+            F.when(F.col("n_type") > 1, F.expr("cum_before * 1000000 DIV (n_type - 1)"))
+            .otherwise(F.lit(0)).cast("bigint").alias("pctl_fp"),
+        )
+        .orderBy("event_type", "cents")
+    )
