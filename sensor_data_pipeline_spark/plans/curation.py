@@ -2015,3 +2015,223 @@ def q245_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# q246 — grouped OLS as exact integer moments (JVM twin of q80)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q246_ols_moments_by_key",
+    category="analytics",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(round(value * 100, 0) AS BIGINT) AS y
+  FROM events
+),
+t0 AS (SELECT user_id, CAST(min(es) AS BIGINT) AS es0 FROM base GROUP BY user_id),
+m AS (
+  SELECT b.user_id, b.es - t.es0 AS x, b.y
+  FROM base b JOIN t0 t USING (user_id)
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+       CAST(sum(x * x) AS BIGINT) AS sum_x2,
+       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den
+FROM m
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q246_ols_moments_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key least-squares trend as EXACT integer moments: for each
+    sensor stream, x = seconds since the key's first event, y =
+    integer cents; emit n, Σx, Σy, Σxy, Σx² and the OLS slope as the
+    rational pair (slope_num, slope_den) = (nΣxy - ΣxΣy, nΣx² - (Σx)²).
+    This is the all-JVM, bit-deterministic twin of q80's pandas
+    GROUPED_AGG OLS — same regression, but partial-aggregable integer
+    sums instead of an Arrow hop into numpy, so it runs inside
+    whole-stage codegen and no float summation order exists at all.
+    The caller divides num/den (one IEEE op) for the float slope.
+
+    Shape: one groupBy for the per-key epoch origin (min), a
+    broadcast-able join back, one moment groupBy. Re-centering x at
+    the key's own origin keeps x*y products ~1e9·1e4 — comfortably
+    inside int64 even at 10^6 events per key.
+    """
+    e = load_table(spark, "events", sf_dir)
+    base = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("es"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+    )
+    t0 = base.groupBy("user_id").agg(F.min("es").alias("es0"))
+    m = base.join(t0, "user_id").select(
+        "user_id", (F.col("es") - F.col("es0")).alias("x"), "y"
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    return (
+        m.groupBy("user_id")
+        .agg(
+            n.alias("n"),
+            F.sum("x").cast("bigint").alias("sum_x"),
+            F.sum("y").cast("bigint").alias("sum_y"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sum_xy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_x2"),
+        )
+        .select(
+            "user_id", "n", "sum_x", "sum_y", "sum_xy", "sum_x2",
+            (F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")).cast("bigint").alias("slope_num"),
+            (F.col("n") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x")).cast("bigint").alias("slope_den"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q247 — event-type transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q247_transition_matrix",
+    category="analytics",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pair AS (
+  SELECT event_type AS from_type, next_type AS to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM pair GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n, t.n_from,
+       p.n * 1000000 // t.n_from AS p_fp
+FROM pair p JOIN tot t USING (from_type)
+ORDER BY p.from_type, p.to_type
+""",
+)
+def q247_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between event types per
+    user stream — the sequence-mining primitive behind session-flow
+    dashboards and next-action models. Counts are exact integers; the
+    conditional transition probability is emitted as integer
+    fixed-point n*1e6 DIV n_from (no float aggregation anywhere).
+
+    Shape: ONE keyed window (lead over each user's (ts, event_id)
+    order — bounded per key) feeding a groupBy on the
+    (from, to) pair — whose cardinality is |event_types|², a
+    broadcast-sized matrix regardless of corpus size. The probability
+    normalization joins the same bounded matrix against its row sums.
+    """
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+    pair = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = pair.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("n_from"))
+    return (
+        pair.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type", "to_type", "n", "n_from",
+            F.expr("n * 1000000 DIV n_from").alias("p_fp"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q248 — token-frequency drift monitor (corpus halves, integer ratio test)
+# ---------------------------------------------------------------------------
+
+_DRIFT_FACTOR = 2  # flag tokens whose rate changed by >= 2x between halves
+_DRIFT_MIN = 20  # ignore tokens with fewer than this many total occurrences
+
+
+@register(
+    "q248_frequency_drift",
+    category="profile",
+    oracle=f"""
+WITH half AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) // 2 AS mid FROM documents),
+toks AS (
+  SELECT CASE WHEN d.doc_id < h.mid THEN 0 ELSE 1 END AS half_id,
+         unnest({_DUCK_WORDS}) AS token
+  FROM documents d CROSS JOIN half h
+),
+n AS (
+  SELECT CAST(sum(CASE WHEN half_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN half_id = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM toks
+),
+c AS (
+  SELECT token,
+         CAST(sum(CASE WHEN half_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN half_id = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM toks GROUP BY token
+)
+SELECT c.token, c.c1, c.c2,
+       c.c1 * n.n2 > {_DRIFT_FACTOR} * c.c2 * n.n1 OR
+       c.c2 * n.n1 > {_DRIFT_FACTOR} * c.c1 * n.n2 AS drifted
+FROM c CROSS JOIN n
+WHERE c.c1 + c.c2 >= {_DRIFT_MIN}
+ORDER BY c.token
+""",
+)
+def q248_frequency_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency drift monitor: compare each token's occurrence
+    RATE between the first and second half of the corpus (by doc id —
+    the ingestion-time axis) and flag >= 2x rate changes. The
+    distribution-shift tripwire a continuously-ingesting pipeline
+    runs per batch: vocabulary drift is how crawl rot, spam bursts,
+    and upstream format changes first show up. The rate comparison is
+    the integer cross-multiplication c1*N2 vs factor*c2*N1 — no
+    division, no float, no epsilon.
+
+    Shape: one tokenize scan with a map-side half label, one groupBy
+    on token (conditional sums combine map-side), the corpus totals
+    ride a broadcast. The minimum-count floor plays the q192 role:
+    rare tokens' rates are noise, and at 100 TB the monitor runs over
+    the sketched heavy-hitter vocabulary, same comparison.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    half = d.agg(F.expr("CAST(max(doc_id) + 1 AS BIGINT) DIV 2").alias("mid"))
+    toks = (
+        d.crossJoin(F.broadcast(half))
+        .select(
+            F.when(F.col("doc_id") < F.col("mid"), 0).otherwise(1).alias("half_id"),
+            F.explode(tokenize(F.col("text"))).alias("token"),
+        )
+    )
+    n = toks.agg(
+        F.sum(F.when(F.col("half_id") == 0, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("half_id") == 1, 1).otherwise(0)).cast("bigint").alias("n2"),
+    )
+    c = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("half_id") == 0, 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("half_id") == 1, 1).otherwise(0)).cast("bigint").alias("c2"),
+    )
+    return (
+        c.filter(F.col("c1") + F.col("c2") >= _DRIFT_MIN)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token", "c1", "c2",
+            (
+                (F.col("c1") * F.col("n2") > _DRIFT_FACTOR * F.col("c2") * F.col("n1"))
+                | (F.col("c2") * F.col("n1") > _DRIFT_FACTOR * F.col("c1") * F.col("n2"))
+            ).alias("drifted"),
+        )
+        .orderBy("token")
+    )
