@@ -44,7 +44,11 @@ def test_oracles_reference_only_registered_views():
                 re.I,
             )
         ) | table_functions
-        targets = re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", spec.oracle, re.I)
+        # (?<![a-z0-9_.]) so a column named n_from doesn't make the
+        # following word look like a FROM target
+        targets = re.findall(
+            r"(?<![a-z0-9_.])(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", spec.oracle, re.I
+        )
         for t in targets:
             assert t.lower() in TABLES or t.lower() in {c.lower() for c in ctes}, (
                 f"{name}: oracle references unknown relation {t!r}"
