@@ -2392,3 +2392,161 @@ def q250_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(check("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey"))
     )
     return out.select("fk", "n_orphans", "n_rows", (F.col("n_orphans") == 0).alias("intact")).orderBy("fk")
+
+
+# ---------------------------------------------------------------------------
+# q251 — reference-point pruned similarity search (REPOSE pattern)
+# ---------------------------------------------------------------------------
+
+_RP_LEN = 16  # trajectory length (first 16 readings per stream)
+_RP_NREF = 4  # reference points (lowest user ids)
+_RP_NQ = 5  # queries (next 5 user ids)
+_RP_K = 5  # top-k
+
+
+@register(
+    "q251_refpoint_pruned_search",
+    category="similarity",
+    oracle=f"""
+WITH traj AS (
+  SELECT user_id,
+         (list(CAST(round(value * 100, 0) AS BIGINT) ORDER BY ts, event_id))[1:{_RP_LEN}] AS v
+  FROM events
+  GROUP BY user_id
+  HAVING count(*) >= {_RP_LEN}
+),
+ids AS (SELECT user_id, row_number() OVER (ORDER BY user_id) AS rid FROM traj),
+refs AS (SELECT t.user_id AS rid_user, t.v AS rv FROM traj t JOIN ids i USING (user_id) WHERE i.rid <= {_RP_NREF}),
+qry AS (SELECT t.user_id AS qid, t.v AS qv FROM traj t JOIN ids i USING (user_id)
+        WHERE i.rid BETWEEN {_RP_NREF} + 1 AND {_RP_NREF} + {_RP_NQ}),
+cand AS (SELECT t.user_id AS cid, t.v AS cv FROM traj t JOIN ids i USING (user_id) WHERE i.rid > {_RP_NREF} + {_RP_NQ}),
+dqr AS (
+  SELECT q.qid, r.rid_user,
+         sqrt(CAST(list_sum(list_transform(range(1, {_RP_LEN} + 1),
+              i -> (q.qv[i] - r.rv[i]) * (q.qv[i] - r.rv[i]))) AS DOUBLE)) AS d
+  FROM qry q CROSS JOIN refs r
+),
+dcr AS (
+  SELECT c.cid, r.rid_user,
+         sqrt(CAST(list_sum(list_transform(range(1, {_RP_LEN} + 1),
+              i -> (c.cv[i] - r.rv[i]) * (c.cv[i] - r.rv[i]))) AS DOUBLE)) AS d
+  FROM cand c CROSS JOIN refs r
+),
+lb AS (
+  SELECT q.qid, c.cid, max(abs(q.d - c.d)) AS lb
+  FROM dqr q JOIN dcr c ON q.rid_user = c.rid_user
+  GROUP BY q.qid, c.cid
+),
+exact AS (
+  SELECT q.qid, c.cid,
+         sqrt(CAST(list_sum(list_transform(range(1, {_RP_LEN} + 1),
+              i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS DOUBLE)) AS d
+  FROM qry q CROSS JOIN cand c
+),
+ranked AS (
+  SELECT qid, cid, d, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rnk
+  FROM exact
+),
+kth AS (SELECT qid, max(d) AS dk FROM ranked WHERE rnk <= {_RP_K} GROUP BY qid),
+marked AS (
+  SELECT l.qid, l.cid, l.lb > k.dk AS pruned, r.rnk <= {_RP_K} AS in_topk
+  FROM lb l JOIN kth k USING (qid) JOIN ranked r ON r.qid = l.qid AND r.cid = l.cid
+)
+SELECT qid,
+       CAST(count(*) AS BIGINT) AS n_cands,
+       CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       CAST(sum(CASE WHEN NOT pruned THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_checks,
+       CAST(sum(CASE WHEN pruned AND in_topk THEN 1 ELSE 0 END) = 0 AS BOOLEAN) AS topk_intact
+FROM marked
+GROUP BY qid
+ORDER BY qid
+""",
+)
+def q251_refpoint_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-point pruned trajectory similarity search — the
+    REPOSE / metric-space pattern (ICDE'21, PAPERS.md): precompute
+    every trajectory's distance to a few broadcast REFERENCE
+    trajectories; the triangle inequality makes max_r |d(q,r)-d(c,r)|
+    a LOWER BOUND on d(q,c), so any candidate whose bound exceeds the
+    running top-k radius is discarded WITHOUT computing its true
+    distance. Emits, per query, the candidate/pruned/exact-check
+    counts and the soundness audit (no true top-k member pruned — the
+    triangle-inequality guarantee as a checkable boolean).
+
+    Determinism: trajectories are integer cent sequences; distances
+    are sqrt of integer sums (IEEE-correctly-rounded, bit-equal in
+    both engines); ranks tie-break on id. At scale the exact
+    all-pairs side here exists only to AUDIT the bound — production
+    keeps ref-distances as a per-trajectory index (R doubles per row,
+    broadcast refs) and computes true distances only for bound
+    survivors, turning an O(N) scan per query into O(survivors).
+    """
+    e = load_table(spark, "events", sf_dir)
+    traj = (
+        e.select(
+            "user_id",
+            F.struct(
+                # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP —
+                # cast keeps microsecond precision for the sort key
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("em"), "event_id",
+                F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.array_sort(F.collect_list("s")).alias("ss"))
+        .filter(F.col("n") >= _RP_LEN)
+        .select(
+            "user_id",
+            F.expr(f"transform(slice(ss, 1, {_RP_LEN}), x -> x.cents)").alias("v"),
+        )
+    )
+    ids = traj.withColumn("rid", F.row_number().over(Window.orderBy("user_id")))
+    refs = ids.filter(F.col("rid") <= _RP_NREF).select(
+        F.col("user_id").alias("rid_user"), F.col("v").alias("rv")
+    )
+    qry = ids.filter(F.col("rid").between(_RP_NREF + 1, _RP_NREF + _RP_NQ)).select(
+        F.col("user_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cand = ids.filter(F.col("rid") > _RP_NREF + _RP_NQ).select(
+        F.col("user_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def dist(a: str, b: str):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        )
+
+    dqr = qry.crossJoin(F.broadcast(refs)).select("qid", "rid_user", dist("qv", "rv").alias("d"))
+    dcr = cand.crossJoin(F.broadcast(refs)).select("cid", "rid_user", dist("cv", "rv").alias("d"))
+    lb = (
+        dcr.join(F.broadcast(dqr.select("qid", "rid_user", F.col("d").alias("dq"))), "rid_user")
+        .groupBy("qid", "cid")
+        .agg(F.max(F.abs(F.col("dq") - F.col("d"))).alias("lb"))
+    )
+    exact = cand.crossJoin(F.broadcast(qry)).select("qid", "cid", dist("qv", "cv").alias("d"))
+    wq = Window.partitionBy("qid").orderBy("d", "cid")
+    ranked = exact.withColumn("rnk", F.row_number().over(wq))
+    kth = ranked.filter(F.col("rnk") <= _RP_K).groupBy("qid").agg(F.max("d").alias("dk"))
+    marked = (
+        lb.join(F.broadcast(kth), "qid")
+        .join(ranked.select("qid", "cid", "rnk"), ["qid", "cid"])
+        .select(
+            "qid",
+            (F.col("lb") > F.col("dk")).alias("pruned"),
+            (F.col("rnk") <= _RP_K).alias("in_topk"),
+        )
+    )
+    return (
+        marked.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cands"),
+            F.sum(F.when(F.col("pruned"), 1).otherwise(0)).cast("bigint").alias("n_pruned"),
+            F.sum(F.when(~F.col("pruned"), 1).otherwise(0)).cast("bigint").alias("n_exact_checks"),
+            (F.sum(F.when(F.col("pruned") & F.col("in_topk"), 1).otherwise(0)) == 0).alias("topk_intact"),
+        )
+        .orderBy("qid")
+    )
