@@ -2550,3 +2550,99 @@ def q251_refpoint_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# q252 — incremental top-k maintenance (mergeable summaries + audit)
+# ---------------------------------------------------------------------------
+
+_ITK_K = 10  # the served top-k
+_ITK_SUMMARY = 20  # per-snapshot summary size (>= k so merges stay exact)
+
+
+@register(
+    "q252_incremental_topk",
+    category="analytics",
+    oracle=f"""
+WITH half AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) // 2 AS mid FROM documents),
+scored AS (
+  SELECT d.doc_id,
+         CAST(d.n_chars AS BIGINT) * 1000 + d.doc_id % 1000 AS score,
+         d.doc_id < h.mid AS is_old
+  FROM documents d CROSS JOIN half h
+),
+old_summary AS (
+  SELECT doc_id, score FROM scored WHERE is_old
+  ORDER BY score DESC, doc_id LIMIT {_ITK_SUMMARY}
+),
+delta_summary AS (
+  SELECT doc_id, score FROM scored WHERE NOT is_old
+  ORDER BY score DESC, doc_id LIMIT {_ITK_SUMMARY}
+),
+merged AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM (SELECT * FROM old_summary UNION ALL SELECT * FROM delta_summary)
+),
+full_topk AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT m.rnk AS rank, m.doc_id, m.score,
+       m.doc_id = f.doc_id AND m.score = f.score AS matches_full
+FROM merged m JOIN full_topk f ON f.rnk = m.rnk
+WHERE m.rnk <= {_ITK_K}
+ORDER BY rank
+""",
+)
+def q252_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k maintenance (the EDBT'20 interactive-session
+    pattern, PAPERS.md): keep a small SUMMARY (top-k', k' >= k) per
+    snapshot, answer the live top-k by merging yesterday's summary
+    with the new delta's summary — never rescanning history. Sound
+    because top-k summaries are MERGEABLE: any row outside a
+    partition's top-k' can't be in the union's top-k (k <= k'). The
+    query runs both paths — summary-merge and full recompute — and
+    emits the per-rank equality audit, the q194 delta-merge argument
+    transplanted from distributive aggregates to ORDER BY ... LIMIT.
+
+    Shape: each summary is TakeOrderedAndProject (per-partition heaps,
+    k'-row output); the merge ranks 2k' rows. The audited full
+    recompute exists only at fixture scale; production serves from
+    summaries alone, turning the daily top-k job from O(history) to
+    O(delta). Scores are integers (length-keyed with id tiebreak
+    folded in), so ordering is engine-exact.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    half = d.agg(F.expr("CAST(max(doc_id) + 1 AS BIGINT) DIV 2").alias("mid"))
+    scored = d.crossJoin(F.broadcast(half)).select(
+        "doc_id",
+        (F.col("n_chars").cast("bigint") * 1000 + F.col("doc_id") % 1000).alias("score"),
+        (F.col("doc_id") < F.col("mid")).alias("is_old"),
+    )
+    def summary(df: DataFrame) -> DataFrame:
+        return df.orderBy(F.col("score").desc(), "doc_id").limit(_ITK_SUMMARY).select("doc_id", "score")
+
+    merged = (
+        summary(scored.filter(F.col("is_old")))
+        .unionAll(summary(scored.filter(~F.col("is_old"))))
+        .withColumn("rnk", F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id")))
+        .filter(F.col("rnk") <= _ITK_K)
+    )
+    full = (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_ITK_K)
+        .withColumn("rnk", F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id")))
+        .select(F.col("rnk"), F.col("doc_id").alias("f_doc"), F.col("score").alias("f_score"))
+    )
+    return (
+        merged.join(F.broadcast(full), "rnk")
+        .select(
+            F.col("rnk").cast("bigint").alias("rank"),
+            "doc_id",
+            "score",
+            ((F.col("doc_id") == F.col("f_doc")) & (F.col("score") == F.col("f_score"))).alias("matches_full"),
+        )
+        .orderBy("rank")
+    )
