@@ -2646,3 +2646,128 @@ def q252_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q253 — CDC changelog apply with DELETEs (last-writer-wins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q253_cdc_changelog_deletes",
+    category="cdc",
+    oracle="""
+WITH log AS (
+  SELECT event_id AS seq,
+         user_id % 100 AS key,
+         CASE (event_id % 10)
+           WHEN 9 THEN 'D'
+           WHEN 0 THEN 'I'
+           ELSE 'U' END AS op,
+         CAST(round(value * 100, 0) AS BIGINT) AS val
+  FROM events
+),
+last AS (
+  SELECT key, op, val
+  FROM (SELECT key, op, val,
+               row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        FROM log)
+  WHERE rn = 1
+)
+SELECT key, val AS bal_cents
+FROM last WHERE op <> 'D'
+ORDER BY key
+""",
+)
+def q253_cdc_changelog_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply with all three op kinds — INSERT, UPDATE,
+    DELETE — under last-writer-wins by change sequence: the snapshot
+    keeps each key's latest non-delete value and DROPS keys whose
+    latest op is a delete. This is the semantics q90/q207 (pure
+    upsert deltas) cannot express, and the one Debezium-style
+    pipelines actually ship: a tombstone must erase the key no matter
+    how many earlier upserts exist.
+
+    Shape: the per-key latest op comes from max_by-style selection —
+    implemented as max(struct(seq, op, val)) so it PARTIALLY
+    aggregates (map-side combine on the changelog shards), never a
+    row_number window over the full log. At 100 TB the changelog is
+    naturally sharded by key; this plan reads each shard once and
+    shuffles one struct per key.
+    """
+    e = load_table(spark, "events", sf_dir)
+    log = e.select(
+        F.col("event_id").alias("seq"),
+        (F.col("user_id") % 100).alias("key"),
+        F.when(F.col("event_id") % 10 == 9, "D")
+        .when(F.col("event_id") % 10 == 0, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("val"),
+    )
+    last = (
+        log.groupBy("key")
+        .agg(F.max(F.struct("seq", "op", "val")).alias("m"))
+        .select("key", F.col("m.op").alias("op"), F.col("m.val").alias("val"))
+    )
+    return (
+        last.filter(F.col("op") != "D")
+        .select("key", F.col("val").alias("bal_cents"))
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q254 — bitmap-aggregate distinct counting (Spark bitmap functions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q254_bitmap_distinct",
+    category="aggregation",
+    # DuckDB computes the same distinct counts relationally; Spark's
+    # side exercises the bitmap aggregate surface the warehouses use
+    # for mergeable distinct-count materialized views.
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q254_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through Spark's bitmap aggregates
+    (bitmap_bucket_number / bitmap_construct_agg / bitmap_count): each
+    task builds a fixed-size bucket bitmap of the keys it saw, bitmaps
+    OR-merge associatively, and popcount gives the exact distinct —
+    the mergeable exact-distinct representation warehouse rollups
+    store so distinct counts can be maintained incrementally (q194)
+    without re-scanning. count(DISTINCT) re-shuffles raw keys every
+    refresh; the bitmap is a constant-size mergeable summary per
+    (group, bucket) — the same role as q176's KMV but EXACT for
+    dense integer domains.
+
+    Two shuffles: (group, bucket) bitmap build, then group-level OR +
+    popcount-sum. The oracle recomputes via plain COUNT(DISTINCT).
+    """
+    o = load_table(spark, "orders", sf_dir)
+    per_bucket = (
+        o.select(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    counts = per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_customers")
+    )
+    totals = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    return (
+        counts.join(totals, "o_orderpriority")
+        .select("o_orderpriority", "n_customers", "n_orders")
+        .orderBy("o_orderpriority")
+    )
