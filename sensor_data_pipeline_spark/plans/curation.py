@@ -2771,3 +2771,240 @@ def q254_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "n_customers", "n_orders")
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q255 — peak-preserving downsampling (per-bucket representative)
+# ---------------------------------------------------------------------------
+
+_DS_BUCKET_S = 600  # 10-minute buckets
+
+
+@register(
+    "q255_peak_downsample",
+    category="timeseries",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // {_DS_BUCKET_S} AS bucket,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+),
+m AS (
+  SELECT user_id, bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s
+  FROM c GROUP BY 1, 2
+),
+dev AS (
+  SELECT c.user_id, c.bucket, c.event_id, c.v, m.n,
+         abs(c.v * m.n - m.s) AS d
+  FROM c JOIN m USING (user_id, bucket)
+),
+pick AS (
+  SELECT user_id, bucket, event_id, v, n
+  FROM (SELECT user_id, bucket, event_id, v, n,
+               row_number() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY d DESC, event_id) AS rn
+        FROM dev)
+  WHERE rn = 1
+)
+SELECT user_id, bucket, event_id AS kept_event, v AS kept_cents, n AS n_in_bucket
+FROM pick
+ORDER BY user_id, bucket
+""",
+)
+def q255_peak_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-preserving downsampling: one representative per
+    (stream, time bucket) — the reading farthest from the bucket mean
+    (ties to the earliest event), so spikes survive decimation where
+    naive first/avg sampling would erase them. The dashboard-renderer
+    op (what Grafana-style maxDataPoints does) and the preprocessing
+    that keeps anomalies visible to downstream detectors (q228) after
+    a 100x data reduction.
+
+    Exactness: the deviation comparison |v*n - s| cross-multiplies
+    instead of dividing by n, so selection is pure integer ordering.
+    Shape: one groupBy for bucket moments, a broadcast-able join
+    back, and the argmax via max(struct(d, -event_id)) — partially
+    aggregable, no row-number window over the stream (the oracle
+    uses the window form; agreement proves the reduce).
+    """
+    e = load_table(spark, "events", sf_dir)
+    c = e.select(
+        "user_id",
+        "event_id",
+        F.expr(f"CAST(floor(unix_timestamp(ts)) AS BIGINT) DIV {_DS_BUCKET_S}").alias("bucket"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+    )
+    m = c.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("v").cast("bigint").alias("s")
+    )
+    dev = c.join(m, ["user_id", "bucket"]).select(
+        "user_id", "bucket", "event_id", "v", "n",
+        F.abs(F.col("v") * F.col("n") - F.col("s")).alias("d"),
+    )
+    pick = (
+        dev.groupBy("user_id", "bucket")
+        .agg(F.max(F.struct(F.col("d"), (-F.col("event_id")).alias("neg_id"), "event_id", "v", "n")).alias("m"))
+        .select(
+            "user_id", "bucket",
+            F.col("m.event_id").alias("kept_event"),
+            F.col("m.v").alias("kept_cents"),
+            F.col("m.n").alias("n_in_bucket"),
+        )
+    )
+    return pick.orderBy("user_id", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# q256 — threshold alarm with hysteresis (dual-fence state)
+# ---------------------------------------------------------------------------
+
+_HYS_HI = 9000  # cents: alarm arms at/above
+_HYS_LO = 3000  # cents: alarm clears at/below
+
+
+@register(
+    "q256_hysteresis_alarm",
+    category="stateful",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events WHERE user_id < 20
+),
+marked AS (
+  SELECT user_id, event_id, ts, v,
+         CASE WHEN v >= {_HYS_HI} THEN 'on'
+              WHEN v <= {_HYS_LO} THEN 'off' END AS crossing
+  FROM c
+),
+st AS (
+  SELECT user_id, event_id, v,
+         coalesce(last_value(crossing IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 'off') AS alarm
+  FROM marked
+)
+SELECT user_id, event_id, v, alarm,
+       CAST(alarm = 'on' AS BOOLEAN) AS is_alarmed
+FROM st
+ORDER BY user_id, event_id
+""",
+)
+def q256_hysteresis_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold alarm with HYSTERESIS — the dual-fence state machine
+    every physical-sensor monitor uses (arm at >= hi, clear only at
+    <= lo, hold in between) so a reading jittering around one
+    threshold cannot flap the alarm. The reference hard-codes this
+    shape around its display refresh (src/modules/dd/consumer.c
+    bounds + sticky display); here it is the declarative form: the
+    alarm state at any event is simply the LAST crossing marker
+    before it, so `last_value(... IGNORE NULLS)` over the keyed
+    event order IS the state machine — no UDF, no iteration, and at
+    scale it shuffles once on the stream key with per-key windows.
+
+    Integer cents, string states; default state 'off' before any
+    crossing. q233's token bucket holds counters in streaming state;
+    this shows the same per-key automaton as a pure window when the
+    state is a function of the last marker alone.
+    """
+    e = load_table(spark, "events", sf_dir)
+    c = e.filter(F.col("user_id") < 20).select(
+        "user_id", "event_id", "ts", F.round(F.col("value") * 100, 0).cast("bigint").alias("v")
+    )
+    marked = c.withColumn(
+        "crossing",
+        F.when(F.col("v") >= _HYS_HI, "on").when(F.col("v") <= _HYS_LO, "off"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    st = marked.withColumn(
+        "alarm", F.coalesce(F.last("crossing", ignorenulls=True).over(w), F.lit("off"))
+    )
+    return st.select(
+        "user_id", "event_id", "v", "alarm", (F.col("alarm") == "on").alias("is_alarmed")
+    ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q257 — two-sample KS distance on integer CDFs (distribution drift)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q257_ks_distribution_drift",
+    category="profile",
+    oracle="""
+WITH half AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) // 2 AS mid FROM documents),
+c AS (
+  SELECT CAST(d.n_chars AS BIGINT) AS v,
+         CAST(sum(CASE WHEN d.doc_id < h.mid THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN d.doc_id >= h.mid THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM documents d CROSS JOIN half h
+  GROUP BY 1
+),
+n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+cum AS (
+  SELECT v,
+         CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+         CAST(sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2
+  FROM c
+),
+d AS (
+  SELECT cum.v, abs(cum.f1 * n.n2 - cum.f2 * n.n1) AS gap
+  FROM cum CROSS JOIN n
+),
+best AS (SELECT v, gap FROM d ORDER BY gap DESC, v LIMIT 1)
+SELECT n.n1, n.n2, b.gap AS ks_num, n.n1 * n.n2 AS ks_den, b.v AS at_value
+FROM n CROSS JOIN best b
+""",
+)
+def q257_ks_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the document
+    length distributions of the old and new corpus halves — the
+    distribution-SHAPE drift monitor that complements q248's per-token
+    rate test: KS catches a shift (longer documents creeping in) even
+    when every token's rate is stable. Emitted as the exact rational
+    KS = ks_num / ks_den with ks_num = max_v |F1(v)*n2 - F2(v)*n1| —
+    cross-multiplied integer CDFs, so the supremum and its argmax
+    location are bit-exact, no epsilon anywhere.
+
+    Shape: one scan builds per-value conditional counts (bounded
+    distinct domain, the q245 trick); both CDFs come from ONE window
+    over that value-ordered count table; the supremum is
+    TakeOrderedAndProject(1). At 100 TB the window input is the
+    distinct-value table, not the corpus.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    half = d.agg(F.expr("CAST(max(doc_id) + 1 AS BIGINT) DIV 2").alias("mid"))
+    c = (
+        d.crossJoin(F.broadcast(half))
+        .groupBy(F.col("n_chars").cast("bigint").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("doc_id") < F.col("mid"), 1).otherwise(0)).cast("bigint").alias("c1"),
+            F.sum(F.when(F.col("doc_id") >= F.col("mid"), 1).otherwise(0)).cast("bigint").alias("c2"),
+        )
+    )
+    n = c.agg(F.sum("c1").cast("bigint").alias("n1"), F.sum("c2").cast("bigint").alias("n2"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = c.select(
+        "v",
+        F.sum("c1").over(w).cast("bigint").alias("f1"),
+        F.sum("c2").over(w).cast("bigint").alias("f2"),
+    )
+    gaps = cum.crossJoin(F.broadcast(n)).select(
+        "v", F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias("gap")
+    )
+    best = gaps.orderBy(F.col("gap").desc(), "v").limit(1)
+    return (
+        n.crossJoin(F.broadcast(best))
+        .select(
+            "n1", "n2",
+            F.col("gap").alias("ks_num"),
+            (F.col("n1") * F.col("n2")).alias("ks_den"),
+            F.col("v").alias("at_value"),
+        )
+    )
