@@ -3008,3 +3008,82 @@ def q257_ks_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("at_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q258 — point-in-time feature join with leakage audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q258_pit_feature_audit",
+    category="join",
+    oracle="""
+WITH labels AS (
+  SELECT user_id, event_id AS label_id, ts AS label_ts
+  FROM events WHERE event_type = 'purchase'
+),
+features AS (
+  SELECT user_id, ts AS feat_ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS feat_cents
+  FROM events WHERE event_type <> 'purchase'
+),
+pit AS (
+  SELECT l.user_id, l.label_id, l.label_ts, f.feat_ts, f.feat_cents
+  FROM labels l ASOF LEFT JOIN features f
+    ON l.user_id = f.user_id AND l.label_ts >= f.feat_ts
+)
+SELECT user_id, label_id,
+       feat_cents,
+       feat_ts IS NOT NULL AS has_feature,
+       coalesce(feat_ts <= label_ts, TRUE) AS no_leakage,
+       CAST(CASE WHEN feat_ts IS NOT NULL
+            THEN floor(epoch(label_ts)) - floor(epoch(feat_ts)) END AS BIGINT) AS staleness_s
+FROM pit
+ORDER BY user_id, label_id
+""",
+)
+def q258_pit_feature_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (feature-store) join with a LEAKAGE audit: each
+    label row (purchase events) picks up the most recent feature
+    value strictly from its past — the as-of join (operators/
+    joins.py) that training-set assembly must use, because an
+    ordinary join-on-key would leak future feature values into
+    training examples (the classic offline/online skew bug). Each
+    output row carries the audit boolean feat_ts <= label_ts —
+    trivially true for a correct as-of implementation, which is the
+    point: the invariant rides the data so any future regression of
+    the join direction fails the hash, plus the feature staleness in
+    seconds (the monitoring metric feature stores alert on).
+
+    Shape: one union-window as-of join keyed by entity (no row
+    explosion, q29's plan); the DuckDB oracle uses its native ASOF
+    LEFT JOIN — an independent implementation of the same semantic.
+    """
+    from sensor_data_pipeline_spark.operators.joins import asof_join
+
+    e = load_table(spark, "events", sf_dir)
+    labels = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("label_id"), F.col("ts").alias("label_ts")
+    )
+    # the join key ts is consumed by asof_join; carry the matched
+    # feature timestamp through as an ordinary value column so the
+    # leakage/staleness audit can see it
+    features = e.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts").alias("_ts_key"),
+        F.col("ts").alias("feat_ts"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("feat_cents"),
+    )
+    pit = asof_join(labels, features, "user_id", "label_ts", "_ts_key")
+    return pit.select(
+        "user_id",
+        "label_id",
+        "feat_cents",
+        F.col("feat_ts").isNotNull().alias("has_feature"),
+        F.coalesce(F.col("feat_ts") <= F.col("label_ts"), F.lit(True)).alias("no_leakage"),
+        F.when(
+            F.col("feat_ts").isNotNull(),
+            F.floor(F.unix_timestamp("label_ts")) - F.floor(F.unix_timestamp("feat_ts")),
+        ).cast("bigint").alias("staleness_s"),
+    ).orderBy("user_id", "label_id")
