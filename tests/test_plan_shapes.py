@@ -499,3 +499,56 @@ def test_video_segments_blob_dies_at_signature(spark):
 
     for m in _re.finditer(r"Window \[[^\]]*partitionBy=\[\]", plan):
         raise AssertionError(f"global window: {m.group(0)}")
+
+
+def test_bm25_takeordered_and_broadcasts(spark):
+    from sensor_data_pipeline_spark.plans.curation import q223_bm25_retrieval
+
+    plan = plan_of(q223_bm25_retrieval(spark, SF))
+    # top-10 via per-partition heaps, never a global row_number window
+    assert "TakeOrderedAndProject" in plan
+    # query terms and corpus constants ride broadcasts
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pairs_only_within_clusters(spark):
+    from sensor_data_pipeline_spark.plans.curation import q226_semdedup
+
+    plan = plan_of(q226_semdedup(spark, SF))
+    # the only nested-loop is against broadcast (centroids / k scalar);
+    # the pair join itself is hash-keyed on the cluster id
+    assert "CartesianProduct" not in plan
+    # argmin is a partial-aggregable min(struct), not a per-vector window
+    assert "partial_min" in plan
+
+
+def test_span_dedup_no_global_window(spark):
+    from sensor_data_pipeline_spark.plans.curation import q236_span_dedup_audit
+
+    plan = plan_of(q236_span_dedup_audit(spark, SF))
+    # island windows are keyed by document — no unpartitioned window
+    # (every Window node's partition spec must be non-empty)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "doc_id" in line, line
+    assert "CartesianProduct" not in plan
+
+
+def test_equidepth_uses_distributed_scan_not_global_window(spark):
+    from sensor_data_pipeline_spark.plans.curation import q235_equidepth_histogram
+
+    plan = plan_of(q235_equidepth_histogram(spark, SF))
+    # the rank comes from the two-pass prefix scan: range exchange +
+    # pid-keyed window + broadcast offsets join
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cdc_deletes_partial_aggregable(spark):
+    from sensor_data_pipeline_spark.plans.curation import q253_cdc_changelog_deletes
+
+    plan = plan_of(q253_cdc_changelog_deletes(spark, SF))
+    # last-writer-wins via max(struct): map-side combine, no window
+    assert "partial_max" in plan
+    assert "window" not in plan.lower()
