@@ -701,3 +701,73 @@ def q233_stream_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain(token_bucket_stream(readings), "q233_mem")
     return out.select("event_id", "k", "tokens_after", "allowed").orderBy("event_id")
+
+
+@register(
+    "q259_stream_learned_fences",
+    category="streaming",
+    # The oracle replays both halves relationally: fences from the
+    # batch table, flags from joining every event against its key's
+    # fence — which is exactly what the stream computes, since the
+    # single-file source drains the same rows the batch scan reads.
+    oracle="""
+WITH cents AS (
+  SELECT user_id, event_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+med AS (SELECT user_id, quantile_cont(cents, 0.5) AS med FROM cents GROUP BY user_id),
+mad AS (
+  SELECT c.user_id, quantile_cont(abs(CAST(c.cents AS DOUBLE) - m.med), 0.5) AS mad
+  FROM cents c JOIN med m USING (user_id) GROUP BY c.user_id
+)
+SELECT c.event_id, c.user_id, c.cents,
+       abs(CAST(c.cents AS DOUBLE) - m.med) > CAST(3 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * d.mad
+         AS is_anomaly
+FROM cents c
+JOIN med m USING (user_id)
+JOIN mad d USING (user_id)
+ORDER BY c.event_id
+""",
+)
+def q259_stream_learned_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-learned model, streaming inference — THE deployment
+    pattern: q228's median/MAD fences are TRAINED on the batch table
+    (two exact-median aggregations), then every arriving event is
+    scored against its key's broadcast fence in a stream-static join
+    (q70's mechanism carrying a learned artifact instead of a static
+    dimension). At 100 TB the fence table is one row per stream key —
+    broadcast- or at worst shuffle-joinable — and retraining swaps
+    the static side without touching the streaming query, which is
+    why feature stores version fences exactly this way.
+
+    Flag math matches q228 bit-for-bit (exact k/k+.5 medians,
+    identical double products), so the streamed flags hash-equal the
+    fully-relational oracle."""
+    from sensor_data_pipeline_spark.sources.tables import load_table
+
+    cents_batch = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"))
+    )
+    med = cents_batch.groupBy("user_id").agg(F.expr("percentile(cents, 0.5)").alias("med"))
+    mad = (
+        cents_batch.join(med, "user_id")
+        .select("user_id", F.abs(F.col("cents").cast("double") - F.col("med")).alias("adev"))
+        .groupBy("user_id")
+        .agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    )
+    fences = med.join(mad, "user_id")
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", F.round(F.col("value") * 100, 0).cast("bigint").alias("cents")
+    )
+    flagged = stream.join(fences, "user_id").select(
+        "event_id",
+        "user_id",
+        "cents",
+        (
+            F.abs(F.col("cents").cast("double") - F.col("med"))
+            > F.expr("CAST(3 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad")
+        ).alias("is_anomaly"),
+    )
+    out = _drain(flagged, "q259_mem")
+    return out.select("event_id", "user_id", "cents", "is_anomaly").orderBy("event_id")
