@@ -44,22 +44,29 @@ def global_running_sum(
     range partitioning, because each row's prefix sum depends only on
     the set of rows ordered before it, not on where the cuts fall.
 
-    The range-partitioned frame is ``persist()``-ed before the totals
-    pass: the offsets job and the final join job are SEPARATE Spark
-    jobs, and without pinning, the second job re-executes the range
-    exchange — whose boundary SAMPLING may cut differently — so the
-    collected offsets would attach to the wrong partitions (observed
-    as shifted prefix sums under adaptive.enabled=false at sf0.01).
-    The cache holds exactly one pass of the input and is dropped once
-    the caller's action has consumed the join.
+    The range-partitioned frame is materialized with
+    ``localCheckpoint(eager=True)`` before the totals pass: the offsets
+    job and the final join job are SEPARATE Spark jobs, and without
+    pinning, the second job re-executes the range exchange — whose
+    boundary SAMPLING may cut differently — so the collected offsets
+    would attach to the wrong partitions (observed as shifted prefix
+    sums under adaptive.enabled=false at sf0.01). ``localCheckpoint``
+    rather than ``persist()`` for two reasons: (a) it severs lineage,
+    so a lost block can only fail loudly — it can never silently
+    recompute the exchange with re-sampled boundaries and reintroduce
+    the misalignment; (b) its blocks are released by the
+    ContextCleaner as soon as the checkpointed frame is
+    garbage-collected, so repeated calls don't accumulate pinned
+    blocks for the session lifetime the way an unpaired ``persist()``
+    does.
     """
     parts = df.repartitionByRange(*( [num_partitions] if num_partitions else [] ), F.col(order_col))
-    with_pid = parts.withColumn("_pid", F.spark_partition_id()).persist()
+    with_pid = parts.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
     w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = with_pid.withColumn("_local_sum", F.sum(value_col).over(w))
     totals = (
         with_pid.groupBy("_pid").agg(F.sum(value_col).alias("_part_total")).orderBy("_pid").collect()
-    )  # O(numPartitions) rows — a scan-combine, not a data collect; materializes the pin
+    )  # O(numPartitions) rows — a scan-combine, not a data collect; reads the checkpoint
     offsets, acc = [], 0
     for row in totals:
         offsets.append((row["_pid"], acc))

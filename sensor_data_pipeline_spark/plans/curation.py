@@ -234,7 +234,12 @@ def q224_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CollapseProject inlines the upstream split into every lambda
     # reference, turning the bigram build O(len^2) regex splits per
     # doc (the q107 lesson — ~5s of optimizer+exec at sf0.1).
-    w = tokenize(F.trim(F.col("text")))
+    # ONE tokenization for both index structures: postings above and
+    # bigrams here both split the UNTRIMMED text, exactly like the
+    # oracle's regexp_split_to_array(text, ...) — a trim on only one
+    # side would desynchronize positions the moment a document carries
+    # edge whitespace (fixture-independence, round-3 ADVICE).
+    w = tokenize(F.col("text"))
     bg = F.expr("arrays_zip(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1))")
     bigrams = (
         d.select("doc_id", w.alias("w"))
@@ -332,8 +337,8 @@ def q225_lm_fluency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model fluency gate — the KenLM-style quality
     filter of an LLM data pipeline, reduced to exact arithmetic.
 
-    Train: map tokens through a capped vocabulary (top-{vocab} by
-    corpus frequency, deterministic tie-break; everything else
+    Train: map tokens through a capped vocabulary (top-20, _LM_VOCAB,
+    by corpus frequency, deterministic tie-break; everything else
     becomes <unk>), count unigrams and bigrams. The MODEL is
     vocabulary-bounded — at most (V+1)^2 bigram rows regardless of
     corpus size — so it broadcasts. Score: every document's bigrams
@@ -1274,7 +1279,10 @@ def q236_span_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    w = tokenize(F.trim(F.col("text")))
+    # untrimmed, matching the oracle's regexp_split_to_array(text, ...):
+    # one tokenization per query, so token counts/positions can't
+    # desynchronize on edge whitespace (round-3 ADVICE).
+    w = tokenize(F.col("text"))
     zips = ", ".join(f"slice(a, {j + 1}, size(a) - {_SPAN_K - 1})" for j in range(_SPAN_K))
     base = d.select("doc_id", w.alias("a")).select(
         "doc_id", F.size("a").cast("bigint").alias("n_tokens"), F.expr(f"arrays_zip({zips})").alias("z")

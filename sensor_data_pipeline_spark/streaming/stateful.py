@@ -278,19 +278,34 @@ def _token_bucket_group(
         last_es, tokens, init = state.get
     else:
         last_es, tokens, init = 0, BUCKET_CAP, 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["tick_ts", "event_id"])
-        out = []
-        for row in pdf.itertuples(index=False):
-            es = int(row.tick_ts.value // 1_000_000_000)  # ns -> whole seconds
-            if init:
-                tokens = min(BUCKET_CAP, tokens + (es - last_es) // BUCKET_REFILL_SEC)
-            allowed = tokens >= 1
-            if allowed:
-                tokens -= 1
+    # ONE per-group sort over ALL Arrow chunks: applyInPandasWithState
+    # may split a key's micro-batch rows across several chunks with no
+    # cross-chunk ordering guarantee, so per-chunk sorting would
+    # interleave wrongly whenever a later chunk holds earlier rows
+    # (same lesson as stateful_v2.PrevValueDeltaProcessor).
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    rows = (
+        pd.concat(chunks, ignore_index=True).sort_values(["tick_ts", "event_id"])
+        if chunks
+        else pd.DataFrame()
+    )
+    out = []
+    for row in rows.itertuples(index=False):
+        es = int(row.tick_ts.value // 1_000_000_000)  # ns -> whole seconds
+        if init:
+            # clamp the refill delta at 0: an event arriving in a later
+            # micro-batch with EARLIER event time must not make the
+            # delta negative (Python floor division would then DRAIN
+            # tokens); last_es stays monotone for the same reason.
+            tokens = min(BUCKET_CAP, tokens + max(0, es - last_es) // BUCKET_REFILL_SEC)
+            last_es = max(last_es, es)
+        else:
             last_es, init = es, 1
-            out.append((key[0], int(row.event_id), int(tokens), bool(allowed)))
-        yield pd.DataFrame(out, columns=[f.name for f in BUCKET_OUTPUT.fields])
+        allowed = tokens >= 1
+        if allowed:
+            tokens -= 1
+        out.append((key[0], int(row.event_id), int(tokens), bool(allowed)))
+    yield pd.DataFrame(out, columns=[f.name for f in BUCKET_OUTPUT.fields])
     state.update((int(last_es), int(tokens), init))
 
 
