@@ -746,17 +746,20 @@ def q229_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: co-occurrence edges come from the one-shuffle posting-list
     combinator keyed by order (operators/dedup._posting_pairs — never
-    a row-level self-join of lineitem); triangles close with two
-    joins on the id-ordered edge list (a<b<c means each triangle is
-    produced exactly once). The co-occurrence-count floor thins the
-    graph to signal edges, which is also what bounds the join fan-out.
-
-    At 100 TB the refinement is degree-ordered orientation (orient
-    each edge toward the higher-(degree, id) endpoint, making
-    out-degrees O(sqrt(m)) and the wedge join skew-proof); the
-    id-ordering used here is the same plan with a cheaper comparator,
-    correct at any scale, optimal when — as after the strong-edge
-    floor — degree skew is bounded.
+    a row-level self-join of lineitem). Triangles close via
+    DEGREE-ORDERED ORIENTATION (Chiba-Nishizeki / the standard
+    distributed-triangle refinement): every strong edge is oriented
+    from its lower-(degree, id) endpoint toward the higher one, the
+    wedge join pairs two out-edges of the same source with the
+    destinations (deg, id)-ordered, and the closing join probes the
+    oriented edge between the two destinations. Under the total order
+    each triangle {x ≺ y ≺ z} is emitted exactly once (wedge at x,
+    closure y→z), and every node's OUT-degree is O(sqrt(m)) no matter
+    how large its raw degree — a hub of degree d contributes
+    d-choose-2 wedges under naive id-ordering but only
+    out-deg-choose-2 here, which is what makes the wedge join
+    skew-proof at 100 TB. The co-occurrence-count floor additionally
+    thins the graph to signal edges before any join runs.
 
     Reference basis: none (the reference has no graph layer); this is
     part of the warehouse-analytics superset, like q216's PageRank.
@@ -785,14 +788,41 @@ def q229_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= _TRI_MIN_W)
         .select("pa", "pb")
     )
-    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-    e2 = e.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
-    e3 = e.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
-    tri = (
-        e1.join(e2, e1["b"] == e2["b2"])
-        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
-        .select("a", "b", "c")
+    # --- degree-ordered orientation -------------------------------------
+    # degree over the strong-edge graph (each undirected edge counts
+    # once per endpoint), then orient src -> dst toward the
+    # higher-(deg, id) endpoint. dst_deg rides along so the wedge join
+    # can order the two destinations by the SAME total order without a
+    # third lookup.
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
     )
+    ed = (
+        e.join(deg.select(F.col("node").alias("pa"), F.col("deg").alias("dega")), "pa")
+        .join(deg.select(F.col("node").alias("pb"), F.col("deg").alias("degb")), "pb")
+    )
+    pa_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("pa") < F.col("pb"))
+    )
+    o = ed.select(
+        F.when(pa_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(pa_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        F.when(pa_first, F.col("degb")).otherwise(F.col("dega")).alias("dst_deg"),
+    )
+    # wedges: two out-edges of one source, destinations (deg, id)-ordered
+    o1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dst_deg").alias("b_deg"))
+    o2 = o.select(F.col("src").alias("a2"), F.col("dst").alias("c"), F.col("dst_deg").alias("c_deg"))
+    wedges = o1.join(
+        o2,
+        (o1["a"] == o2["a2"])
+        & ((o1["b_deg"] < o2["c_deg"]) | ((o1["b_deg"] == o2["c_deg"]) & (o1["b"] < o2["c"]))),
+    ).select("a", "b", "c")
+    # closure: the oriented edge b -> c must exist (b ≺ c by construction)
+    closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
     total = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles_total"))
     pernode = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))

@@ -552,3 +552,21 @@ def test_cdc_deletes_partial_aggregable(spark):
     # last-writer-wins via max(struct): map-side combine, no window
     assert "partial_max" in plan
     assert "window" not in plan.lower()
+
+
+def test_triangle_wedge_join_degree_oriented(spark):
+    from sensor_data_pipeline_spark.plans.curation import q229_triangle_count
+
+    plan = plan_of(q229_triangle_count(spark, SF))
+    # wedge join pairs out-edges by source with destinations ordered by
+    # the (deg, id) total order — the degree columns must appear in the
+    # join condition, proving orientation survived optimization
+    assert "b_deg" in plan and "c_deg" in plan, plan[:2000]
+    # the wedge join itself must be hash-keyed on the shared source
+    # with the degree ordering as a post-condition, never a cross join
+    assert re.search(r"Join \[a#\d+L?\], \[a2#\d+L?\], Inner, .*b_deg", plan), plan[:2000]
+    # no unoriented all-pairs expansion anywhere in the closure (the
+    # single BroadcastNestedLoopJoin is the 1-row n_triangles_total
+    # broadcast cross — a k-row panel, not a data-sized side)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
