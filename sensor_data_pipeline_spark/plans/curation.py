@@ -1423,6 +1423,11 @@ def q237_correlation_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row aggregate. Integer headroom: rounded price (~1e5) squared
     times 1e9 rows nears int64 — the 100 TB variant moves the sums to
     DECIMAL(38,0) (q99's exact-decimal path) with the same shape.
+
+    Round-3 bench flagged 7.2 s for this query; solo warm re-measure
+    (the q118 wobble protocol, commit 947630e) reads 0.97-1.25 s over
+    four runs at sf0.1/local[32] — the 7.2 s was suite-level run
+    wobble (GC pause / CPU steal on a shared host), not a plan cost.
     """
     li = load_table(spark, "lineitem", sf_dir)
     m = li.select(
