@@ -120,3 +120,59 @@ def test_survey_readme_counts_in_sync():
     from tools.sync_counts import sync
 
     assert sync(check=True) == 0
+
+
+def _window_order_epoch_violations(sql: str) -> list[str]:
+    """The q164 bug class, generalized: DuckDB's epoch(ts) keeps
+    FRACTIONAL seconds while Spark's unix_timestamp() truncates to
+    whole seconds, so any window ORDER BY / RANGE frame keyed on a
+    bare epoch() silently depends on the fixture having no sub-second
+    timestamps — peers fall in or out of the frame differently the
+    moment one does. Every epoch( inside a window's ORDER BY (and
+    therefore any RANGE frame over it) must be wrapped floor(epoch(.
+
+    Returns the offending ORDER BY snippets (empty = clean)."""
+    bad: list[str] = []
+    for m in re.finditer(r"\bOVER\s*\(", sql, re.I):
+        # balanced-paren scan for the window body
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            depth += {"(": 1, ")": -1}.get(sql[i], 0)
+            i += 1
+        body = sql[m.end() : i - 1]
+        ob = re.search(r"\bORDER\s+BY\b(.*?)(?:\bROWS\b|\bRANGE\b|$)", body, re.I | re.S)
+        if not ob:
+            continue
+        keys = ob.group(1)
+        for e in re.finditer(r"epoch\s*\(", keys, re.I):
+            prefix = keys[: e.start()].rstrip()
+            if not prefix.lower().endswith("floor("):
+                bad.append(keys.strip()[:120])
+    return bad
+
+
+def test_no_fractional_epoch_in_window_order_keys():
+    """Round-3 ADVICE bug class: fractional epoch() as a window order
+    key / RANGE frame basis diverges from Spark's whole-second
+    unix_timestamp on any fixture with sub-second timestamps."""
+    offenders = {
+        name: v
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None
+        and (v := _window_order_epoch_violations(spec.oracle))
+    }
+    assert not offenders, f"fractional epoch() in window ORDER BY: {offenders}"
+
+
+def test_fractional_epoch_guard_catches_seeded_mutant():
+    """The checker must actually fire: q164's pre-fix oracle shape
+    (bare epoch(ts) ordering a RANGE frame) is the seeded mutant."""
+    mutant = """
+    SELECT user_id,
+           median(v) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                           RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS med
+    FROM events
+    """
+    assert _window_order_epoch_violations(mutant)
+    fixed = mutant.replace("epoch(ts)", "CAST(floor(epoch(ts)) AS BIGINT)")
+    assert not _window_order_epoch_violations(fixed)
