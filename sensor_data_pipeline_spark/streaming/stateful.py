@@ -319,3 +319,60 @@ def token_bucket_stream(readings: DataFrame, timeout: str = "NoTimeout") -> Data
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# prev-value delta (A1) — the applyInPandasWithState twin of
+# stateful_v2.PrevValueDeltaProcessor, used as the E3 fallback engine
+# when transformWithStateInPandas' protobuf wire dependency is absent
+# ---------------------------------------------------------------------------
+
+DELTA_OUTPUT = StructType(
+    [
+        StructField("k", StringType()),
+        StructField("tick_ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("delta", DoubleType()),
+    ]
+)
+
+DELTA_STATE = StructType([StructField("prev", DoubleType())])
+
+
+def _delta_group(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key previous-value memory: each row's delta from the
+    immediately preceding row of the same key (null for the key's
+    first row ever), across micro-batch boundaries. Identical
+    semantics (including chunk handling and sort) to
+    stateful_v2.PrevValueDeltaProcessor — the two arbitrary-stateful
+    API generations must be interchangeable engines for A1."""
+    prev = state.get[0] if state.exists else None
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    out = (
+        pd.concat(chunks, ignore_index=True)
+        .sort_values("tick_ts", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    deltas = out["value"].diff()
+    if prev is not None:
+        deltas.iloc[0] = out["value"].iloc[0] - prev
+    out["delta"] = deltas
+    out["k"] = key[0]
+    state.update((float(out["value"].iloc[-1]),))
+    yield out[["k", "tick_ts", "value", "delta"]]
+
+
+def delta_stream_v1(readings: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Streaming per-key delta over (k, tick_ts, value) rows via
+    applyInPandasWithState (the Spark 3 stateful API)."""
+    return readings.groupBy("k").applyInPandasWithState(
+        _delta_group,
+        outputStructType=DELTA_OUTPUT,
+        stateStructType=DELTA_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

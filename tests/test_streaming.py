@@ -774,3 +774,69 @@ def test_mqtt_publisher_wiring_via_loopback(spark, stream_dir, tmp_path):
         assert connects[0]["tls"] is True and connects[0]["port"] == 8883
         if "publish" in kinds:
             assert kinds.index("loop_start") < kinds.index("publish"), kinds
+
+
+@pytest.mark.broker
+def test_mqtt_publisher_against_real_broker(spark, stream_dir):
+    """The REAL paho-mqtt path of MqttPublisher (K1), end-to-end against
+    a live local broker: a paho subscriber listens on a unique topic,
+    the foreach sink publishes through the default (non-injected)
+    client factory, and the subscriber must observe every payload.
+
+    Runs green wherever `mosquitto` (or any MQTT broker) listens on
+    127.0.0.1:1883 and paho-mqtt is installed; skips cleanly in
+    environments without either — this container has neither (no
+    network for pip, no broker), so here it exercises only the skip
+    path. Reference semantic covered: src/modules/dd/producer.c:152-161
+    (publish over a real client) — the loopback twin above pins the
+    wiring; this pins the live-broker behavior."""
+    import threading
+    import time as _time
+
+    mqtt = pytest.importorskip(
+        "paho.mqtt.client", reason="paho-mqtt not installed (no-network container)"
+    )
+    import socket
+
+    try:
+        socket.create_connection(("127.0.0.1", 1883), timeout=1).close()
+    except OSError:
+        pytest.skip("no MQTT broker listening on 127.0.0.1:1883")
+
+    from sensor_data_pipeline_spark.streaming.sinks import MqttPublisher, publish_stream
+
+    topic = f"tele/sdp-test/{int(_time.time() * 1000)}"
+    got: list[tuple[str, str]] = []
+    done = threading.Event()
+
+    def make_client():
+        try:  # paho 2.x requires an explicit callback API version
+            return mqtt.Client(mqtt.CallbackAPIVersion.VERSION2)
+        except AttributeError:  # paho 1.x
+            return mqtt.Client()
+
+    sub = make_client()
+    sub.on_message = lambda _c, _u, msg: (
+        got.append((msg.topic, msg.payload.decode())),
+        done.set() if len(got) >= 2 else None,
+    )
+    sub.connect("127.0.0.1", 1883, 60)
+    sub.subscribe(topic + "/#", qos=1)
+    sub.loop_start()
+    try:
+        msgs = spark.createDataFrame(
+            [(topic + "/SENSOR", 1, '{"t":21.5}'), (topic + "/STATE", 1, '{"rh":60.0}')],
+            MQTT_MESSAGE,
+        )
+        pub = MqttPublisher("127.0.0.1", port=1883, client_factory=make_client)
+        q = publish_stream(stream_dir(msgs, MQTT_MESSAGE), pub, trigger_once=True)
+        q.awaitTermination(120)
+        q.stop()
+        assert done.wait(timeout=15), f"subscriber saw only {got}"
+        assert {(t, p) for t, p in got} == {
+            (topic + "/SENSOR", '{"t":21.5}'),
+            (topic + "/STATE", '{"rh":60.0}'),
+        }
+    finally:
+        sub.loop_stop()
+        sub.disconnect()
