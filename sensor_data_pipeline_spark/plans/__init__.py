@@ -25,74 +25,71 @@ from sensor_data_pipeline_spark.plans import curation  # noqa: F401,E402
 # representatives each — rather than whatever import order produced.
 # Everything else follows in original registration order.
 _DRIVER_WINDOW = [
-    # ROUND-3 ROTATION: the driver checks 50 queries per round, so the
-    # window rotates to maximize cumulative coverage. 46/50 (92%) were
-    # never driver-checked in rounds 1-2; the 4 previously-green slots
-    # are queries whose code/oracle CHANGED this round (q114 oracle
-    # type fix; q54/q62/q68 rows-only→hash upgrades). Six slots carry
-    # this session's new operators (q223/q226/q229/q232/q233/q235 —
-    # the last also proves the prefix-scan persist() fix).
-    # --- changed this round (previously checked) ---
-    "q114_custom_source",  # r2's one red row — proves the oracle type fix
-    "q54_audio_features",  # multimodal canary + new byte-stats oracle
-    "q62_approx_aggs",  # aggregation + new sketch self-audit oracle
-    "q68_stream_sessionize",  # streaming + new state-machine oracle
-    # --- declared late this round, never checked ---
-    "q200_stream_recursive_ewma",  # stateful (keyed streaming state)
-    "q174_filter_funnel",  # quality-gate attribution
-    "q208_pipeline_end_to_end",  # the composed training-data pipeline
+    # ROUND-4 ROTATION: 46/50 (92%) never driver-checked in rounds 1-3,
+    # prioritizing the newest, least-verified work (q236-q260 curation/
+    # streaming additions, q213-q222 layout/multimodal/iterative,
+    # q196-q198/q205-q206-adjacent scale ops). The 4 previously-green
+    # slots are canaries for code that CHANGED this round: q229
+    # (degree-ordered wedge join), q233 (chunk-concat + refill clamp),
+    # q235 (prefix-scan localCheckpoint pin), and q114 as the source-
+    # family canary. Cumulative driver-verified target: >=171/252.
+    # --- changed this round (previously checked — canaries) ---
+    "q229_triangle_count",  # degree-ordered orientation landed r4
+    "q233_stream_token_bucket",  # cross-chunk sort + refill clamp r4
+    "q235_equidepth_histogram",  # prefix scan now localCheckpoint-pinned
+    "q114_custom_source",  # source-family canary (r2 red -> r3 green)
     # --- changed this round (never checked) ---
-    "q151_http_poll_source",
-    "q73_subtokens_map_lookup",
-    "q100_gap_fill",
-    "q144_latency_priority_matrix",
-    "q111_sql_text_interface",
-    "q161_orc_roundtrip",
-    "q164_rolling_median",
-    "q183_stream_observe_audit",
-    "q191_banded_dedup_clusters",
-    # --- never checked: streaming ---
-    "q162_stream_left_outer",
-    "q170_stream_session_window",
-    "q229_triangle_count",  # graph analytics, declared this round
-    "q112_sliding_window",  # 'time' family representative
-    # --- never checked: storage / sources ---
-    "q71_partition_pruning",
-    "q72_bucketed_join",
-    "q173_corrupt_file_skip",
-    # --- never checked: similarity ---
-    "q232_tfidf_cosine_pairs",  # sparse lexical cosine, declared this round
-    "q211_pq_ann_recall",  # product-quantization ANN, declared this round
-    "q150_neardup_lsh_recall",
-    # --- never checked: dedup / sketches ---
-    "q110_cluster_representatives",
-    "q152_incremental_dedup",
-    "q175_cdc_chunk_dedup",
-    "q168_countmin_calibration",
-    "q176_kmv_sketch_merge",
-    # --- never checked: text / corpus / sampling ---
-    "q107_repetition_gate",
-    "q109_cohort_retention",
-    "q226_semdedup",  # semantic dedup, declared this round
-    "q158_sequence_packing",
-    "q163_pii_redaction",
-    "q153_leakage_free_split",
-    # --- never checked: json / time / cdc ---
-    "q95_variant_json",
-    "q223_bm25_retrieval",  # ranked retrieval, declared this round
-    "q235_equidepth_histogram",  # equi-depth via prefix scan — proves the persist() fix
-    "q166_cdc_compaction",
-    # --- never checked: window / aggregation ---
-    "q233_stream_token_bucket",  # keyed admission control, declared this round
-    "q76_range_frame_window",
-    "q204_polymorphic_udtf",  # udf family, declared this round
-    # --- never checked: joins / udf / functions ---
-    "q192_heavy_hitters_mg",  # MG sketch, declared this round
-    "q56_salted_join",
-    "q199_custom_stream_drain",  # S1 streaming source, declared this round
-    "q181_interval_overlap_join",
-    "q203_recursive_cte_rollup",  # Spark 4 WITH RECURSIVE, declared this round
-    "q207_stream_cdc_apply",  # streaming CDC MERGE, declared this round
+    "q224_phrase_search",  # one-tokenization fix r4
+    "q236_span_dedup_audit",  # one-tokenization fix r4
+    "q225_lm_fluency_gate",
+    # --- declared this round ---
+    "q260_stream_tws_delta",  # transformWithStateInPandas w/ E3 fallback
+    # --- never checked: newest curation/streaming (q237-q259) ---
+    "q237_correlation_moments",
+    "q238_ann_eval_metrics",
+    "q239_mixture_allocation",
+    "q240_conjunctive_search",
+    "q241_join_cardinality_estimate",
+    "q242_sql_pipe_syntax",
+    "q243_disorder_profile",
+    "q244_k_anonymity_audit",
+    "q245_rank_normalize",
+    "q246_ols_moments_by_key",
+    "q247_transition_matrix",
+    "q248_frequency_drift",
+    "q249_vocab_growth",
+    "q250_referential_integrity",
+    "q251_refpoint_pruned_search",
+    "q252_incremental_topk",
+    "q253_cdc_changelog_deletes",
+    "q254_bitmap_distinct",
+    "q255_peak_downsample",
+    "q256_hysteresis_alarm",
+    "q257_ks_distribution_drift",
+    "q258_pit_feature_audit",
+    "q259_stream_learned_fences",
+    # --- never checked: quality gates / sampling (q227-q234) ---
+    "q227_negative_sampling",
+    "q228_mad_anomaly_gate",
+    "q230_simpson_diversity_gate",
+    "q231_gopher_rules_gate",
+    "q234_domain_quota_sample",
+    # --- never checked: layout / multimodal / iterative (q213-q222) ---
+    "q213_zorder_layout",
+    "q214_bloom_semijoin",
+    "q215_media_phash_neardup",
+    "q216_pagerank_integer",
+    "q217_kmeans_quantized",
+    "q218_multimodal_manifest",
+    "q219_video_scene_segments",
+    "q220_retrieve_rerank",
+    "q221_bpe_merge_learning",
+    "q222_ts_subsequence_search",
+    # --- never checked: scale ops / family representatives ---
+    "q197_containment_pairs",
+    "q195_ewma_smoothing",  # window family
+    "q212_wire_key_census",  # json family
+    "q122_arrow_python_udf",  # udf family
 ]
 
 
