@@ -412,16 +412,36 @@ _DOT = "CAST(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i
     oracle=f"""
 WITH qz AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
 k AS (SELECT greatest({_SEM_K}, count(*) // {_SEM_DOCS_PER_CLUSTER}) AS k FROM qz),
-cent AS (SELECT vec_id AS cid, qv AS cv FROM qz CROSS JOIN k WHERE vec_id < k.k),
-dist AS (
-  SELECT q.vec_id, c.cid,
-         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
-              i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS d2
-  FROM qz q CROSS JOIN cent c
+cdef AS (SELECT k, greatest(1, CAST(floor(sqrt(k)) AS BIGINT)) AS c FROM k),
+cent AS (SELECT vec_id AS cid, qv AS cv FROM qz CROSS JOIN cdef WHERE vec_id < cdef.k),
+coarse AS (SELECT vec_id AS gid, qv AS gv FROM qz CROSS JOIN cdef WHERE vec_id < cdef.c),
+centcell AS (
+  SELECT cid, gid, cv
+  FROM (SELECT t.cid, g.gid, t.cv,
+               row_number() OVER (PARTITION BY t.cid ORDER BY
+                 CAST(list_sum(list_transform(range(1, len(t.cv) + 1),
+                      i -> (t.cv[i] - g.gv[i]) * (t.cv[i] - g.gv[i]))) AS BIGINT), g.gid) AS rnk
+        FROM cent t CROSS JOIN coarse g)
+  WHERE rnk = 1
+),
+cells_used AS (SELECT g.gid, g.gv FROM coarse g WHERE g.gid IN (SELECT DISTINCT gid FROM centcell)),
+veccell AS (
+  SELECT vec_id, gid
+  FROM (SELECT q.vec_id, g.gid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                      i -> (q.qv[i] - g.gv[i]) * (q.qv[i] - g.gv[i]))) AS BIGINT), g.gid) AS rnk
+        FROM qz q CROSS JOIN cells_used g)
+  WHERE rnk = 1
 ),
 assign AS (
   SELECT vec_id, cid
-  FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rnk FROM dist)
+  FROM (SELECT q.vec_id, t.cid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                      i -> (q.qv[i] - t.cv[i]) * (q.qv[i] - t.cv[i]))) AS BIGINT), t.cid) AS rnk
+        FROM qz q JOIN veccell v ON v.vec_id = q.vec_id
+        JOIN centcell t ON t.gid = v.gid)
   WHERE rnk = 1
 ),
 norms AS (
@@ -456,10 +476,22 @@ def q226_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale, because the quadratic term is bounded by cluster
     size, not corpus size.
 
-    Assignment: k broadcast centroids (deterministic init: the first
-    k quantized vectors — q217's trained centroids would slot in),
-    integer squared-L2 argmin via min(struct(d2, cid)) — a partially
-    aggregable reduce (map-side combine), NOT a per-vector window.
+    Assignment is TWO-LEVEL (the IVF coarse-quantizer trick): the
+    first c = floor(sqrt(k)) centroids act as coarse cells; every
+    fine centroid binds to its nearest coarse cell once (k*c integer
+    ops, broadcast x broadcast), then each vector finds its coarse
+    cell (N*c) and takes the squared-L2 argmin ONLY over that cell's
+    ~sqrt(k) fine centroids (N*sqrt(k)). Every argmin is
+    min(struct(d2, id)) — partially aggregable, map-side combined,
+    deterministic tie-break on id — so total assignment work is
+    O(N*sqrt(k)) = O(N^1.5/sqrt(64)). The first cut of this query
+    assigned against ALL k broadcast centroids, which with k = N/64
+    is O(N^2/64) — invisible at sf0.1, caught as a 16.8x ratio by
+    the 10x scale stress (BENCH_SF1.json round 4), and exactly the
+    class of bug that suite exists to catch. Vectors probe only
+    cells that own >= 1 centroid, so no row can land in an empty
+    cell regardless of duplicate-vector degeneracy in the data.
+
     k tracks the corpus (max(8, N/64)) so mean cluster size — and
     with it the quadratic within-cluster pair term — stays constant
     as the corpus grows: the within-cluster self-join emits ~N*64/2
@@ -467,11 +499,9 @@ def q226_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1e4*dot^2 >= thr*|a|^2*|b|^2, dot>0) avoids sqrt entirely; of
     any near-dup pair the lower vec_id is kept.
 
-    At 100 TB: centroids stay a broadcast (N/64 rows of 64 ints is
-    ~1 GB per billion docs — at that point init switches to a sampled
-    subset, same plan); the pair join keys on cluster id so each task
-    handles one cluster's block; oversized clusters get the q41 skew
-    cap.
+    At 100 TB: the cell->centroid map stays a broadcast (k rows);
+    the pair join keys on cluster id so each task handles one
+    cluster's block; oversized clusters get the q41 skew cap.
     """
     emb = load_table(spark, "embeddings", sf_dir)
     qz = emb.select(
@@ -480,20 +510,49 @@ def q226_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kval = qz.agg(
         F.greatest(F.lit(_SEM_K).cast("bigint"), F.floor(F.count(F.lit(1)) / _SEM_DOCS_PER_CLUSTER)).alias("k")
-    )
+    ).select("k", F.greatest(F.lit(1), F.floor(F.sqrt("k"))).cast("bigint").alias("c"))
     cent = (
         qz.crossJoin(F.broadcast(kval))
         .filter(F.col("vec_id") < F.col("k"))
         .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
     )
-    d2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    coarse = (
+        qz.crossJoin(F.broadcast(kval))
+        .filter(F.col("vec_id") < F.col("c"))
+        .select(F.col("vec_id").alias("gid"), F.col("qv").alias("gv"))
     )
+
+    def _d2(x: str, y: str):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    # fine centroid -> coarse cell (k x c, both broadcast-sized)
+    centcell = (
+        cent.crossJoin(F.broadcast(coarse))
+        .select("cid", "gid", "cv", _d2("cv", "gv").alias("d2"))
+        .groupBy("cid")
+        .agg(F.min(F.struct("d2", "gid", "cv")).alias("m"))
+        .select("cid", F.col("m.gid").alias("gid"), F.col("m.cv").alias("cv"))
+    )
+    # only cells that own centroids are probe targets (no empty-cell
+    # strandings under duplicate-vector degeneracy)
+    cells_used = coarse.join(centcell.select("gid").distinct(), "gid")
+    # vector -> coarse cell (N x c)
+    veccell = (
+        qz.crossJoin(F.broadcast(cells_used))
+        .select("vec_id", "gid", _d2("qv", "gv").alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "gid")).alias("m"))
+        .select("vec_id", F.col("m.gid").alias("gid"))
+    )
+    # vector -> fine centroid within its cell (N x ~sqrt(k))
     assign = (
-        qz.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", d2.alias("d2"))
+        qz.join(veccell, "vec_id")
+        .join(F.broadcast(centcell), "gid")
+        .select("vec_id", "cid", _d2("qv", "cv").alias("d2"))
         .groupBy("vec_id")
         .agg(F.min(F.struct("d2", "cid")).alias("m"))
         .select("vec_id", F.col("m.cid").alias("cid"))
@@ -1392,13 +1451,13 @@ SELECT t.col_x, t.col_y, a.n,
          WHEN 'qty|price' THEN a.s_qty_price WHEN 'qty|disc' THEN a.s_qty_disc
          WHEN 'qty|tax' THEN a.s_qty_tax WHEN 'price|disc' THEN a.s_price_disc
          WHEN 'price|tax' THEN a.s_price_tax ELSE a.s_disc_tax END AS sum_xy,
-       a.n * (CASE t.col_x || '|' || t.col_y
+       CAST(CAST(a.n AS HUGEINT) * (CASE t.col_x || '|' || t.col_y
          WHEN 'qty|price' THEN a.s_qty_price WHEN 'qty|disc' THEN a.s_qty_disc
          WHEN 'qty|tax' THEN a.s_qty_tax WHEN 'price|disc' THEN a.s_price_disc
          WHEN 'price|tax' THEN a.s_price_tax ELSE a.s_disc_tax END)
-       - (CASE t.col_x WHEN 'qty' THEN a.s_qty WHEN 'price' THEN a.s_price WHEN 'disc' THEN a.s_disc ELSE a.s_tax END)
+       - CAST(CASE t.col_x WHEN 'qty' THEN a.s_qty WHEN 'price' THEN a.s_price WHEN 'disc' THEN a.s_disc ELSE a.s_tax END AS HUGEINT)
          * (CASE t.col_y WHEN 'price' THEN a.s_price WHEN 'disc' THEN a.s_disc ELSE a.s_tax END)
-         AS cov_num
+         AS DECIMAL(38,0)) AS cov_num
 FROM (VALUES ('qty','price'),('qty','disc'),('qty','tax'),
              ('price','disc'),('price','tax'),('disc','tax')) AS t(col_x, col_y)
 CROSS JOIN agg a
@@ -1463,6 +1522,12 @@ def q237_correlation_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             for a, b in pairs
         ]
     )
+    # cov_num = n*sum_xy - sum_x*sum_y exceeds int64 one decade above
+    # sf0.1 (6M rows: n*sum_xy ~ 2e20 — caught by the 10x stress run,
+    # BENCH_SF1.json), so the product runs in DECIMAL(38,0) on BOTH
+    # engines (oracle: HUGEINT then CAST) — the q99 exact-decimal path
+    # the docstring names. The raw moments stay BIGINT.
+    dec = "decimal(38,0)"
     return long.select(
         F.col("p.col_x").alias("col_x"),
         F.col("p.col_y").alias("col_y"),
@@ -1470,7 +1535,10 @@ def q237_correlation_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_of("col_x").alias("sum_x"),
         sum_of("col_y").alias("sum_y"),
         sum_xy.alias("sum_xy"),
-        (F.col("n") * sum_xy - sum_of("col_x") * sum_of("col_y")).alias("cov_num"),
+        (
+            F.col("n").cast(dec) * sum_xy.cast(dec)
+            - sum_of("col_x").cast(dec) * sum_of("col_y").cast(dec)
+        ).cast(dec).alias("cov_num"),
     ).orderBy("col_x", "col_y")
 
 

@@ -100,6 +100,11 @@ def test_no_hugeint_leaks_in_oracle_schemas():
 
     from tools.compare_oracle import duck_conn
 
+    # intentional symmetric decimal-exact outputs: BOTH engines emit
+    # DECIMAL(38,0) (Spark .cast + oracle CAST), so there is no
+    # int64-vs-decimal asymmetry to mismatch on. q237.cov_num exceeds
+    # int64 a decade above sf0.1 (BENCH_SF1 finding).
+    symmetric_decimal = {("q237_correlation_moments", "cov_num")}
     con = duck_conn("/root/testdata/sf0.001")
     leaks = []
     for name, spec in REGISTRY.items():
@@ -107,7 +112,11 @@ def test_no_hugeint_leaks_in_oracle_schemas():
             continue
         schema = con.execute(spec.oracle).arrow().schema
         for f in schema:
-            if pa.types.is_decimal(f.type) and f.type.scale == 0:
+            if (
+                pa.types.is_decimal(f.type)
+                and f.type.scale == 0
+                and (name, f.name) not in symmetric_decimal
+            ):
                 leaks.append((name, f.name, str(f.type)))
     con.close()
     assert not leaks, f"HUGEINT/decimal-scale-0 leaked into oracle output: {leaks}"
