@@ -327,10 +327,14 @@ def test_median_twopass_no_data_sized_sort(spark):
     from sensor_data_pipeline_spark.plans.pipeline_v2 import q178_median_twopass
 
     plan = plan_of(q178_median_twopass(spark, SF))
-    # the only ordered structure is the distinct-value count table
-    # (rangepartitioning from the prefix scan); partial_count proves the
-    # value histogram combines map-side before any exchange
-    assert "rangepartitioning" in plan
+    # the prefix scan's range exchange runs inside the eager
+    # localCheckpoint (round-4: persist() -> localCheckpoint so pinned
+    # blocks are GC-released and can't silently re-sample), so the
+    # downstream plan reads the checkpointed frame — the frozen _pid
+    # column in the ExistingRDD scan IS the evidence the partitioning
+    # happened exactly once; partial_count proves the value histogram
+    # combines map-side before any exchange
+    assert "Scan ExistingRDD" in plan and "_pid" in plan
     assert "partial_count" in plan
 
 
@@ -539,9 +543,10 @@ def test_equidepth_uses_distributed_scan_not_global_window(spark):
     from sensor_data_pipeline_spark.plans.curation import q235_equidepth_histogram
 
     plan = plan_of(q235_equidepth_histogram(spark, SF))
-    # the rank comes from the two-pass prefix scan: range exchange +
-    # pid-keyed window + broadcast offsets join
-    assert "rangepartitioning" in plan.lower()
+    # the rank comes from the two-pass prefix scan: the range exchange
+    # runs inside the eager localCheckpoint (frozen _pid in the
+    # ExistingRDD scan), then pid-keyed window + broadcast offsets join
+    assert "Scan ExistingRDD" in plan and "_pid" in plan
     assert "BroadcastHashJoin" in plan
 
 
