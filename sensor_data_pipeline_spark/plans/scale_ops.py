@@ -26,6 +26,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sensor_data_pipeline_spark.functions.text import tokenize
 from sensor_data_pipeline_spark.plans.registry import register
@@ -773,4 +774,365 @@ def q212_wire_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("v")).cast("bigint").alias("n_distinct_values"),
         )
         .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: runtime-filter joins, time-decay scoring, Pareto
+# skyline, and consistent-hash placement — four operator families a
+# 100 TB curation warehouse leans on that none of q1-q260 covered.
+# ---------------------------------------------------------------------------
+
+# Bloom geometry for q261. The hash schedule is deliberately built from
+# plain integer arithmetic (multiply/mod against fixed primes) instead
+# of xxhash64 so the DuckDB oracle can replay the EXACT same bit
+# positions: candidate sets, false-positive counts — everything — are
+# then hash-checkable, not merely boolean-audited. Double hashing
+# (Kirsch-Mitzenmacher): pos_i = (h1 + i*h2) mod m, i in 0..k-1.
+_BLOOM_M = 8192  # bits
+_BLOOM_K = 5
+_BLOOM_P1 = 2654435761  # Knuth multiplicative constant
+_BLOOM_P2 = 4294967291  # largest prime < 2^32
+
+
+def _bloom_h12(key):
+    """(h1, h2) columns for a positive BIGINT key column; identical
+    arithmetic is inlined in the DuckDB oracle. The key is folded to
+    31 bits before the multiply so the product stays < 2^63 on both
+    engines for any key a 100 TB corpus could mint."""
+    a = ((key % F.lit(2147483648)) * F.lit(_BLOOM_P1)) % F.lit(_BLOOM_P2)
+    h1 = a % F.lit(_BLOOM_M)
+    h2 = (a % F.lit(_BLOOM_M - 1)) + F.lit(1)
+    return h1, h2
+
+
+def _bloom_positions(key):
+    h1, h2 = _bloom_h12(key)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_BLOOM_K - 1)),
+        lambda i: (h1 + i.cast("long") * h2) % F.lit(_BLOOM_M),
+    )
+
+
+@register(
+    "q261_bloom_semijoin",
+    category="join",
+    oracle="""
+WITH keys AS (
+  SELECT c_custkey FROM customer
+  WHERE c_mktsegment = 'BUILDING' AND c_nationkey < 5
+),
+build_pos AS (
+  SELECT DISTINCT ((a % 8192) + i * ((a % 8191) + 1)) % 8192 AS p
+  FROM (SELECT ((c_custkey % 2147483648) * 2654435761) % 4294967291 AS a
+        FROM keys),
+       range(5) r(i)
+),
+probe AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
+         ((a % 8192) + i * ((a % 8191) + 1)) % 8192 AS p
+  FROM (SELECT *, ((o_custkey % 2147483648) * 2654435761) % 4294967291 AS a
+        FROM orders),
+       range(5) r(i)
+),
+cand AS (
+  SELECT o_orderkey, any_value(o_custkey) AS o_custkey,
+         any_value(o_orderpriority) AS o_orderpriority,
+         any_value(o_totalprice) AS o_totalprice
+  FROM probe LEFT JOIN build_pos ON probe.p = build_pos.p
+  GROUP BY o_orderkey
+  HAVING count(*) FILTER (WHERE build_pos.p IS NULL) = 0
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(count(*) FILTER (WHERE k.c_custkey IS NOT NULL) AS BIGINT) AS n_matches,
+       CAST(count(*) FILTER (WHERE k.c_custkey IS NULL) AS BIGINT) AS n_false_positives,
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     FILTER (WHERE k.c_custkey IS NOT NULL), 0) AS BIGINT)
+         AS match_revenue_cents
+FROM cand LEFT JOIN keys k ON cand.o_custkey = k.c_custkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q261_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter semi-join: compress the selective build
+    side (BUILDING-segment customers of 5 nations) into an 8192-bit
+    Bloom bitmap, broadcast the BITMAP (1 KiB — not the keys), prune
+    the probe scan map-side, and only join the survivors; emitted per
+    priority: candidates, true matches, false positives, and exact
+    match revenue. This is the explicit form of Spark's runtime
+    row-level filtering (spark.sql.optimizer.runtime.bloomFilter.*):
+    at 100 TB the probe side never shuffles non-candidates — the 1 KiB
+    bitmap replaces shipping ~all probe rows to the join. The bitmap
+    is 128 longs built with one tiny shuffle (positions -> 64-bit
+    words via bit_or) and carried as a broadcast map<word,mask>; the
+    5 probe tests are pure JVM map lookups. Deterministic integer
+    hashing lets the oracle replay exact candidacy, so even the
+    false-positive COUNT hash-checks. Reference analog: the reference
+    filters per-record with a fixed predicate before publishing
+    (src/modules/dd/producer.c:214-231); this is the distributed
+    equivalent where the predicate itself is a compressed set."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    keys = cust.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_nationkey") < 5)
+    ).select("c_custkey")
+
+    # build: key -> 5 bit positions -> 64-bit words -> one-row map
+    pos = keys.select(F.explode(_bloom_positions(F.col("c_custkey"))).alias("p"))
+    words = pos.groupBy((F.col("p") / 64).cast("int").alias("w")).agg(
+        F.bit_or(F.call_function("shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int"))).alias("mask")
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias("bloom")
+    )
+
+    def _contains(bloom_col, key):
+        tests = F.transform(
+            _bloom_positions(key),
+            lambda p: F.coalesce(
+                bloom_col[(p / 64).cast("int")], F.lit(0).cast("long")
+            ).bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")))
+            != 0,
+        )
+        return F.forall(tests, lambda b: b)
+
+    cand = (
+        orders.join(F.broadcast(bloom))
+        .filter(_contains(F.col("bloom"), F.col("o_custkey")))
+        .drop("bloom")
+    )
+    hit = cand.join(F.broadcast(keys), cand.o_custkey == keys.c_custkey, "left")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.col("c_custkey").isNotNull().cast("bigint")).cast("bigint").alias("n_matches"),
+            F.sum(F.col("c_custkey").isNull().cast("bigint")).cast("bigint").alias("n_false_positives"),
+            F.sum(F.when(F.col("c_custkey").isNotNull(), cents).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("match_revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q262_decayed_engagement",
+    category="aggregation",
+    oracle="""
+WITH m AS (SELECT max(ts) AS t_ref FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value * power(0.5,
+           ((epoch_us(t_ref) - epoch_us(ts)) / 86400000000.0) / 7.0)), 3)
+         AS decayed_score
+FROM events, m
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q262_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score (half-life 7 days,
+    anchored at the corpus max event time): the freshness-weighted
+    counter behind 'recent activity' ranking and decayed heavy
+    hitters. Two scans: a 1-row max(ts) broadcast, then one groupBy
+    whose decay weight is computed per-row from the broadcast anchor —
+    so the score is a plain partial-aggregable sum (map-side combine,
+    one shuffle on user_id); no window, no state. At 100 TB this is
+    the pattern that replaces 'recompute counters nightly': the decayed
+    sum folds any two partial sums correctly because the anchor is
+    fixed before aggregation. Epochs are taken in MICROseconds on both
+    engines (unix_micros vs epoch_us) so sub-second event times cannot
+    desynchronize the weights; the float sum is rounded to 3 dp on
+    both sides per the suite's float-determinism convention.
+    Reference analog: the reference's consumer keeps a last-N running
+    mean with equal weights (src/modules/dd/consumer.cpp:241-268);
+    this is the time-weighted generalization."""
+    ev = load_table(spark, "events", sf_dir)
+    anchor = ev.agg(F.max("ts").alias("t_ref"))
+    em = F.unix_micros(F.col("ts").cast("timestamp"))
+    rm = F.unix_micros(F.col("t_ref").cast("timestamp"))
+    w = F.pow(F.lit(0.5), ((rm - em) / F.lit(86400000000.0)) / F.lit(7.0))
+    return (
+        ev.join(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value") * w), 3).alias("decayed_score"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q263_supplier_skyline",
+    category="analytics",
+    oracle="""
+WITH s AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+           AS revenue_cents,
+         max(date_diff('day', o_orderdate, l_shipdate)) AS worst_lag_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_suppkey
+)
+SELECT s1.l_suppkey, CAST(s1.revenue_cents AS BIGINT) AS revenue_cents,
+       CAST(s1.worst_lag_days AS BIGINT) AS worst_lag_days
+FROM s s1
+WHERE NOT EXISTS (
+  SELECT 1 FROM s s2
+  WHERE s2.revenue_cents >= s1.revenue_cents
+    AND s2.worst_lag_days <= s1.worst_lag_days
+    AND (s2.revenue_cents > s1.revenue_cents
+         OR s2.worst_lag_days < s1.worst_lag_days)
+)
+ORDER BY s1.worst_lag_days, s1.l_suppkey
+""",
+)
+def q263_supplier_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of suppliers: maximize revenue, minimize worst
+    ship lag (days between order date and latest line shipment) —
+    the non-dominated set no single ORDER BY can produce. The oracle
+    is the textbook O(n^2) NOT EXISTS; the Spark plan exploits that a
+    2-D skyline is a monotone frontier: group the supplier aggregate
+    by the BOUNDED lag-day domain (max revenue per lag value — a
+    few hundred rows regardless of corpus size), take a running max
+    over that domain table ordered by lag, and keep the lag values
+    whose best revenue strictly exceeds every smaller lag's best.
+    Suppliers are then recovered with a broadcast join against the
+    frontier points. The only global window runs over the lag DOMAIN
+    (bounded by the calendar, like q245's counting ranks), never the
+    supplier table; the heavy work is the lineitem-orders shuffle
+    join plus one supplier-keyed aggregation, both map-side
+    combinable. Tie semantics match the oracle: identical (revenue,
+    lag) points do not dominate each other, so co-located suppliers
+    all surface."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "bigint"
+    )
+    aggs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.max(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")))
+            .cast("bigint")
+            .alias("worst_lag_days"),
+        )
+    )
+    dom = aggs.groupBy("worst_lag_days").agg(F.max("revenue_cents").alias("best_rev"))
+    w = Window.orderBy("worst_lag_days").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = (
+        dom.withColumn("prev_best", F.max("best_rev").over(w))
+        .filter(F.col("prev_best").isNull() | (F.col("best_rev") > F.col("prev_best")))
+        .select("worst_lag_days", "best_rev")
+    )
+    return (
+        aggs.alias("a")
+        .join(
+            F.broadcast(frontier.alias("f")),
+            (F.col("a.worst_lag_days") == F.col("f.worst_lag_days"))
+            & (F.col("a.revenue_cents") == F.col("f.best_rev")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("l_suppkey"),
+            F.col("a.revenue_cents").alias("revenue_cents"),
+            F.col("a.worst_lag_days").alias("worst_lag_days"),
+        )
+        .orderBy("worst_lag_days", "l_suppkey")
+    )
+
+
+# Rendezvous (HRW) constants for q264: fold the id into a prime field,
+# mix with the Knuth constant, reduce by a large prime. Pure integer
+# arithmetic so both engines compute identical scores.
+_HRW_FOLD = 1000003
+_HRW_MIX = 2654435761
+_HRW_MOD = 999999937
+
+
+def _hrw_scores(doc_id, n_shards: int):
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_shards - 1)),
+        lambda s: (
+            (((doc_id % _HRW_FOLD) * 31 + s.cast("long") * 17 + 7) % _HRW_FOLD)
+            * _HRW_MIX
+        )
+        % _HRW_MOD,
+    )
+
+
+def _duck_hrw(n_shards: int) -> str:
+    ids = ", ".join(str(i) for i in range(n_shards))
+    return (
+        f"list_transform([{ids}], s -> "
+        f"((((doc_id % {_HRW_FOLD}) * 31 + s * 17 + 7) % {_HRW_FOLD})"
+        f" * {_HRW_MIX}) % {_HRW_MOD})"
+    )
+
+
+@register(
+    "q264_rendezvous_shards",
+    category="layout",
+    oracle=f"""
+WITH assign AS (
+  SELECT doc_id,
+         list_indexof(l8, list_aggregate(l8, 'max')) - 1 AS shard8,
+         list_indexof(l9, list_aggregate(l9, 'max')) - 1 AS shard9
+  FROM (SELECT doc_id, {_duck_hrw(8)} AS l8, {_duck_hrw(9)} AS l9
+        FROM documents)
+)
+SELECT CAST(shard8 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE shard9 != shard8) AS BIGINT) AS n_moved_out,
+       count(*) FILTER (WHERE shard9 != shard8)
+         = count(*) FILTER (WHERE shard9 != shard8 AND shard9 = 8)
+         AS moves_only_to_new
+FROM assign
+GROUP BY shard8
+ORDER BY shard
+""",
+)
+def q264_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard placement audit:
+    assign every document to argmax_s h(doc, s) for 8 shards, then
+    re-assign for 9 and measure churn. HRW's minimal-disruption
+    property — growing the cluster moves ONLY documents whose new
+    argmax IS the new shard (~1/9 of the corpus), never between old
+    shards — is emitted per shard as moves_only_to_new (computed,
+    not asserted, on both engines). The assignment is a pure
+    projection (an 8-lane integer hash array + array_position of the
+    max — no shuffle, no lookup table), so at 100 TB placement costs
+    one map pass; the audit's only shuffle is the 8-key groupBy.
+    Deterministic prime-field hashing lets DuckDB replay identical
+    scores, so per-shard counts and churn hash-check exactly. This is
+    the layout primitive behind consistent bucket-store writes (the
+    q161/q169 storage family) when the shard count must evolve
+    without global reshuffles."""
+    docs = load_table(spark, "documents", sf_dir)
+
+    def shard_of(n):
+        arr = _hrw_scores(F.col("doc_id"), n)
+        return F.array_position(arr, F.array_max(arr)) - 1
+
+    assign = docs.select(
+        shard_of(8).alias("shard8"), shard_of(9).alias("shard9")
+    )
+    moved = (F.col("shard9") != F.col("shard8")).cast("bigint")
+    moved_new = ((F.col("shard9") != F.col("shard8")) & (F.col("shard9") == 8)).cast(
+        "bigint"
+    )
+    return (
+        assign.groupBy(F.col("shard8").cast("bigint").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(moved).cast("bigint").alias("n_moved_out"),
+            (F.sum(moved) == F.sum(moved_new)).alias("moves_only_to_new"),
+        )
+        .orderBy("shard")
     )

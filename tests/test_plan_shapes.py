@@ -575,3 +575,55 @@ def test_triangle_wedge_join_degree_oriented(spark):
     # broadcast cross — a k-row panel, not a data-sized side)
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_bloom_semijoin_bitmap_broadcast_and_partial_bitor(spark):
+    from sensor_data_pipeline_spark.plans.scale_ops import q261_bloom_semijoin
+
+    plan = plan_of(q261_bloom_semijoin(spark, SF))
+    # the bitmap combines map-side (partial_bit_or) before its one tiny
+    # exchange, rides an identity broadcast, and the exact match join is
+    # a broadcast hash join — the probe side never shuffles
+    assert "partial_bit_or" in plan
+    assert "IdentityBroadcastMode" in plan or "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # probe-side filter predicate keeps the custkey test inline (the
+    # bloom test is the nested-loop join condition over the 1-row bitmap)
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_decayed_engagement_single_shuffle_partial_sum(spark):
+    from sensor_data_pipeline_spark.plans.scale_ops import q262_decayed_engagement
+
+    plan = plan_of(q262_decayed_engagement(spark, SF))
+    # anchor is a broadcast 1-row aggregate; score is a plain
+    # partial-aggregable sum — exactly one data-sized shuffle (user_id)
+    assert "partial_sum" in plan
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_skyline_window_runs_on_domain_not_suppliers(spark):
+    from sensor_data_pipeline_spark.plans.scale_ops import q263_supplier_skyline
+
+    plan = plan_of(q263_supplier_skyline(spark, SF))
+    # frontier join is broadcast; the single-partition window exchange
+    # feeds only the bounded lag-domain table (post-aggregation), never
+    # supplier rows — assert the window sits above a HashAggregate
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    # lineitem-orders join must be a shuffled hash join with partial agg
+    assert "partial_sum" in plan
+
+
+def test_rendezvous_assignment_is_map_only(spark):
+    from sensor_data_pipeline_spark.plans.scale_ops import q264_rendezvous_shards
+
+    plan = plan_of(q264_rendezvous_shards(spark, SF))
+    # HRW placement is a projection: the ONLY exchange is the 8-key
+    # groupBy for the audit counts (plus the final sort)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
+    assert "Generate" not in plan  # no explode — scores stay in-array
