@@ -1292,3 +1292,73 @@ def q221_bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in bests[1:]:
         out = out.unionAll(b)
     return out.orderBy("step")
+
+
+# q267 sign matrix: entry (i, k) is +1/-1 by the parity of a prime-field
+# hash of the coordinates — deterministic, storage-free, identical on
+# both engines. Embeddings are quantized to integers (q217's 1000x
+# fixed-point) BEFORE projection so every sum is exact integer algebra:
+# no float summation order to reconcile between Spark and DuckDB.
+_RP_OUT_DIMS = 8
+_RP_SCALE = 1000
+
+
+def _rp_sign(i, k):
+    """+1/-1 column from 0-based coordinate columns (Spark Columns)."""
+    h = (((i * 31 + k * 17 + 7) % 1000003) * 2654435761) % 999999937
+    return F.when(h % 2 == 0, F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long"))
+
+
+@register(
+    "q267_random_projection",
+    category="similarity",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, e -> CAST(round(e * 1000, 0) AS BIGINT)) AS qe
+  FROM embeddings
+),
+flat AS (
+  SELECT vec_id, qe, unnest(range(1, 65)) AS pos FROM q
+)
+SELECT vec_id, CAST(k AS INTEGER) AS k,
+       CAST(sum(qe[pos] * CASE WHEN ((((pos - 1) * 31 + k * 17 + 7) % 1000003)
+                                      * 2654435761) % 999999937 % 2 = 0
+                               THEN 1 ELSE -1 END) AS BIGINT) AS proj
+FROM flat, range(8) r(k)
+GROUP BY vec_id, k
+ORDER BY vec_id, k
+""",
+)
+def q267_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-sign random projection (Achlioptas 2001): compress the
+    64-dim embeddings to 8 dims with a +1/-1 matrix derived from a
+    coordinate hash — the storage-free dimensionality reduction that
+    feeds LSH banding and cheap pre-filters before exact cosine (the
+    JL lemma bounds the distortion). The projection is a PURE
+    PROJECTION in both senses: per row, an index-aware transform over
+    the quantized vector folds each output lane with exact integer
+    arithmetic — no shuffle, no broadcast matrix (the 'matrix' is the
+    hash), no Python. posexplode of the 8 lanes is the only Generate
+    and the final sort is the only exchange. At 100 TB this is one
+    map pass; downstream ANN then works on 8 ints instead of 64
+    floats. Integer quantization before projection makes the fold
+    order-independent, so the oracle (positional unnest + the same
+    parity hash) matches hash-for-hash."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qe = F.transform(
+        F.col("embedding"), lambda e: F.round(e * _RP_SCALE, 0).cast("long")
+    )
+    lanes = F.transform(
+        F.sequence(F.lit(0), F.lit(_RP_OUT_DIMS - 1)),
+        lambda k: F.aggregate(
+            F.transform(F.col("qe"), lambda x, i: x * _rp_sign(i, k)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        emb.select("vec_id", qe.alias("qe"))
+        .select("vec_id", F.posexplode(lanes).alias("k", "proj"))
+        .orderBy("vec_id", "k")
+    )

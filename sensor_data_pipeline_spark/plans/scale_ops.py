@@ -1136,3 +1136,120 @@ def q264_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "q268_join_view_maintenance",
+    category="cdc",
+    oracle="""
+WITH a0 AS (SELECT * FROM orders   WHERE o_orderkey % 10 != 0),
+da AS (SELECT * FROM orders   WHERE o_orderkey % 10  = 0),
+b0 AS (SELECT * FROM customer WHERE c_custkey  % 7  != 0),
+db AS (SELECT * FROM customer WHERE c_custkey  % 7   = 0),
+cells AS (
+  SELECT c_nationkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents, 0 AS part
+  FROM a0 JOIN b0 ON o_custkey = c_custkey
+  UNION ALL
+  SELECT c_nationkey, CAST(round(o_totalprice * 100, 0) AS BIGINT), 1
+  FROM da JOIN b0 ON o_custkey = c_custkey
+  UNION ALL
+  SELECT c_nationkey, CAST(round(o_totalprice * 100, 0) AS BIGINT), 2
+  FROM a0 JOIN db ON o_custkey = c_custkey
+  UNION ALL
+  SELECT c_nationkey, CAST(round(o_totalprice * 100, 0) AS BIGINT), 3
+  FROM da JOIN db ON o_custkey = c_custkey
+),
+incr AS (
+  SELECT c_nationkey,
+         CAST(sum(cents) AS BIGINT) AS incr_cents,
+         CAST(sum(cents) FILTER (WHERE part != 0) AS BIGINT) AS delta_cents,
+         CAST(count(*) AS BIGINT) AS incr_rows
+  FROM cells GROUP BY c_nationkey
+),
+full_v AS (
+  SELECT c_nationkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS full_cents,
+         CAST(count(*) AS BIGINT) AS full_rows
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey
+)
+SELECT CAST(i.c_nationkey AS BIGINT) AS nationkey,
+       i.incr_cents, i.delta_cents, i.incr_rows,
+       i.incr_cents = f.full_cents AND i.incr_rows = f.full_rows AS ivm_exact
+FROM incr i JOIN full_v f ON i.c_nationkey = f.c_nationkey
+ORDER BY nationkey
+""",
+)
+def q268_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (the delta-join rule:
+    Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB) — the companion to q194's
+    aggregate IVM. A per-nation revenue view over orders⋈customer is
+    maintained from an old snapshot (A₀⋈B₀, which a real system has
+    materialized) plus the three delta joins, whose cost scales with
+    |Δ| — here orders keyed %10 and customers keyed %7 simulate the
+    day's inserts deterministically. The maintained view is audited
+    bit-for-bit against the full recompute (ivm_exact — computed, not
+    asserted, on both engines), and delta_cents isolates what the
+    incremental pass actually added. At 100 TB this is the difference
+    between joining yesterday's 100 TB again and joining today's
+    0.1 TB delta: every join here hashes on the same custkey, so a
+    co-partitioned (bucketed) layout runs all four joins with zero
+    extra exchanges, and the per-nation sums merge distributively.
+    Reference analog: the reference's consumer updates its running
+    aggregate per tick instead of rescanning history
+    (src/modules/dd/consumer.cpp:241-268)."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    a0 = orders.filter(F.col("o_orderkey") % 10 != 0)
+    da = orders.filter(F.col("o_orderkey") % 10 == 0)
+    b0 = cust.filter(F.col("c_custkey") % 7 != 0)
+    db = cust.filter(F.col("c_custkey") % 7 == 0)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+
+    def cell(a: DataFrame, b: DataFrame, part: int) -> DataFrame:
+        return (
+            a.join(b, a.o_custkey == b.c_custkey)
+            .select(
+                F.col("c_nationkey").alias("nk"),
+                cents.alias("cents"),
+                F.lit(part).alias("part"),
+            )
+        )
+
+    cells = (
+        cell(a0, b0, 0)
+        .unionAll(cell(da, b0, 1))
+        .unionAll(cell(a0, db, 2))
+        .unionAll(cell(da, db, 3))
+    )
+    incr = cells.groupBy("nk").agg(
+        F.sum("cents").cast("bigint").alias("incr_cents"),
+        F.sum(F.when(F.col("part") != 0, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("delta_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("incr_rows"),
+    )
+    full_v = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sum(cents).cast("bigint").alias("full_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("full_rows"),
+        )
+    )
+    return (
+        incr.join(full_v, "nk")
+        .select(
+            F.col("nk").cast("bigint").alias("nationkey"),
+            "incr_cents",
+            "delta_cents",
+            "incr_rows",
+            (
+                (F.col("incr_cents") == F.col("full_cents"))
+                & (F.col("incr_rows") == F.col("full_rows"))
+            ).alias("ivm_exact"),
+        )
+        .orderBy("nationkey")
+    )

@@ -627,3 +627,51 @@ def test_rendezvous_assignment_is_map_only(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan
     assert "Generate" not in plan  # no explode — scores stay in-array
+
+
+def test_funnel_single_keyed_shuffle(spark):
+    from sensor_data_pipeline_spark.plans.behavior import q265_funnel_conversion
+
+    plan = plan_of(q265_funnel_conversion(spark, SF))
+    # per-user fold: ONE data-sized exchange (user_id), the stage
+    # machine runs inside the collect_list aggregate, no global sort
+    # of events
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ObjectHashAggregate" in plan  # collect_list fold
+    assert "CartesianProduct" not in plan
+
+
+def test_cohort_retention_user_keyed_only(spark):
+    from sensor_data_pipeline_spark.plans.behavior import q266_cohort_retention
+
+    plan = plan_of(q266_cohort_retention(spark, SF))
+    # every data-sized exchange hashes on user_id (alone or with week);
+    # the cohort matrix itself is tiny
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        # the only exchange NOT keyed by user_id is the cohort-matrix
+        # one, which partial aggregation bounds to weeks^2 cells
+        assert "user_id" in m.group(1) or "cohort_week" in m.group(1), m.group(0)
+
+
+def test_random_projection_is_map_only(spark):
+    from sensor_data_pipeline_spark.plans.northstar import q267_random_projection
+
+    plan = plan_of(q267_random_projection(spark, SF))
+    # projection is a pure map pass: no hash exchange at all (the only
+    # exchange is the final order's range partitioning)
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Generate" in plan  # the 8-lane posexplode
+
+
+def test_join_ivm_partial_aggs_no_cartesian(spark):
+    from sensor_data_pipeline_spark.plans.scale_ops import q268_join_view_maintenance
+
+    plan = plan_of(q268_join_view_maintenance(spark, SF))
+    # all four delta joins + full recompute combine map-side before
+    # their nation-keyed exchanges; no cartesian anywhere
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
