@@ -1,13 +1,13 @@
 """Behavioral analytics over the event stream: ordered funnels and
-cohort retention — the product-analytics queries a clickstream
-warehouse answers daily, built so the per-user sequential logic never
-becomes a global sort.
+sweep-line concurrency — product-analytics queries built so the
+sequential logic (stage machines, running sweeps) never becomes a
+global sort or a single-partition window.
 
-Both queries follow the suite's scale rules: the only data-sized
-shuffles are keyed by user_id, per-user event sequences are folded
-JVM-side with higher-order functions (bounded by one user's activity,
-like q129's sequence mining), and the final matrices are tiny keyed
-aggregations.
+q265 folds per-user stage machines JVM-side (one user_id-keyed
+shuffle); q266 runs the sweep-line running sum on the distributed
+two-pass scan from operators/prefix.py. (Cohort retention already
+lives at q109; this module holds the behavioral queries that need
+ORDERED logic.)
 
 Reference analog: the reference's consumer derives per-device session
 facts from an ordered reading stream one record at a time
@@ -20,10 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sensor_data_pipeline_spark.operators.prefix import global_running_sum
 from sensor_data_pipeline_spark.plans.registry import register
 from sensor_data_pipeline_spark.sources.tables import load_table
 
-_WEEK_US = 7 * 86400 * 1000000  # one week in microseconds
+_SESSION_US = 1800 * 1000000  # 30-minute session interval
 
 
 @register(
@@ -158,60 +159,57 @@ def q265_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q266_cohort_retention",
+    "q266_peak_concurrency",
     category="analytics",
     oracle="""
-WITH weeks AS (
-  SELECT user_id,
-         epoch_us(ts) // 604800000000 AS week,
-         count(*) AS n
-  FROM events
-  GROUP BY user_id, week
+WITH b AS (
+  SELECT epoch_us(ts) * 2 + 1 AS k, 1 AS delta FROM events
+  UNION ALL
+  SELECT (epoch_us(ts) + 1800000000) * 2 AS k, -1 AS delta FROM events
 ),
-cohorts AS (
-  SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id
-)
-SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
-       CAST(w.week - c.cohort_week AS BIGINT) AS week_offset,
-       CAST(count(*) AS BIGINT) AS n_active_users,
-       CAST(sum(w.n) AS BIGINT) AS n_events
-FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
-GROUP BY c.cohort_week, w.week
-ORDER BY cohort_week, week_offset
+g AS (SELECT k, sum(delta) AS d FROM b GROUP BY k),
+r AS (SELECT k, sum(d) OVER (ORDER BY k) AS occ FROM g),
+m AS (SELECT max(occ) AS peak FROM r)
+SELECT CAST(m.peak AS BIGINT) AS peak_concurrency,
+       CAST((SELECT min(k) FROM r WHERE occ = m.peak) // 2 AS BIGINT)
+         AS first_peak_epoch_us,
+       CAST((SELECT count(*) FROM g) AS BIGINT) AS n_boundaries
+FROM m
 """,
 )
-def q266_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix: users are cohorted by their first
-    active epoch-week; each (cohort_week, week_offset) cell counts the
-    cohort's users still active that many weeks later — THE
-    engagement-decay table behind every retention curve. The plan is
-    two keyed aggregations and one user-keyed join: distinct
-    (user, week) pairs (first shuffle, map-side combinable via
-    partial aggregation), per-user min-week (reuses the same keyed
-    data), then a cohort-by-offset count whose result is bounded by
-    weeks², not users. Epoch-weeks come from integer microsecond
-    division on both engines, so cohort boundaries cannot drift
-    between Spark and DuckDB the way timezone-sensitive date_trunc
-    could. At 100 TB the only data-sized exchanges hash on user_id;
-    the matrix itself is a few hundred rows regardless of corpus."""
+def q266_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency: treat every event as a 30-minute
+    active session and find the maximum number simultaneously open
+    (plus when it first happens) — the capacity-planning sweep-line
+    query. The classic algorithm is inherently a GLOBAL running sum
+    over time-ordered +1/-1 boundaries, i.e. exactly the single-
+    partition-window trap; here it runs on the distributed two-pass
+    scan (operators/prefix.py): boundaries pre-aggregate per unique
+    (instant, phase) key — so the scanned stream is bounded by
+    DISTINCT timestamps, not events — then range-partitioned partial
+    sums get broadcast offsets. Ends sort before starts at the same
+    instant (phase bit in the key), so touching sessions never
+    double-count. At 100 TB: one map-side-combinable groupBy plus the
+    O(partitions) offset combine — no global sort of raw events.
+    first_peak_epoch_us pins WHICH boundary first reaches the peak, so
+    the hash check is sensitive to sweep order, not just the max."""
     ev = load_table(spark, "events", sf_dir)
-    weeks = (
-        ev.select(
-            "user_id",
-            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(_WEEK_US))
-            .cast("bigint")
-            .alias("week"),
-        )
-        .groupBy("user_id", "week")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    em = F.unix_micros(F.col("ts").cast("timestamp"))
+    starts = ev.select((em * 2 + 1).alias("k"), F.lit(1).alias("delta"))
+    ends = ev.select(((em + _SESSION_US) * 2).alias("k"), F.lit(-1).alias("delta"))
+    g = starts.unionAll(ends).groupBy("k").agg(F.sum("delta").alias("d"))
+    r = global_running_sum(g, "k", "d", out_col="occ")
+    peak = r.agg(F.max("occ").alias("peak"))
+    first = (
+        r.join(F.broadcast(peak), F.col("occ") == F.col("peak"))
+        .agg(F.min("k").alias("min_k"))
     )
-    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    n_b = g.agg(F.count(F.lit(1)).alias("nb"))
     return (
-        weeks.join(cohorts, "user_id")
-        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_active_users"),
-            F.sum("n").cast("bigint").alias("n_events"),
+        peak.join(F.broadcast(first)).join(F.broadcast(n_b))
+        .select(
+            F.col("peak").cast("bigint").alias("peak_concurrency"),
+            F.expr("min_k div 2").cast("bigint").alias("first_peak_epoch_us"),
+            F.col("nb").cast("bigint").alias("n_boundaries"),
         )
-        .orderBy("cohort_week", "week_offset")
     )

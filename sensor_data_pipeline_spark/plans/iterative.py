@@ -282,3 +282,94 @@ def q217_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cid").cast("bigint").alias("cid"), "n_points", "inertia")
         .orderBy("cid")
     )
+
+
+_BFS_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    """Unrolled 3-level BFS in DuckDB SQL: level sets via EXCEPT, which
+    is exactly min-distance semantics for breadth-first layers."""
+    levels = ["d0 AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_suppkey % 100 = 1)"]
+    seen = "SELECT node FROM d0"
+    for i in range(1, _BFS_HOPS + 1):
+        # parenthesize the seen-set union: EXCEPT and UNION share
+        # precedence left-to-right, so an unparenthesized chain would
+        # re-add earlier layers after the EXCEPT
+        levels.append(
+            f"""r{i} AS (
+  SELECT DISTINCT eu.b AS node
+  FROM eu JOIN d{i - 1} ON eu.a = d{i - 1}.node
+),
+d{i} AS (SELECT node FROM r{i} EXCEPT (({seen})))"""
+        )
+        seen += f" UNION SELECT node FROM d{i}"
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS dist, count(*) AS n, sum(node) AS chk FROM d{i}"
+        for i in range(_BFS_HOPS + 1)
+    )
+    return f"""
+WITH e AS (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem
+),
+eu AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+{",".join(levels)}
+SELECT CAST(dist AS BIGINT) AS dist,
+       CAST(n AS BIGINT) AS n_nodes,
+       CAST(chk AS BIGINT) AS node_checksum
+FROM ({unions})
+WHERE n > 0
+ORDER BY dist
+"""
+
+
+@register(
+    "q269_bfs_khop",
+    category="graph",
+    oracle=_bfs_oracle(),
+)
+def q269_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first k-hop reachability over the part<->supplier
+    bipartite graph (nodes encoded part*2 / supplier*2+1, edges =
+    distinct lineitem pairs): which nodes sit 0, 1, 2, 3 hops from the
+    seed suppliers (s_suppkey % 100 = 1) — the frontier-expansion
+    primitive behind contamination blast-radius and lineage-reach
+    questions. Like q216, the loop is UNROLLED into one Catalyst DAG:
+    each hop is a frontier-edges hash join plus a min-distance
+    aggregation, and the distinct edge list is the loop invariant a
+    real cluster keeps partitioned by source once (here it feeds both
+    hop joins from the same exchange). Min-distance via groupBy-min
+    makes layer assignment partitioning-invariant; the oracle computes
+    the same layers as EXCEPT level sets, which is the same semantics.
+    Per layer: node count and an id checksum, so a single misplaced
+    frontier node flips the hash."""
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    e = (
+        li.select(
+            (F.col("l_partkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    eu = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    dist = (
+        sup.filter(F.col("s_suppkey") % 100 == 1)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+        .withColumn("d", F.lit(0))
+    )
+    for i in range(1, _BFS_HOPS + 1):
+        frontier = (
+            dist.filter(F.col("d") == i - 1)
+            .join(eu, F.col("node") == F.col("a"))
+            .select(F.col("b").alias("node"), F.lit(i).alias("d"))
+        )
+        dist = dist.unionAll(frontier).groupBy("node").agg(F.min("d").alias("d"))
+    return (
+        dist.groupBy(F.col("d").cast("bigint").alias("dist"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("node").cast("bigint").alias("node_checksum"),
+        )
+        .orderBy("dist")
+    )

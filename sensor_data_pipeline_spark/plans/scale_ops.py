@@ -1253,3 +1253,64 @@ def q268_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "q270_hll_rollup",
+    category="sketch",
+    # The sketch estimates are engine-specific (DataSketches HLL vs
+    # DuckDB's approx machinery hash differently), so — exactly like
+    # q62/q192 — the query emits them only through bound booleans that
+    # the HLL accuracy guarantee makes TRUE, alongside exact counts
+    # that hash-check. The booleans ARE partitioning-invariant because
+    # HLL registers are per-value maxima: set-determined,
+    # insertion-order independent.
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS union_estimate_ok
+FROM customer
+GROUP BY c_nationkey
+ORDER BY nationkey
+""",
+)
+def q270_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup with DataSketches HLL: sketch
+    each (nation, segment) cell ONCE, then roll the nation total up by
+    UNIONING the cell sketches — never re-touching base rows. This is
+    how a 100 TB warehouse serves distinct-counts at every hierarchy
+    level from one scan: cell sketches are a few KB, unions are
+    associative and lossless for HLL (register-wise max), and adding a
+    rollup level costs a sketch-sized shuffle, not a data-sized one
+    (contrast q62's one-shot approx_count_distinct, which answers one
+    level). The union estimate is audited per nation against the
+    exact count (union_estimate_ok: within 5% — 3x the lgK=12 RSE);
+    the boolean is partitioning-invariant because HLL registers are
+    per-value maxima, so the sketch is a pure function of the SET.
+    Exercises hll_sketch_agg / hll_union_agg / hll_sketch_estimate
+    (§2.8 surface)."""
+    cust = load_table(spark, "customer", sf_dir)
+    cells = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+    )
+    nations = cells.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est"),
+    )
+    exact = cust.groupBy("c_nationkey").agg(
+        F.count_distinct("c_custkey").cast("bigint").alias("exact_customers")
+    )
+    return (
+        nations.join(exact, "c_nationkey")
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            "n_segments",
+            "exact_customers",
+            (
+                F.abs(F.col("est") - F.col("exact_customers"))
+                <= F.greatest(F.col("exact_customers") * 0.05, F.lit(2.0))
+            ).alias("union_estimate_ok"),
+        )
+        .orderBy("nationkey")
+    )

@@ -641,20 +641,22 @@ def test_funnel_single_keyed_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_cohort_retention_user_keyed_only(spark):
-    from sensor_data_pipeline_spark.plans.behavior import q266_cohort_retention
+def test_peak_concurrency_distributed_sweep(spark):
+    from sensor_data_pipeline_spark.plans.behavior import q266_peak_concurrency
 
-    plan = plan_of(q266_cohort_retention(spark, SF))
-    # every data-sized exchange hashes on user_id (alone or with week);
-    # the cohort matrix itself is tiny
-    assert "partial_count" in plan or "partial_sum" in plan
-    assert "CartesianProduct" not in plan
+    plan = plan_of(q266_peak_concurrency(spark, SF))
+    # the sweep's running sum runs on the two-pass prefix scan (frozen
+    # _pid inside the eager localCheckpoint), never a global window
+    # over a single partition of raw boundaries
+    assert "Scan ExistingRDD" in plan and "_pid" in plan
+    # (the boundary groupBy's partial aggregation runs INSIDE the
+    # checkpointed prefix-scan job, so it cannot appear in this final
+    # plan — the ExistingRDD scan above is the evidence it already ran)
     import re as _re
 
-    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
-        # the only exchange NOT keyed by user_id is the cohort-matrix
-        # one, which partial aggregation bounds to weeks^2 cells
-        assert "user_id" in m.group(1) or "cohort_week" in m.group(1), m.group(0)
+    assert not _re.search(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Window", plan
+    ), plan
 
 
 def test_random_projection_is_map_only(spark):
@@ -674,4 +676,25 @@ def test_join_ivm_partial_aggs_no_cartesian(spark):
     # all four delta joins + full recompute combine map-side before
     # their nation-keyed exchanges; no cartesian anywhere
     assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bfs_khop_unrolled_single_dag(spark):
+    from sensor_data_pipeline_spark.plans.iterative import q269_bfs_khop
+
+    plan = plan_of(q269_bfs_khop(spark, SF))
+    # three unrolled frontier hops, no cartesian, min-distance combines
+    # map-side before each node-keyed exchange
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_rollup_sketches_not_rows(spark):
+    from sensor_data_pipeline_spark.plans.scale_ops import q270_hll_rollup
+
+    plan = plan_of(q270_hll_rollup(spark, SF))
+    # the nation rollup unions CELL SKETCHES (hll_union_agg over the
+    # grouped cells), it must not re-aggregate base customer rows
+    assert "hll_union_agg" in plan
+    assert "partial_hll_sketch_agg" in plan  # cell sketches combine map-side
     assert "CartesianProduct" not in plan

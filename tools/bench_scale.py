@@ -67,8 +67,13 @@ def main() -> int:
         "l_returnflag"
     ).agg(F.sum("l_quantity")).collect()
 
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        print(f"unknown query names (skipped): {unknown}", flush=True)
     out: dict[str, dict] = {}
     for name in names:
+        if name not in REGISTRY:
+            continue
         spec = REGISTRY[name]
         t_small = _time_query(spec, spark, small)
         t_big = _time_query(spec, spark, big)
@@ -76,15 +81,23 @@ def main() -> int:
         out[name] = {"sf0.1_sec": t_small, "sf1_sec": t_big, "ratio": ratio}
         print(f"{name}: {t_small}s -> {t_big}s ({ratio}x)", flush=True)
 
+    # merge with any prior snapshot so coverage grows incrementally —
+    # re-run queries get fresh numbers, unlisted ones keep theirs
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifact = os.path.join(here, "BENCH_SF1.json")
+    merged: dict[str, dict] = {}
+    if os.path.exists(artifact):
+        with open(artifact) as f:
+            merged = json.load(f).get("queries", {})
+    merged.update(out)
     doc = {
         "metric": "scaleup_stress_10x",
         "definition": "best-of-2 per query per scale; sf1 = 10x key-shifted replica of sf0.1 (tools/make_scaled_sf.py); ratio = sf1_sec / sf0.1_sec, linear-ish bar ~<=12x",
         "note": "documents.text carries 14.9x the CHARACTERS of sf0.1 (token salting decorrelates replicas), so for text-scan queries (q41/q186/q236) the per-byte linear bar is ~14.9x, not 10x; q226 semdedup assignment is O(N*sqrt(k)) by design (IVF two-level; round-4 fix of an N*k quadratic this stress run caught), so its expected decade ratio is ~10*sqrt(10)/10 ~= 3.2x plus constants",
-        "queries": out,
-        "max_ratio": max(v["ratio"] for v in out.values() if v["ratio"]),
+        "queries": merged,
+        "max_ratio": max(v["ratio"] for v in merged.values() if v["ratio"]),
     }
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "BENCH_SF1.json"), "w") as f:
+    with open(artifact, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
     print(json.dumps({k: v["ratio"] for k, v in out.items()}))
     return 0
