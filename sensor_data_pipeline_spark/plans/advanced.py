@@ -1104,3 +1104,76 @@ def q156_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_exact", "h_k", est.alias("est_distinct"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q271_fuzzy_join_deletion_blocking",
+    category="dedup",
+    # brute-force oracle over the DISTINCT-name vocabulary (64 names):
+    # candidate-complete blocking must reproduce it exactly
+    oracle="""
+WITH names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b,
+       CAST(a.n_parts * b.n_parts AS BIGINT) AS n_pair_combinations
+FROM names a JOIN names b
+  ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) = 1
+ORDER BY name_a, name_b
+""",
+)
+def q271_fuzzy_join_deletion_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join at edit distance 1 via FastSS deletion
+    neighborhoods (Bocek et al. 2007): each DISTINCT name generates
+    its 1-deletion variants (plus itself); two names within edit
+    distance 1 MUST share a variant, so the candidate set from the
+    variant equi-join is complete — no attribute blocking key needed
+    (q77 relies on p_brand; this is the blocking-free algorithm for
+    when no such key exists) and no O(vocab^2) comparison (the oracle
+    brute-forces exactly that to prove equivalence). Scale shape: the
+    quadratic NAME space never materializes — work is (vocabulary x
+    avg name length) variant rows, one equi-join shuffle on variant,
+    then Levenshtein verification on candidates only; row
+    multiplicities rejoin as counts, so 20k (or 20B) parts cost one
+    map-side-combinable name count, with pair combinations reported
+    as products, never expanded."""
+    p = load_table(spark, "part", sf_dir)
+    names = p.groupBy("p_name").agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    # the name itself + every single-character deletion
+    variants = F.array_union(
+        F.array(F.col("p_name")),
+        F.transform(
+            F.sequence(F.lit(1), F.length("p_name")),
+            lambda i: F.concat(
+                F.col("p_name").substr(F.lit(1), i - 1),
+                F.col("p_name").substr(i + 1, F.length("p_name")),
+            ),
+        ),
+    )
+    vtab = names.select("p_name", "n_parts", F.explode(variants).alias("v")).distinct()
+    a = vtab.select(
+        F.col("v"),
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+    )
+    b = vtab.select(
+        F.col("v"),
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+    )
+    cands = (
+        a.join(b, "v")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b", "n_parts_a", "n_parts_b")
+        .distinct()
+    )
+    return (
+        cands.filter(F.levenshtein("name_a", "name_b") == 1)
+        .withColumn(
+            "n_pair_combinations",
+            (F.col("n_parts_a") * F.col("n_parts_b")).cast("bigint"),
+        )
+        .orderBy("name_a", "name_b")
+    )

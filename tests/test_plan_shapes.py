@@ -698,3 +698,15 @@ def test_hll_rollup_sketches_not_rows(spark):
     assert "hll_union_agg" in plan
     assert "partial_hll_sketch_agg" in plan  # cell sketches combine map-side
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_variant_equijoin_no_quadratic(spark):
+    from sensor_data_pipeline_spark.plans.advanced import q271_fuzzy_join_deletion_blocking
+
+    plan = plan_of(q271_fuzzy_join_deletion_blocking(spark, SF))
+    # candidates come from the deletion-variant EQUI-join — never a
+    # cross/nested-loop over the name space
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the raw part table collapses to name counts map-side first
+    assert "partial_count" in plan
