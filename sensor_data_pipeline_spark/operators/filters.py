@@ -1,0 +1,81 @@
+"""Runtime Bloom-filter building blocks (the explicit form of Spark's
+`spark.sql.optimizer.runtime.bloomFilter.*` row-level filtering).
+
+The bitmap is m=8192 bits as 128 packed longs carried in a ONE-ROW
+map<word,mask> column: build it with one tiny shuffle (bit positions ->
+64-bit words via map-side-combinable bit_or), broadcast ~1 KiB instead
+of the key set, and prune the probe scan with k=5 pure-JVM map lookups
+per row. The hash schedule is deterministic integer arithmetic
+(Kirsch-Mitzenmacher double hashing over fixed primes) rather than
+xxhash64 precisely so a SQL oracle — or any other engine — can replay
+exact candidacy bit for bit (q261's correctness gate hash-checks even
+the false-positive count).
+
+Guarantee (property-tested in tests/test_properties.py): a key that was
+inserted ALWAYS passes `bloom_contains` — Bloom filters have no false
+negatives; false positives are bounded by the (m, k, n) geometry.
+
+Reference analog: the reference filters per-record with a fixed
+predicate before publishing (src/modules/dd/producer.c:214-231); this
+is the distributed equivalent where the predicate itself is a
+compressed set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BLOOM_M = 8192  # bits
+BLOOM_K = 5
+_P1 = 2654435761  # Knuth multiplicative constant
+_P2 = 4294967291  # largest prime < 2^32
+
+
+def _h12(key: Column) -> tuple[Column, Column]:
+    """(h1, h2) for a positive BIGINT key column. The key folds to 31
+    bits before the multiply so the product stays < 2^63 for any key a
+    100 TB corpus could mint."""
+    a = ((key % F.lit(2147483648)) * F.lit(_P1)) % F.lit(_P2)
+    h1 = a % F.lit(BLOOM_M)
+    h2 = (a % F.lit(BLOOM_M - 1)) + F.lit(1)
+    return h1, h2
+
+
+def bloom_positions(key: Column) -> Column:
+    """Array of the k bit positions for a key (double hashing)."""
+    h1, h2 = _h12(key)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
+        lambda i: (h1 + i.cast("long") * h2) % F.lit(BLOOM_M),
+    )
+
+
+def bloom_bitmap(keys: DataFrame, key_col: str, out_col: str = "bloom") -> DataFrame:
+    """ONE-ROW DataFrame holding the packed bitmap as map<word,mask>.
+
+    Shuffle cost is O(BLOOM_M/64) rows (the 64-bit words), with the
+    bit_or combining map-side — never O(keys). Broadcast the result
+    and test probes with `bloom_contains`.
+    """
+    pos = keys.select(F.explode(bloom_positions(F.col(key_col))).alias("p"))
+    words = pos.groupBy((F.col("p") / 64).cast("int").alias("w")).agg(
+        F.bit_or(
+            F.call_function("shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int"))
+        ).alias("mask")
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias(out_col)
+    )
+
+
+def bloom_contains(bloom_col: Column, key: Column) -> Column:
+    """Boolean column: every one of the key's k bits is set."""
+    tests = F.transform(
+        bloom_positions(key),
+        lambda p: F.coalesce(bloom_col[(p / 64).cast("int")], F.lit(0).cast("long")).bitwiseAND(
+            F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
+        )
+        != 0,
+    )
+    return F.forall(tests, lambda b: b)

@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sensor_data_pipeline_spark.functions.text import tokenize
+from sensor_data_pipeline_spark.operators.filters import bloom_bitmap, bloom_contains
+from sensor_data_pipeline_spark.operators.skyline import pareto_frontier_2d
 from sensor_data_pipeline_spark.plans.registry import register
 from sensor_data_pipeline_spark.sources.tables import load_table
 
@@ -783,35 +785,10 @@ def q212_wire_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100 TB curation warehouse leans on that none of q1-q260 covered.
 # ---------------------------------------------------------------------------
 
-# Bloom geometry for q261. The hash schedule is deliberately built from
-# plain integer arithmetic (multiply/mod against fixed primes) instead
-# of xxhash64 so the DuckDB oracle can replay the EXACT same bit
-# positions: candidate sets, false-positive counts — everything — are
-# then hash-checkable, not merely boolean-audited. Double hashing
-# (Kirsch-Mitzenmacher): pos_i = (h1 + i*h2) mod m, i in 0..k-1.
-_BLOOM_M = 8192  # bits
-_BLOOM_K = 5
-_BLOOM_P1 = 2654435761  # Knuth multiplicative constant
-_BLOOM_P2 = 4294967291  # largest prime < 2^32
-
-
-def _bloom_h12(key):
-    """(h1, h2) columns for a positive BIGINT key column; identical
-    arithmetic is inlined in the DuckDB oracle. The key is folded to
-    31 bits before the multiply so the product stays < 2^63 on both
-    engines for any key a 100 TB corpus could mint."""
-    a = ((key % F.lit(2147483648)) * F.lit(_BLOOM_P1)) % F.lit(_BLOOM_P2)
-    h1 = a % F.lit(_BLOOM_M)
-    h2 = (a % F.lit(_BLOOM_M - 1)) + F.lit(1)
-    return h1, h2
-
-
-def _bloom_positions(key):
-    h1, h2 = _bloom_h12(key)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(_BLOOM_K - 1)),
-        lambda i: (h1 + i.cast("long") * h2) % F.lit(_BLOOM_M),
-    )
+# Bloom geometry lives in operators/filters.py (bloom_bitmap /
+# bloom_contains): deterministic prime-field double hashing so the
+# DuckDB oracle replays EXACT candidacy — even the false-positive
+# count hash-checks rather than being boolean-audited.
 
 
 @register(
@@ -880,27 +857,10 @@ def q261_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey")
 
     # build: key -> 5 bit positions -> 64-bit words -> one-row map
-    pos = keys.select(F.explode(_bloom_positions(F.col("c_custkey"))).alias("p"))
-    words = pos.groupBy((F.col("p") / 64).cast("int").alias("w")).agg(
-        F.bit_or(F.call_function("shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int"))).alias("mask")
-    )
-    bloom = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias("bloom")
-    )
-
-    def _contains(bloom_col, key):
-        tests = F.transform(
-            _bloom_positions(key),
-            lambda p: F.coalesce(
-                bloom_col[(p / 64).cast("int")], F.lit(0).cast("long")
-            ).bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")))
-            != 0,
-        )
-        return F.forall(tests, lambda b: b)
-
+    bloom = bloom_bitmap(keys, "c_custkey")
     cand = (
         orders.join(F.broadcast(bloom))
-        .filter(_contains(F.col("bloom"), F.col("o_custkey")))
+        .filter(bloom_contains(F.col("bloom"), F.col("o_custkey")))
         .drop("bloom")
     )
     hit = cand.join(F.broadcast(keys), cand.o_custkey == keys.c_custkey, "left")
@@ -1025,25 +985,9 @@ def q263_supplier_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("worst_lag_days"),
         )
     )
-    dom = aggs.groupBy("worst_lag_days").agg(F.max("revenue_cents").alias("best_rev"))
-    w = Window.orderBy("worst_lag_days").rowsBetween(Window.unboundedPreceding, -1)
-    frontier = (
-        dom.withColumn("prev_best", F.max("best_rev").over(w))
-        .filter(F.col("prev_best").isNull() | (F.col("best_rev") > F.col("prev_best")))
-        .select("worst_lag_days", "best_rev")
-    )
     return (
-        aggs.alias("a")
-        .join(
-            F.broadcast(frontier.alias("f")),
-            (F.col("a.worst_lag_days") == F.col("f.worst_lag_days"))
-            & (F.col("a.revenue_cents") == F.col("f.best_rev")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("l_suppkey"),
-            F.col("a.revenue_cents").alias("revenue_cents"),
-            F.col("a.worst_lag_days").alias("worst_lag_days"),
-        )
+        pareto_frontier_2d(aggs, "revenue_cents", "worst_lag_days")
+        .select("l_suppkey", "revenue_cents", "worst_lag_days")
         .orderBy("worst_lag_days", "l_suppkey")
     )
 

@@ -199,3 +199,80 @@ def test_asof_forward_matches_pandas(spark, left_ts, right):
     for row in want_df.itertuples(index=False):
         want_v = None if pd.isna(row.v) else row.v
         assert got[(row.k, row.lts.to_pydatetime())] == want_v
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    build=st.lists(st.integers(0, 10**12), min_size=1, max_size=40, unique=True),
+    probe=st.lists(st.integers(0, 10**12), min_size=1, max_size=40, unique=True),
+)
+def test_bloom_filter_never_false_negative(spark, build, probe):
+    """Every inserted key must pass bloom_contains (no false
+    negatives) for arbitrary key sets — the guarantee q261's pruning
+    correctness rests on. Probe-side false positives are allowed (and
+    bounded by geometry), never asserted absent."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline_spark.operators.filters import bloom_bitmap, bloom_contains
+
+    kdf = spark.createDataFrame([(k,) for k in build], "k long")
+    bloom = bloom_bitmap(kdf, "k")
+    hits = (
+        kdf.join(F.broadcast(bloom))
+        .select(bloom_contains(F.col("bloom"), F.col("k")).alias("hit"))
+        .collect()
+    )
+    assert all(r.hit for r in hits)
+    # and the filter is not degenerate-full: disjoint probes mostly miss
+    misses = [p for p in probe if p not in set(build)]
+    if misses:
+        pdf = spark.createDataFrame([(k,) for k in misses], "k long")
+        n_fp = (
+            pdf.join(F.broadcast(bloom))
+            .filter(bloom_contains(F.col("bloom"), F.col("k")))
+            .count()
+        )
+        # with n <= 40 keys in 8192 bits the FP probability is ~1e-11;
+        # a full-size miss set passing would mean the bitmap is all-ones
+        assert n_fp < len(misses)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pts=st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50)), min_size=1, max_size=40))
+def test_pareto_frontier_matches_bruteforce(spark, pts):
+    """The monotone-frontier skyline must equal the O(n^2) dominance
+    definition for arbitrary integer point sets, duplicates included."""
+    from sensor_data_pipeline_spark.operators.skyline import pareto_frontier_2d
+
+    df = spark.createDataFrame([(i, v, c) for i, (v, c) in enumerate(pts)], "i long, v long, c long")
+    got = sorted((r.i, r.v, r.c) for r in pareto_frontier_2d(df, "v", "c").collect())
+
+    def dominated(a, b):  # b dominates a
+        return b[0] >= a[0] and b[1] <= a[1] and (b[0] > a[0] or b[1] < a[1])
+
+    want = sorted(
+        (i, v, c)
+        for i, (v, c) in enumerate(pts)
+        if not any(dominated((v, c), q) for q in pts)
+    )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=60, unique=True))
+def test_rendezvous_grow_moves_only_to_new_shard(spark, ids):
+    """HRW minimal disruption: growing 8 -> 9 shards, every document
+    whose assignment changes must land on the NEW shard — no old-shard
+    to old-shard churn, for arbitrary id sets."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline_spark.plans.scale_ops import _hrw_scores
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+    def shard_of(n):
+        arr = _hrw_scores(F.col("doc_id"), n)
+        return F.array_position(arr, F.array_max(arr)) - 1
+
+    rows = df.select(shard_of(8).alias("s8"), shard_of(9).alias("s9")).collect()
+    assert all(r.s9 == 8 for r in rows if r.s8 != r.s9)
