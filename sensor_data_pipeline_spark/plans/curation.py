@@ -840,12 +840,23 @@ def q229_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # The strong-edge list is a LOOP INVARIANT consumed three times
+    # (degree count x2 via the endpoint union, plus the orientation
+    # join); without pinning, every consumer re-executes the whole
+    # posting-pairs pipeline above — measured as ~30 base-table
+    # re-reads in the executed plan and a 2.3s -> 10-20s blowup when
+    # the base tables are cached (InMemoryTableScan pays full
+    # decompression per re-read; the parquet path hid the waste behind
+    # pushdown + the OS page cache). Eager localCheckpoint, same
+    # rationale as operators/prefix.py: blocks are GC-released and a
+    # lost block fails loud instead of silently recomputing.
     e = (
         posts.select(F.explode(combos).alias("p"))
         .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _TRI_MIN_W)
         .select("pa", "pb")
+        .localCheckpoint(eager=True)
     )
     # --- degree-ordered orientation -------------------------------------
     # degree over the strong-edge graph (each undirected edge counts
@@ -866,11 +877,14 @@ def q229_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa_first = (F.col("dega") < F.col("degb")) | (
         (F.col("dega") == F.col("degb")) & (F.col("pa") < F.col("pb"))
     )
+    # oriented edges feed three consumers (both wedge sides + the
+    # closing probe) — pin them too, or each consumer re-runs the two
+    # degree joins
     o = ed.select(
         F.when(pa_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
         F.when(pa_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
         F.when(pa_first, F.col("degb")).otherwise(F.col("dega")).alias("dst_deg"),
-    )
+    ).localCheckpoint(eager=True)
     # wedges: two out-edges of one source, destinations (deg, id)-ordered
     o1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dst_deg").alias("b_deg"))
     o2 = o.select(F.col("src").alias("a2"), F.col("dst").alias("c"), F.col("dst_deg").alias("c_deg"))

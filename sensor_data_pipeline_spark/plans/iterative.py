@@ -352,7 +352,12 @@ def q269_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    eu = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # the symmetrized edge list is the loop invariant: every hop joins
+    # it, so pin it once (eager localCheckpoint, the q229/prefix-scan
+    # discipline) instead of re-deriving distinct edges per hop
+    eu = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     dist = (
         sup.filter(F.col("s_suppkey") % 100 == 1)
         .select((F.col("s_suppkey") * 2 + 1).alias("node"))
@@ -364,7 +369,16 @@ def q269_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(eu, F.col("node") == F.col("a"))
             .select(F.col("b").alias("node"), F.lit(i).alias("d"))
         )
-        dist = dist.unionAll(frontier).groupBy("node").agg(F.min("d").alias("d"))
+        # each hop's distance table feeds BOTH the next frontier filter
+        # and the next min-union — unpinned, the logical plan doubles
+        # per hop (2^k re-execution); checkpointing per iteration is
+        # exactly the per-superstep materialization a real BFS does
+        dist = (
+            dist.unionAll(frontier)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
     return (
         dist.groupBy(F.col("d").cast("bigint").alias("dist"))
         .agg(

@@ -683,9 +683,13 @@ def test_bfs_khop_unrolled_single_dag(spark):
     from sensor_data_pipeline_spark.plans.iterative import q269_bfs_khop
 
     plan = plan_of(q269_bfs_khop(spark, SF))
-    # three unrolled frontier hops, no cartesian, min-distance combines
-    # map-side before each node-keyed exchange
-    assert "partial_min" in plan
+    # the hop loop materializes per-superstep (eager localCheckpoint:
+    # each distance table feeds both the next frontier filter and the
+    # min-union, so an unpinned plan doubles per hop) — the final plan
+    # therefore reads the checkpointed frontier, and the layer rollup
+    # combines map-side
+    assert "Scan ExistingRDD" in plan
+    assert "partial_count" in plan
     assert "CartesianProduct" not in plan
 
 
