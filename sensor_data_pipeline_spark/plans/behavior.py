@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sensor_data_pipeline_spark.operators.prefix import global_running_sum
 from sensor_data_pipeline_spark.plans.registry import register
@@ -213,3 +214,233 @@ def q266_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nb").cast("bigint").alias("n_boundaries"),
         )
     )
+
+
+@register(
+    "q272_fifo_matching",
+    category="analytics",
+    oracle="""
+WITH flows AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+ins AS (
+  SELECT user_id, cents,
+         sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum_in
+  FROM flows WHERE event_type = 'click'
+),
+outs AS (
+  SELECT user_id, cents,
+         sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum_out
+  FROM flows WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT i.user_id,
+         least(i.cum_in, o.cum_out)
+           - greatest(i.cum_in - i.cents, o.cum_out - o.cents) AS overlap
+  FROM ins i JOIN outs o ON i.user_id = o.user_id
+  WHERE least(i.cum_in, o.cum_out)
+          - greatest(i.cum_in - i.cents, o.cum_out - o.cents) > 0
+),
+tot AS (
+  SELECT user_id,
+         CAST(coalesce(sum(cents) FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS total_in,
+         CAST(coalesce(sum(cents) FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS total_out
+  FROM flows GROUP BY user_id
+)
+SELECT t.user_id,
+       t.total_in, t.total_out,
+       CAST(coalesce(p.matched, 0) AS BIGINT) AS matched_cents,
+       CAST(coalesce(p.n_lots, 0) AS BIGINT) AS n_matched_lots,
+       coalesce(p.matched, 0) = least(t.total_in, t.total_out) AS fifo_conserved
+FROM tot t LEFT JOIN (
+  SELECT user_id, CAST(sum(overlap) AS BIGINT) AS matched,
+         CAST(count(*) AS BIGINT) AS n_lots
+  FROM pairs GROUP BY user_id
+) p ON t.user_id = p.user_id
+ORDER BY t.user_id
+""",
+)
+def q272_fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching — allocate each user's purchases against
+    their click credits first-in-first-out (the cost-basis /
+    inventory-consumption op behind FIFO accounting and quota
+    metering). The classic formulation is a sequential queue; the
+    relational form used here is the identity that FIFO matching of
+    two ordered flows equals INTERVAL OVERLAP of their cumulative
+    sums: credit lot l spans (cum_in-cents, cum_in] on the cumulative
+    axis, purchase p consumes (cum_out-cents, cum_out], and the
+    matched amount for (l, p) is the length of the intersection —
+    nonzero for at most ins+outs-1 pairs per user, so the user-keyed
+    candidate join stays linear in each user's activity. Per-user
+    windows are the only ordered structure (keyed, never global), the
+    join hashes on user_id, and every quantity is integer cents.
+    fifo_conserved (matched == min(total_in, total_out)) is the
+    conservation identity computed independently on both engines.
+    Reference analog: the reference consumes readings against
+    remembered per-device state in arrival order
+    (src/modules/dd/consumer.cpp:241-268)."""
+    ev = load_table(spark, "events", sf_dir)
+    flows = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ins = (
+        flows.filter(F.col("event_type") == "click")
+        .withColumn("cum_in", F.sum("cents").over(w))
+        .select("user_id", F.col("cents").alias("in_cents"), "cum_in")
+    )
+    outs = (
+        flows.filter(F.col("event_type") == "purchase")
+        .withColumn("cum_out", F.sum("cents").over(w))
+        .select(F.col("user_id").alias("o_user"), F.col("cents").alias("out_cents"), "cum_out")
+    )
+    overlap = F.least(F.col("cum_in"), F.col("cum_out")) - F.greatest(
+        F.col("cum_in") - F.col("in_cents"), F.col("cum_out") - F.col("out_cents")
+    )
+    pairs = (
+        ins.join(outs, ins.user_id == outs.o_user)
+        .withColumn("overlap", overlap)
+        .filter(F.col("overlap") > 0)
+        .groupBy("user_id")
+        .agg(
+            F.sum("overlap").cast("bigint").alias("matched"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lots"),
+        )
+    )
+    tot = flows.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", F.col("cents"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("total_in"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("cents"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("total_out"),
+    )
+    return (
+        tot.join(pairs, "user_id", "left")
+        .select(
+            "user_id",
+            "total_in",
+            "total_out",
+            F.coalesce(F.col("matched"), F.lit(0)).cast("bigint").alias("matched_cents"),
+            F.coalesce(F.col("n_lots"), F.lit(0)).cast("bigint").alias("n_matched_lots"),
+            (
+                F.coalesce(F.col("matched"), F.lit(0))
+                == F.least(F.col("total_in"), F.col("total_out"))
+            ).alias("fifo_conserved"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q273_linear_interp_resample",
+    category="timeseries",
+    oracle="""
+WITH anchors AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, day
+),
+spans AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM anchors GROUP BY user_id
+),
+grid AS (
+  SELECT s.user_id, s.d0 + g.n AS day
+  FROM spans s, LATERAL (SELECT unnest(range(0, CAST(s.d1 - s.d0 + 1 AS BIGINT))) AS n) g
+),
+joined AS (
+  SELECT g.user_id, g.day, a.cents,
+         last_value(a.cents IGNORE NULLS) OVER w_prev AS v_prev,
+         last_value(CASE WHEN a.cents IS NOT NULL THEN g.day END IGNORE NULLS) OVER w_prev AS d_prev,
+         first_value(a.cents IGNORE NULLS) OVER w_next AS v_next,
+         first_value(CASE WHEN a.cents IS NOT NULL THEN g.day END IGNORE NULLS) OVER w_next AS d_next
+  FROM grid g LEFT JOIN anchors a ON g.user_id = a.user_id AND g.day = a.day
+  WINDOW w_prev AS (PARTITION BY g.user_id ORDER BY g.day ROWS UNBOUNDED PRECEDING),
+         w_next AS (PARTITION BY g.user_id ORDER BY g.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, CAST(day AS BIGINT) AS day,
+       CAST(CASE WHEN cents IS NOT NULL THEN cents
+                 ELSE v_prev + CAST(floor((v_next - v_prev) * (day - d_prev)
+                                          / (d_next - d_prev)) AS BIGINT)
+            END AS BIGINT) AS filled_cents,
+       cents IS NULL AS is_interpolated
+FROM joined
+ORDER BY user_id, day
+""",
+)
+def q273_linear_interp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling onto a daily grid: each user's
+    purchase-cents series is completed so every gap day carries the
+    straight-line value between its surrounding anchors — the numeric
+    upgrade of q100's forward-fill (which holds a stale value flat,
+    biasing downstream rates; interpolation is what sensor resampling
+    and feature alignment actually want). Per-user grids come from an
+    exploded day sequence (bounded by the calendar span, generated
+    executor-side); prev/next anchors are IGNORE-NULLS frame windows
+    KEYED by user — the 100 TB shape is one user-keyed shuffle and two
+    frame passes, no global sort, no as-of join. The interpolated
+    value floors an exact integer ratio, and floor() (not DIV, which
+    truncates toward zero) keeps Spark and DuckDB identical when the
+    series slopes downward (negative numerator)."""
+    ev = load_table(spark, "events", sf_dir)
+    anchors = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000))
+            .cast("bigint")
+            .alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).cast("bigint").alias("cents"))
+    )
+    spans = anchors.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    j = grid.join(anchors, ["user_id", "day"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    anchor_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    j = (
+        j.withColumn("v_prev", F.last("cents", ignorenulls=True).over(w_prev))
+        .withColumn("d_prev", F.last(anchor_day, ignorenulls=True).over(w_prev))
+        .withColumn("v_next", F.first("cents", ignorenulls=True).over(w_next))
+        .withColumn("d_next", F.first(anchor_day, ignorenulls=True).over(w_next))
+    )
+    lerp = F.col("v_prev") + F.floor(
+        (F.col("v_next") - F.col("v_prev"))
+        * (F.col("day") - F.col("d_prev"))
+        / (F.col("d_next") - F.col("d_prev"))
+    ).cast("bigint")
+    return j.select(
+        "user_id",
+        F.col("day").cast("bigint").alias("day"),
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .otherwise(lerp)
+        .cast("bigint")
+        .alias("filled_cents"),
+        F.col("cents").isNull().alias("is_interpolated"),
+    ).orderBy("user_id", "day")

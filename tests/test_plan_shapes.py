@@ -714,3 +714,34 @@ def test_fuzzy_join_variant_equijoin_no_quadratic(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the raw part table collapses to name counts map-side first
     assert "partial_count" in plan
+
+
+def test_fifo_matching_user_keyed_overlap_join(spark):
+    from sensor_data_pipeline_spark.plans.behavior import q272_fifo_matching
+
+    plan = plan_of(q272_fifo_matching(spark, SF))
+    # the lot-overlap candidate join hashes on user_id; the only
+    # windows are user-keyed cumulative sums — no global sort, no
+    # cartesian expansion of the lot space
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re as _re
+
+    assert not _re.search(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Window", plan
+    ), plan
+
+
+def test_linear_interp_windows_are_user_keyed(spark):
+    from sensor_data_pipeline_spark.plans.behavior import q273_linear_interp_resample
+
+    plan = plan_of(q273_linear_interp_resample(spark, SF))
+    # grid explode is executor-side; prev/next anchor windows are keyed
+    # by user — never a single-partition global window
+    assert "Generate" in plan  # the day-sequence explode
+    assert "CartesianProduct" not in plan
+    import re as _re
+
+    assert not _re.search(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Window", plan
+    ), plan
