@@ -160,7 +160,11 @@ def main() -> int:
     # as many of the SLOWEST queries as fit — those are the ones whose
     # plans get audited — and says how many fast ones it omitted.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+    # BENCH_ARTIFACT overrides the detail-file name so off-default-SF
+    # runs (e.g. the .scratch/sf1 replica) don't clobber the sf0.1
+    # artifact the driver reads
+    artifact = os.environ.get("BENCH_ARTIFACT", "BENCH_FULL.json")
+    with open(os.path.join(here, artifact), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
     out = {

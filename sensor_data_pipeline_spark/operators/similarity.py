@@ -230,6 +230,15 @@ def embedding_neardup_pairs(
     overhead 36× (measured 2.1s → 0.6s at sf0.1). Raise
     ``banded_blocks`` only when hot buckets outgrow a task (roughly
     bucket_rows²·dim > 10^9 mult-adds).
+
+    Sizing ``band_bits`` at scale: bucket occupancy is ~n/2^band_bits
+    per band, and per-bucket work grows with occupancy SQUARED — the
+    10x-replica sweep measured ~13x for the decade at the default
+    band_bits=4 (fixed 16 buckets/band absorbing 10x the rows). Hold
+    bucket occupancy constant by setting band_bits ≈
+    log2(n / target_bucket_rows); recall per pair is unchanged only if
+    the pair agrees on the extra bits too, so re-audit with q150's
+    recall harness after resizing (more bands buy recall back).
     """
     blocks = n_blocks if exact else banded_blocks
     d = df.select(

@@ -1063,6 +1063,7 @@ def q231_gopher_rules_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TFIDF_MAX_DF_PCT = 20  # terms in more than 20% of docs are stop-terms: skipped
+_TFIDF_MAX_DF_ABS = 100  # absolute posting cap: bounds pairs/term at ANY corpus size
 _TFIDF_THR2_E4 = 2500  # cos >= 0.5  <=>  1e4*dot^2 >= 2500*|a|^2*|b|^2
 
 _IDF_FP = (
@@ -1085,7 +1086,7 @@ df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROU
 rare AS (
   SELECT token, {_IDF_FP} AS idf_fp
   FROM df CROSS JOIN n
-  WHERE 100 * df <= {_TFIDF_MAX_DF_PCT} * n_docs
+  WHERE 100 * df <= {_TFIDF_MAX_DF_PCT} * n_docs AND df <= {_TFIDF_MAX_DF_ABS}
 ),
 w AS (
   SELECT t.doc_id, t.token, CAST(count(*) AS BIGINT) * r.idf_fp AS wt
@@ -1116,11 +1117,16 @@ def q232_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact end to end.
 
     Scale shape: the pair space is generated ONLY through shared-term
-    posting lists (one shuffle keyed by term), and the stop-term cap
-    (df > 20% of corpus) is what bounds it — a term in every
-    document would otherwise emit the full quadratic pair space; after
-    the cap, posting lists are short by construction. This is the q41
-    skew cap restated for weighted vectors. Norms ride broadcast-able
+    posting lists (one shuffle keyed by term), bounded by TWO caps:
+    the relative stop-term cap (df > 20% of corpus) AND an ABSOLUTE
+    posting cap (df <= 100). The percentage rule alone is a scale
+    bug the 10x-replica sweep caught red-handed: a 19%-df term's
+    posting list grows linearly with the corpus, its pair space
+    quadratically — at the sf1 replica the result exceeded
+    spark.driver.maxResultSize. The absolute cap bounds pairs/term at
+    any corpus size (rare-term blocking, the q41 skew cap restated
+    for weighted vectors); at sf0.001/sf0.01 it is non-binding, so
+    the oracle gate is unchanged. Norms ride broadcast-able
     doc-keyed joins.
     """
     d = load_table(spark, "documents", sf_dir)
@@ -1129,7 +1135,10 @@ def q232_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = toks.groupBy("token").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
     rare = (
         df.crossJoin(F.broadcast(n))
-        .filter(100 * F.col("df") <= _TFIDF_MAX_DF_PCT * F.col("n_docs"))
+        .filter(
+            (100 * F.col("df") <= _TFIDF_MAX_DF_PCT * F.col("n_docs"))
+            & (F.col("df") <= _TFIDF_MAX_DF_ABS)
+        )
         .select("token", F.expr(_IDF_FP).alias("idf_fp"))
     )
     w = (

@@ -333,3 +333,91 @@ def q93_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "q274_bitemporal_snapshot",
+    category="cdc",
+    oracle="""
+WITH v AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         epoch_us(o_orderdate) // 86400000000 AS valid_day,
+         epoch_us(o_orderdate) // 86400000000 + o_orderkey % 90 AS tx_day
+  FROM orders
+),
+a AS (SELECT min(valid_day) + 365 AS v0, min(valid_day) + 400 AS t0 FROM v),
+vis AS (SELECT v.* FROM v, a WHERE v.valid_day <= a.v0 AND v.tx_day <= a.t0),
+bel AS (
+  SELECT o_custkey, o_orderkey AS believed_orderkey, cents AS believed_cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY valid_day DESC, o_orderkey DESC) AS rn
+  FROM vis
+),
+agg AS (
+  SELECT v.o_custkey,
+         CAST(count(*) FILTER (WHERE v.valid_day <= a.v0 AND v.tx_day <= a.t0)
+              AS BIGINT) AS n_visible,
+         CAST(count(*) FILTER (WHERE v.valid_day <= a.v0 AND v.tx_day > a.t0)
+              AS BIGINT) AS n_pending
+  FROM v, a GROUP BY v.o_custkey
+)
+SELECT p.o_custkey, b.believed_orderkey, b.believed_cents,
+       p.n_visible, p.n_pending
+FROM agg p LEFT JOIN (SELECT * FROM bel WHERE rn = 1) b USING (o_custkey)
+WHERE p.n_visible > 0 OR p.n_pending > 0
+ORDER BY o_custkey
+""",
+)
+def q274_bitemporal_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal snapshot — 'what did we BELIEVE at transaction time
+    T0 about the state valid at V0?' — the two-axis time travel behind
+    regulatory restatements and training-data reproducibility, one
+    axis beyond q258's single-axis point-in-time join. Each order
+    carries valid time (order date) and a deterministic late-arrival
+    transaction time (valid + orderkey%90 days); the snapshot keeps
+    rows visible on BOTH axes, picks each customer's latest believed
+    order via a partial-aggregable max(struct(valid, key, cents)) —
+    no window over data — and counts n_pending: rows already valid at
+    V0 that the T0 snapshot could not yet see (the restatement
+    backlog a bitemporal audit exists to quantify). Anchors derive
+    from a broadcast 1-row min; the only data-sized exchange hashes
+    on custkey. The oracle replays the same snapshot with a
+    row_number window, an independent formulation."""
+    o = load_table(spark, "orders", sf_dir)
+    day = (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(86400000000)).cast(
+        "bigint"
+    )
+    v = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        day.alias("valid_day"),
+        (day + F.col("o_orderkey") % 90).alias("tx_day"),
+    )
+    a = v.agg(
+        (F.min("valid_day") + 365).alias("v0"), (F.min("valid_day") + 400).alias("t0")
+    )
+    va = v.join(F.broadcast(a))
+    visible = (F.col("valid_day") <= F.col("v0")) & (F.col("tx_day") <= F.col("t0"))
+    pending = (F.col("valid_day") <= F.col("v0")) & (F.col("tx_day") > F.col("t0"))
+    best = F.max(
+        F.when(visible, F.struct("valid_day", "o_orderkey", "cents"))
+    )
+    return (
+        va.groupBy("o_custkey")
+        .agg(
+            best.alias("b"),
+            F.sum(visible.cast("bigint")).cast("bigint").alias("n_visible"),
+            F.sum(pending.cast("bigint")).cast("bigint").alias("n_pending"),
+        )
+        .filter((F.col("n_visible") > 0) | (F.col("n_pending") > 0))
+        .select(
+            "o_custkey",
+            F.col("b.o_orderkey").alias("believed_orderkey"),
+            F.col("b.cents").alias("believed_cents"),
+            "n_visible",
+            "n_pending",
+        )
+        .orderBy("o_custkey")
+    )

@@ -745,3 +745,15 @@ def test_linear_interp_windows_are_user_keyed(spark):
     assert not _re.search(
         r"Exchange SinglePartition[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Window", plan
     ), plan
+
+
+def test_bitemporal_argmax_no_window_over_data(spark):
+    from sensor_data_pipeline_spark.plans.warehouse import q274_bitemporal_snapshot
+
+    plan = plan_of(q274_bitemporal_snapshot(spark, SF))
+    # believed-state selection is a partial-aggregable max(struct) —
+    # no Window over order rows, anchors ride a 1-row broadcast
+    assert "partial_max" in plan or "partial_sum" in plan
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
