@@ -444,3 +444,169 @@ def q273_linear_interp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("filled_cents"),
         F.col("cents").isNull().alias("is_interpolated"),
     ).orderBy("user_id", "day")
+
+
+@register(
+    "q275_sliding_distinct_actors",
+    category="analytics",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT event_type, user_id,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+bounds AS (SELECT min(day) AS dmin, max(day) AS dmax FROM days),
+wins AS (SELECT unnest(range(dmin, dmax + 1)) AS win_end FROM bounds),
+hits AS (
+  SELECT DISTINCT d.event_type, w.win_end, d.user_id
+  FROM days d JOIN wins w
+    ON d.day BETWEEN w.win_end - 6 AND w.win_end
+)
+SELECT event_type,
+       CAST(win_end AS BIGINT) AS win_end_day,
+       CAST(count(*) AS BIGINT) AS distinct_users
+FROM hits
+GROUP BY event_type, win_end
+ORDER BY event_type, win_end
+""",
+)
+def q275_sliding_distinct_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window COUNT(DISTINCT): distinct active users per
+    event_type over a trailing 7-day window ending each calendar day
+    — the rolling-MAU/WAU query. Distinct-over-sliding-window is the
+    canonical case where naive plans explode: COUNT(DISTINCT) inside
+    a window function isn't supported, and the textbook
+    day-x-window range join materializes |days| x 7 rows BEFORE the
+    distinct. Here each (event_type, user) contributes each covered
+    window-end exactly once by construction: activity days dedupe
+    first (one map-side-combinable groupBy), then a keyed lag gives
+    the previous activity day and the NEW window-ends contributed at
+    day d are the interval [greatest(d, prev+7), d+6] — the set
+    difference of trailing intervals, so the union over a user's days
+    has no duplicates and the final count is a plain count, never a
+    distinct. Explode fan-out is bounded by 7; the only shuffles are
+    the dedupe and the (event_type, win_end) count, both partial-agg
+    combinable — at 100 TB this is two combiner shuffles, no
+    data-sized distinct state. Windows are clipped to the observed
+    calendar (broadcast 1-row bounds)."""
+    ev = load_table(spark, "events", sf_dir)
+    day = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000)).cast(
+        "bigint"
+    )
+    days = ev.select("event_type", "user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("event_type", "user_id").orderBy("day")
+    lagged = days.withColumn(
+        "start",
+        F.greatest(F.col("day"), F.coalesce(F.lag("day").over(w) + 7, F.col("day"))),
+    )
+    contrib = lagged.withColumn(
+        "win_end", F.explode(F.sequence(F.col("start"), F.col("day") + 6))
+    )
+    bounds = days.agg(F.max("day").alias("dmax"))
+    return (
+        contrib.join(F.broadcast(bounds), F.col("win_end") <= F.col("dmax"))
+        .groupBy("event_type", "win_end")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("distinct_users"))
+        .select(
+            "event_type",
+            F.col("win_end").cast("bigint").alias("win_end_day"),
+            "distinct_users",
+        )
+        .orderBy("event_type", "win_end_day")
+    )
+
+
+@register(
+    "q276_cusum_shift_detector",
+    category="timeseries",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  GROUP BY event_type, day
+),
+ref AS (
+  SELECT event_type, day, cents,
+         sum(cents) OVER (PARTITION BY event_type) AS tot,
+         count(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily
+),
+dev AS (
+  SELECT event_type, day, cents,
+         tot // n_days AS allowance,
+         cents - tot // n_days AS d
+  FROM ref
+),
+psum AS (
+  SELECT event_type, day, cents, allowance,
+         sum(d) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS p
+  FROM dev
+),
+cum AS (
+  SELECT event_type, day, cents, allowance, p,
+         least(CAST(0 AS BIGINT),
+               min(p) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING)) AS run_min
+  FROM psum
+)
+SELECT event_type,
+       CAST(day AS BIGINT) AS day,
+       cents,
+       CAST(p - run_min AS BIGINT) AS cusum_cents,
+       p - run_min > allowance AS alarm
+FROM cum
+ORDER BY event_type, day
+""",
+)
+def q276_cusum_shift_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection on each event type's daily
+    revenue series: S_t = max(0, S_{t-1} + (x_t - k)) with allowance
+    k = floor(series mean), alarming when S_t exceeds k. The textbook
+    recursion (a clamp inside the accumulation) looks like it needs a
+    per-row sequential fold; it is actually window-expressible via
+    the reflection identity S_t = P_t - min(0, min_{j<=t} P_j) where
+    P is the plain cumulative sum of deviations — the same identity
+    that prices lookback options. So the whole detector is two frame
+    passes over an event_type-keyed window: no recursion, no UDF, no
+    applyInPandas, and at 100 TB it scales as one combiner groupBy
+    (daily rollup) plus keyed windows whose partitions are series
+    lengths, never raw-event sized. Everything is integer cents;
+    the allowance uses floor division on nonnegative totals (Spark
+    DIV and DuckDB // agree there)."""
+    ev = load_table(spark, "events", sf_dir)
+    day = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000)).cast(
+        "bigint"
+    )
+    daily = (
+        ev.groupBy("event_type", day.alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wk = Window.partitionBy("event_type")
+    ref = daily.withColumn("tot", F.sum("cents").over(wk)).withColumn(
+        "n_days", F.count(F.lit(1)).over(wk)
+    )
+    dev = ref.withColumn("allowance", F.expr("tot div n_days")).withColumn(
+        "d", F.col("cents") - F.col("allowance")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dev.withColumn("p", F.sum("d").over(w)).withColumn(
+        "run_min", F.least(F.lit(0).cast("bigint"), F.min(F.col("p")).over(w))
+    )
+    return cum.select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        "cents",
+        (F.col("p") - F.col("run_min")).cast("bigint").alias("cusum_cents"),
+        (F.col("p") - F.col("run_min") > F.col("allowance")).alias("alarm"),
+    ).orderBy("event_type", "day")

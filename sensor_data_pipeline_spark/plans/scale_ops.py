@@ -1258,3 +1258,146 @@ def q270_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "q277_kmv_intersection",
+    category="sketch",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT event_type AS s,
+         user_id * 100000 + epoch_us(ts) // 86400000000 AS e
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+hashed AS (
+  SELECT DISTINCT s, (e * 2654435761) % 2147483648 AS h FROM pairs
+),
+sk AS (
+  SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn FROM hashed
+),
+sketches AS (SELECT s, h FROM sk WHERE rn <= 64),
+uni AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS rn
+  FROM (SELECT DISTINCT h FROM sketches)
+),
+kset AS (SELECT h FROM uni WHERE rn <= 64),
+kagg AS (
+  SELECT CAST(max(h) AS BIGINT) AS h_k, CAST(count(*) AS BIGINT) AS k_used
+  FROM kset
+),
+rho AS (
+  SELECT CAST(count(*) AS BIGINT) AS rho_num FROM kset k
+  WHERE EXISTS (SELECT 1 FROM sketches a WHERE a.s = 'click' AND a.h = k.h)
+    AND EXISTS (SELECT 1 FROM sketches b WHERE b.s = 'purchase' AND b.h = k.h)
+),
+exa AS (
+  SELECT CAST(sum(CASE WHEN n_s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS inter_exact,
+         CAST(count(*) AS BIGINT) AS union_exact
+  FROM (SELECT e, count(DISTINCT s) AS n_s FROM pairs GROUP BY e)
+),
+counts AS (
+  SELECT CAST(count(CASE WHEN s = 'click' THEN 1 END) AS BIGINT) AS n_a,
+         CAST(count(CASE WHEN s = 'purchase' THEN 1 END) AS BIGINT) AS n_b
+  FROM pairs
+),
+est AS (
+  SELECT c.n_a, c.n_b, x.inter_exact, x.union_exact, k.h_k, k.k_used, r.rho_num,
+         CASE WHEN k.k_used < 64 THEN CAST(k.k_used AS DOUBLE)
+              ELSE (64 - 1) * CAST(2147483648 AS DOUBLE) / k.h_k
+         END AS est_union
+  FROM counts c, exa x, kagg k, rho r
+)
+SELECT n_a, n_b, inter_exact, union_exact, h_k, k_used, rho_num, est_union,
+       (CAST(rho_num AS DOUBLE) / k_used) * est_union AS est_intersection
+FROM est
+""",
+)
+def q277_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch INTERSECTION (Beyer et al., SIGMOD'07): estimate the
+    overlap between two behavioral sets — (user, day) pairs with a
+    click vs with a purchase — from two 64-value KMV sketches alone.
+    The estimator is rho = |K ∩ A_sk ∩ B_sk| / k over K = the k
+    smallest of the sketch UNION (itself a valid KMV of A ∪ B), so
+    est_|A∩B| = rho * est_|A∪B|. This is the sketch algebra that lets
+    a 100 TB pipeline answer "how much does this crawl overlap that
+    one" from per-shard kilobyte summaries without ever co-shuffling
+    raw keys: each set's sketch is a per-group top-k (map-side
+    combinable; at scale a partial-sort per partition then k-merge),
+    and everything downstream joins 64-row frames. The exact
+    intersection/union audit the estimate. Hashing is the same
+    Knuth multiplicative hash both engines compute exactly in int64
+    (max |e * 2654435761| ~ 4e16 << 2^63)."""
+    ev = load_table(spark, "events", sf_dir)
+    day = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000)).cast(
+        "bigint"
+    )
+    pairs = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.col("event_type").alias("s"),
+            (F.col("user_id") * 100000 + day).alias("e"),
+        )
+        .distinct()
+    )
+    hashed = pairs.select(
+        "s", ((F.col("e") * F.lit(2654435761)) % F.lit(2147483648)).alias("h")
+    ).distinct()
+    wg = Window.partitionBy("s").orderBy("h")
+    sketches = (
+        hashed.withColumn("rn", F.row_number().over(wg)).filter(F.col("rn") <= 64).select("s", "h")
+    )
+    wu = Window.orderBy("h")
+    kset = (
+        sketches.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= 64)
+        .select("h")
+    )
+    kagg = kset.agg(
+        F.max("h").cast("bigint").alias("h_k"),
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+    )
+    a_sk = sketches.filter(F.col("s") == "click").select("h")
+    b_sk = sketches.filter(F.col("s") == "purchase").select("h")
+    rho = (
+        kset.join(a_sk, "h", "left_semi")
+        .join(b_sk, "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rho_num"))
+    )
+    exa = (
+        pairs.groupBy("e")
+        .agg(F.count_distinct("s").alias("n_s"))
+        .agg(
+            F.sum(F.when(F.col("n_s") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("inter_exact"),
+            F.count(F.lit(1)).cast("bigint").alias("union_exact"),
+        )
+    )
+    counts = pairs.agg(
+        F.count(F.when(F.col("s") == "click", 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(F.col("s") == "purchase", 1)).cast("bigint").alias("n_b"),
+    )
+    est_union = F.when(F.col("k_used") < 64, F.col("k_used").cast("double")).otherwise(
+        (64 - 1) * F.lit(2147483648.0) / F.col("h_k")
+    )
+    est = (
+        counts.crossJoin(F.broadcast(exa))
+        .crossJoin(F.broadcast(kagg))
+        .crossJoin(F.broadcast(rho))
+        .withColumn("est_union", est_union)
+    )
+    return est.select(
+        "n_a",
+        "n_b",
+        "inter_exact",
+        "union_exact",
+        "h_k",
+        "k_used",
+        "rho_num",
+        "est_union",
+        ((F.col("rho_num").cast("double") / F.col("k_used")) * F.col("est_union")).alias(
+            "est_intersection"
+        ),
+    )

@@ -757,3 +757,42 @@ def test_bitemporal_argmax_no_window_over_data(spark):
     assert "Window" not in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sliding_distinct_no_distinct_over_window(spark):
+    from sensor_data_pipeline_spark.plans.behavior import q275_sliding_distinct_actors
+
+    plan = plan_of(q275_sliding_distinct_actors(spark, SF))
+    # the activity-day dedupe and final per-window count both combine
+    # map-side; the interval expansion is an executor-side Generate
+    assert "partial_count" in plan
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    # the lag window is keyed by (event_type, user) — never global
+    assert not re.search(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Window", plan
+    ), plan
+
+
+def test_cusum_windows_are_series_keyed(spark):
+    from sensor_data_pipeline_spark.plans.behavior import q276_cusum_shift_detector
+
+    plan = plan_of(q276_cusum_shift_detector(spark, SF))
+    # daily rollup combines map-side before the event_type exchange;
+    # both CUSUM frame passes run on event_type-keyed windows
+    assert "partial_sum" in plan
+    assert "Window" in plan
+    assert not re.search(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Window", plan
+    ), plan
+
+
+def test_kmv_intersection_joins_sketches_not_rows(spark):
+    from sensor_data_pipeline_spark.plans.scale_ops import q277_kmv_intersection
+
+    plan = plan_of(q277_kmv_intersection(spark, SF))
+    # membership tests are semi-joins over 64-row sketch frames, and
+    # every scalar audit rides a broadcast — raw keys never co-shuffle
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
