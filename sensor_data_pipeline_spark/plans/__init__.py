@@ -26,7 +26,12 @@ from sensor_data_pipeline_spark.plans import behavior  # noqa: F401,E402
 # representatives each — rather than whatever import order produced.
 # Everything else follows in original registration order.
 _DRIVER_WINDOW = [
-    # ROUND-4 ROTATION: 46/50 (92%) never driver-checked in rounds 1-3,
+    # ROUND-4 ROTATION (revised in-round): 46/50 (92%) never
+    # driver-checked in rounds 1-3; five stable never-checked slots
+    # (q227/q230/q231/q249/q197) were swapped for the five riskiest
+    # round-4 additions (q270/q271/q272/q275/q277) so the newest code
+    # gets hard verification first — fresh-for-fresh, cumulative
+    # coverage unchanged.
     # prioritizing the newest, least-verified work (q236-q260 curation/
     # streaming additions, q213-q222 layout/multimodal/iterative,
     # q196-q198/q205-q206-adjacent scale ops). The 4 previously-green
@@ -58,7 +63,6 @@ _DRIVER_WINDOW = [
     "q246_ols_moments_by_key",
     "q247_transition_matrix",
     "q248_frequency_drift",
-    "q249_vocab_growth",
     "q250_referential_integrity",
     "q251_refpoint_pruned_search",
     "q252_incremental_topk",
@@ -70,11 +74,14 @@ _DRIVER_WINDOW = [
     "q258_pit_feature_audit",
     "q259_stream_learned_fences",
     # --- never checked: quality gates / sampling (q227-q234) ---
-    "q227_negative_sampling",
     "q228_mad_anomaly_gate",
-    "q230_simpson_diversity_gate",
-    "q231_gopher_rules_gate",
     "q234_domain_quota_sample",
+    # --- never checked: newest round-4 additions (q270-q277) ---
+    "q270_hll_rollup",  # DataSketches HLL union-of-cell-sketches
+    "q271_fuzzy_join_deletion_blocking",  # FastSS candidate completeness
+    "q272_fifo_matching",  # cumulative-interval-overlap identity
+    "q275_sliding_distinct_actors",  # interval set-difference expansion
+    "q277_kmv_intersection",  # KMV union/intersection estimator
     # --- never checked: layout / multimodal / iterative (q213-q222) ---
     "q213_zorder_layout",
     "q214_bloom_semijoin",
@@ -87,7 +94,6 @@ _DRIVER_WINDOW = [
     "q221_bpe_merge_learning",
     "q222_ts_subsequence_search",
     # --- never checked: scale ops / family representatives ---
-    "q197_containment_pairs",
     "q195_ewma_smoothing",  # window family
     "q212_wire_key_census",  # json family
     "q122_arrow_python_udf",  # udf family
