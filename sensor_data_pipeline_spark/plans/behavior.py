@@ -610,3 +610,116 @@ def q276_cusum_shift_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p") - F.col("run_min")).cast("bigint").alias("cusum_cents"),
         (F.col("p") - F.col("run_min") > F.col("allowance")).alias("alarm"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "q278_sax_motifs",
+    category="timeseries",
+    oracle="""
+WITH ser AS (
+  SELECT user_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS qv,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+  FROM events
+),
+seg AS (
+  SELECT user_id, (pos - 1) // 8 AS seg,
+         CAST(sum(qv) AS BIGINT) AS s, count(*) AS n
+  FROM ser GROUP BY user_id, (pos - 1) // 8
+),
+full_seg AS (SELECT user_id, seg, s FROM seg WHERE n = 8),
+bounds AS (SELECT min(s) AS smin, max(s) AS smax FROM full_seg),
+sym AS (
+  SELECT f.user_id, f.seg,
+         least(3, (f.s - b.smin) * 4 // (b.smax - b.smin + 1)) AS c
+  FROM full_seg f, bounds b
+),
+words AS (
+  SELECT user_id, seg, c,
+         lead(c, 1) OVER w AS c1,
+         lead(c, 2) OVER w AS c2
+  FROM sym
+  WINDOW w AS (PARTITION BY user_id ORDER BY seg)
+),
+census AS (
+  SELECT c * 16 + c1 * 4 + c2 AS word_id,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM words WHERE c1 IS NOT NULL AND c2 IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(word_id AS BIGINT) AS word_id,
+       chr(97 + CAST(word_id // 16 AS INTEGER))
+         || chr(97 + CAST((word_id // 4) % 4 AS INTEGER))
+         || chr(97 + CAST(word_id % 4 AS INTEGER)) AS word,
+       n_occurrences, n_users
+FROM census
+ORDER BY n_occurrences DESC, word_id
+LIMIT 20
+""",
+)
+def q278_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-style symbolic motif census (Lin et al., "Symbolic Aggregate
+    approXimation"): each user's reading series is piecewise-aggregated
+    into 8-reading segments, discretized to a 4-letter alphabet, and
+    every 3-letter word is counted fleet-wide — the symbolic index that
+    turns raw time series into groupBy-able tokens, so motif discovery
+    ("which shapes recur?") becomes a census instead of a pairwise
+    similarity scan (q222's L2 search is the numeric complement).
+    Deviation from the paper, documented: breakpoints are equal-width
+    over the global segment-sum range (exact integer algebra both
+    engines agree on) rather than Gaussian quantiles — the plan shape
+    (global 2-value broadcast, keyed windows, combiner census) is
+    identical. Scale: one user-keyed shuffle for position/word windows,
+    a (user, seg)-keyed combiner aggregate, a 1-row bounds broadcast,
+    and a word-keyed combiner census with TakeOrdered top-20 — no
+    all-pairs, nothing driver-side, fan-in bounded by the alphabet
+    (64 possible words)."""
+    ev = load_table(spark, "events", sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ser = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("qv"),
+        F.row_number().over(w_user).alias("pos"),
+    )
+    seg = (
+        ser.groupBy("user_id", F.expr("(pos - 1) div 8").alias("seg"))
+        .agg(F.sum("qv").cast("bigint").alias("s"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == 8)
+        .select("user_id", "seg", "s")
+    )
+    bounds = seg.agg(F.min("s").alias("smin"), F.max("s").alias("smax"))
+    sym = seg.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "seg",
+        F.least(
+            F.lit(3),
+            F.expr("(s - smin) * 4 div (smax - smin + 1)"),
+        ).alias("c"),
+    )
+    w_seg = Window.partitionBy("user_id").orderBy("seg")
+    words = (
+        sym.withColumn("c1", F.lead("c", 1).over(w_seg))
+        .withColumn("c2", F.lead("c", 2).over(w_seg))
+        .filter(F.col("c1").isNotNull() & F.col("c2").isNotNull())
+        .select((F.col("c") * 16 + F.col("c1") * 4 + F.col("c2")).alias("word_id"), "user_id")
+    )
+    census = words.groupBy("word_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+    word_str = F.concat(
+        F.char(F.lit(97) + (F.col("word_id") / 16).cast("int")),
+        F.char(F.lit(97) + ((F.col("word_id") / 4) % 4).cast("int")),
+        F.char(F.lit(97) + (F.col("word_id") % 4).cast("int")),
+    )
+    return (
+        census.select(
+            F.col("word_id").cast("bigint").alias("word_id"),
+            word_str.alias("word"),
+            "n_occurrences",
+            "n_users",
+        )
+        .orderBy(F.desc("n_occurrences"), "word_id")
+        .limit(20)
+    )

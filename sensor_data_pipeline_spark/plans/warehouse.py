@@ -421,3 +421,87 @@ def q274_bitemporal_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "q279_revenue_bridge",
+    category="analytics",
+    oracle="""
+WITH j AS (
+  SELECT p.p_brand AS brand, year(l.l_shipdate) AS y,
+         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS cc,
+         CAST(round(l.l_quantity, 0) AS BIGINT) AS q
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE year(l.l_shipdate) IN (1999, 2000)
+),
+g AS (
+  SELECT brand,
+         CAST(sum(CASE WHEN y = 1999 THEN cc ELSE 0 END) AS BIGINT) AS rev0_cc,
+         CAST(sum(CASE WHEN y = 2000 THEN cc ELSE 0 END) AS BIGINT) AS rev1_cc,
+         CAST(sum(CASE WHEN y = 1999 THEN q ELSE 0 END) AS BIGINT) AS qty0,
+         CAST(sum(CASE WHEN y = 2000 THEN q ELSE 0 END) AS BIGINT) AS qty1
+  FROM j GROUP BY brand
+)
+SELECT brand, rev0_cc, rev1_cc, qty0, qty1,
+       CAST(rev1_cc - rev0_cc AS BIGINT) AS delta_cc,
+       CAST(CAST(rev1_cc AS HUGEINT) * qty0
+            - CAST(rev0_cc AS HUGEINT) * qty1 AS DECIMAL(38,0))
+         AS price_effect_num,
+       CAST(CAST(rev0_cc AS HUGEINT) * (qty1 - qty0) AS DECIMAL(38,0))
+         AS volume_effect_num,
+       (CAST(rev1_cc AS HUGEINT) * qty0 - CAST(rev0_cc AS HUGEINT) * qty1)
+         + CAST(rev0_cc AS HUGEINT) * (qty1 - qty0)
+         = CAST(rev1_cc - rev0_cc AS HUGEINT) * qty0 AS bridge_conserved
+FROM g ORDER BY brand
+""",
+)
+def q279_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume revenue bridge: decompose each brand's 1999->2000
+    revenue change into a price effect and a volume effect — the
+    waterfall / variance-decomposition operator behind every
+    period-over-period finance review. The textbook form divides by
+    quantities (P = R/Q average price); this stays EXACT by clearing
+    denominators: scaled by Q0, price effect = R1*Q0 - R0*Q1 and
+    volume effect = R0*(Q1 - Q0), whose sum is identically
+    (R1 - R0)*Q0 — emitted as the cross-engine conservation boolean.
+    The products exceed int64 one decade above sf1, so both engines
+    compute them in DECIMAL(38,0)/HUGEINT (the q237 symmetric-decimal
+    pattern). Plan: one broadcast join (part is the small dim), one
+    brand-keyed combiner aggregate with conditional sums (no second
+    scan per period), then pure 25-row arithmetic — at 100 TB the
+    bridge costs exactly the dim join plus one map-side-combinable
+    shuffle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    pt = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    y = F.year("l_shipdate")
+    cc = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    )
+    q = F.round(F.col("l_quantity"), 0).cast("bigint")
+    j = (
+        li.filter(y.isin(1999, 2000))
+        .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("p_brand").alias("brand"), y.alias("y"), cc.alias("cc"), q.alias("q"))
+    )
+    g = j.groupBy("brand").agg(
+        F.sum(F.when(F.col("y") == 1999, F.col("cc")).otherwise(0)).cast("bigint").alias("rev0_cc"),
+        F.sum(F.when(F.col("y") == 2000, F.col("cc")).otherwise(0)).cast("bigint").alias("rev1_cc"),
+        F.sum(F.when(F.col("y") == 1999, F.col("q")).otherwise(0)).cast("bigint").alias("qty0"),
+        F.sum(F.when(F.col("y") == 2000, F.col("q")).otherwise(0)).cast("bigint").alias("qty1"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    price_num = d("rev1_cc") * d("qty0") - d("rev0_cc") * d("qty1")
+    vol_num = d("rev0_cc") * (d("qty1") - d("qty0"))
+    delta_dec = (d("rev1_cc") - d("rev0_cc")) * d("qty0")
+    return g.select(
+        "brand",
+        "rev0_cc",
+        "rev1_cc",
+        "qty0",
+        "qty1",
+        (F.col("rev1_cc") - F.col("rev0_cc")).cast("bigint").alias("delta_cc"),
+        price_num.cast("decimal(38,0)").alias("price_effect_num"),
+        vol_num.cast("decimal(38,0)").alias("volume_effect_num"),
+        (price_num + vol_num == delta_dec).alias("bridge_conserved"),
+    ).orderBy("brand")

@@ -796,3 +796,27 @@ def test_kmv_intersection_joins_sketches_not_rows(spark):
     assert "LeftSemi" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sax_motifs_keyed_windows_takeordered(spark):
+    from sensor_data_pipeline_spark.plans.behavior import q278_sax_motifs
+
+    plan = plan_of(q278_sax_motifs(spark, SF))
+    # top-20 is a partial-heap TakeOrdered, never a global sort of the
+    # census; position/word windows are user-keyed
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Window", plan
+    ), plan
+
+
+def test_revenue_bridge_broadcast_dim_single_combiner_shuffle(spark):
+    from sensor_data_pipeline_spark.plans.warehouse import q279_revenue_bridge
+
+    plan = plan_of(q279_revenue_bridge(spark, SF))
+    # part rides a broadcast; the brand rollup combines map-side; the
+    # shipdate year filter reaches the scan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "PushedFilters" in plan or "l_shipdate" in plan
+    assert "CartesianProduct" not in plan

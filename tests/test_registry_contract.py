@@ -104,7 +104,13 @@ def test_no_hugeint_leaks_in_oracle_schemas():
     # DECIMAL(38,0) (Spark .cast + oracle CAST), so there is no
     # int64-vs-decimal asymmetry to mismatch on. q237.cov_num exceeds
     # int64 a decade above sf0.1 (BENCH_SF1 finding).
-    symmetric_decimal = {("q237_correlation_moments", "cov_num")}
+    symmetric_decimal = {
+        ("q237_correlation_moments", "cov_num"),
+        # q279: rev*qty products exceed int64 a decade above sf1, so
+        # both engines carry them in DECIMAL(38,0)/HUGEINT by design
+        ("q279_revenue_bridge", "price_effect_num"),
+        ("q279_revenue_bridge", "volume_effect_num"),
+    }
     con = duck_conn("/root/testdata/sf0.001")
     leaks = []
     for name, spec in REGISTRY.items():
