@@ -574,8 +574,10 @@ def q276_cusum_shift_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas, and at 100 TB it scales as one combiner groupBy
     (daily rollup) plus keyed windows whose partitions are series
     lengths, never raw-event sized. Everything is integer cents;
-    the allowance uses floor division on nonnegative totals (Spark
-    DIV and DuckDB // agree there)."""
+    the allowance divides with Spark div / DuckDB integer //, which
+    share truncate-toward-zero semantics for any sign of the total
+    (verified on negatives; only float-context division differs
+    between the engines)."""
     ev = load_table(spark, "events", sf_dir)
     day = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000)).cast(
         "bigint"
@@ -592,6 +594,9 @@ def q276_cusum_shift_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = daily.withColumn("tot", F.sum("cents").over(wk)).withColumn(
         "n_days", F.count(F.lit(1)).over(wk)
     )
+    # Spark `div` and DuckDB integer `//` BOTH truncate toward zero
+    # (measured: -7 div 3 == -7 // 3 == -2), so the allowance is
+    # engine-identical for any sign of the series total
     dev = ref.withColumn("allowance", F.expr("tot div n_days")).withColumn(
         "d", F.col("cents") - F.col("allowance")
     )
