@@ -1051,7 +1051,7 @@ def q132_robust_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH hashed AS (
   SELECT DISTINCT event_type,
-         (user_id * 2654435761) % 2147483648 AS h
+         ((user_id % 2147483648) * 2654435761) % 2147483648 AS h
   FROM events
 ),
 ranked AS (
@@ -1092,7 +1092,7 @@ def q156_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     The query returns the estimate NEXT TO the exact count, so the
     sketch's error is audited on every run, the q93/q150 pattern."""
     e = load_table(spark, "events", sf_dir)
-    h = (F.col("user_id") * F.lit(2654435761)) % F.lit(2147483648)
+    h = ((F.col("user_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(2147483648)
     hashed = e.select("event_type", h.alias("h")).distinct()
     w = Window.partitionBy("event_type").orderBy("h")
     kth = (

@@ -925,7 +925,7 @@ def q175_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH hashed AS (
   SELECT DISTINCT event_type,
-         (user_id * 2654435761) % 2147483648 AS h
+         ((user_id % 2147483648) * 2654435761) % 2147483648 AS h
   FROM events
 ),
 per_group AS (
@@ -962,7 +962,7 @@ def q176_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity means the merged estimate EQUALS the single-pass global
     sketch, which the exact count audits."""
     e = load_table(spark, "events", sf_dir)
-    h = (F.col("user_id") * F.lit(2654435761)) % F.lit(2147483648)
+    h = ((F.col("user_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(2147483648)
     hashed = e.select("event_type", h.alias("h")).distinct()
     wg = Window.partitionBy("event_type").orderBy("h")
     sketches = hashed.withColumn("rn", F.row_number().over(wg)).filter(F.col("rn") <= 64)

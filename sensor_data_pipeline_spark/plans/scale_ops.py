@@ -1270,7 +1270,7 @@ WITH pairs AS (
   FROM events WHERE event_type IN ('click', 'purchase')
 ),
 hashed AS (
-  SELECT DISTINCT s, (e * 2654435761) % 2147483648 AS h FROM pairs
+  SELECT DISTINCT s, ((e % 2147483648) * 2654435761) % 2147483648 AS h FROM pairs
 ),
 sk AS (
   SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn FROM hashed
@@ -1325,8 +1325,11 @@ def q277_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable; at scale a partial-sort per partition then k-merge),
     and everything downstream joins 64-row frames. The exact
     intersection/union audit the estimate. Hashing is the same
-    Knuth multiplicative hash both engines compute exactly in int64
-    (max |e * 2654435761| ~ 4e16 << 2^63)."""
+    Knuth multiplicative hash both engines compute exactly in int64;
+    e is reduced mod 2^31 BEFORE the multiply — identical values by
+    modular arithmetic, and the product stays < 5.7e18 < 2^63 for any
+    key magnitude (unreduced, sf10's key-shifted user_ids overflowed —
+    caught by the second-decade stress run)."""
     ev = load_table(spark, "events", sf_dir)
     day = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000)).cast(
         "bigint"
@@ -1340,7 +1343,7 @@ def q277_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     hashed = pairs.select(
-        "s", ((F.col("e") * F.lit(2654435761)) % F.lit(2147483648)).alias("h")
+        "s", (((F.col("e") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(2147483648)).alias("h")
     ).distinct()
     wg = Window.partitionBy("s").orderBy("h")
     sketches = (
