@@ -728,3 +728,131 @@ def q278_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "word_id")
         .limit(20)
     )
+
+
+@register(
+    "q280_decay_attribution",
+    category="analytics",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts AS tc FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, ts AS tp, event_id AS pid,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT p.user_id, p.pid, p.cents,
+         [64, 32, 16, 8, 4, 2][
+           CAST((epoch_us(p.tp) - epoch_us(c.tc)) // 3600000000 AS INTEGER) + 1
+         ] AS w
+  FROM purch p JOIN clicks c
+    ON p.user_id = c.user_id
+   AND c.tc < p.tp
+   AND c.tc > p.tp - INTERVAL 6 HOUR
+),
+shared AS (
+  SELECT user_id, pid, cents, w,
+         sum(w) OVER (PARTITION BY user_id, pid) AS tot_w
+  FROM pairs
+),
+credit AS (
+  SELECT user_id, CAST(sum((cents * w * 1000) // tot_w) AS BIGINT) AS credit_milli
+  FROM shared GROUP BY user_id
+),
+attr AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_attributed,
+         CAST(sum(cents) AS BIGINT) AS attributed_cents
+  FROM (SELECT user_id, pid, max(cents) AS cents FROM pairs GROUP BY user_id, pid)
+  GROUP BY user_id
+),
+ptot AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_purchases,
+         CAST(sum(cents) AS BIGINT) AS total_cents
+  FROM purch GROUP BY user_id
+)
+SELECT t.user_id, t.n_purchases, t.total_cents,
+       CAST(coalesce(a.n_attributed, 0) AS BIGINT) AS n_attributed,
+       CAST(coalesce(a.attributed_cents, 0) AS BIGINT) AS attributed_cents,
+       CAST(coalesce(c.credit_milli, 0) AS BIGINT) AS credit_milli
+FROM ptot t
+LEFT JOIN attr a ON t.user_id = a.user_id
+LEFT JOIN credit c ON t.user_id = c.user_id
+ORDER BY t.user_id
+""",
+)
+def q280_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution with exponential decay: each purchase's
+    credit splits across ALL of the user's clicks in a 6-hour
+    lookback, weighted by halving per hour of age (w = 64 >> hours,
+    as an alphabet lookup so neither engine bit-shifts by a column) —
+    the position-decay generalization of q196's winner-take-all
+    first/last-touch. Credits stay exact integers: per-pair share =
+    (cents * w * 1000) div sum(w), truncating identically in Spark
+    div and DuckDB // (both toward zero). The pair join hashes on
+    user_id with the lookback as a residual range predicate — fan-out
+    is bounded by one user's clicks-per-6h, never a cartesian — and
+    the share denominator is a (user, purchase)-keyed window, not a
+    re-join. At 100 TB: one keyed shuffle for the pair join, keyed
+    windows, three combiner aggregates, broadcast-free."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("tc")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("tp"), F.col("event_id").alias("pid"), cents.alias("cents")
+    )
+    age_h = (
+        (F.unix_micros(F.col("tp").cast("timestamp")) - F.unix_micros(F.col("tc").cast("timestamp")))
+        / F.lit(3600000000)
+    ).cast("bigint")
+    weights = F.array(*[F.lit(v) for v in (64, 32, 16, 8, 4, 2)])
+    pairs = (
+        purch.join(
+            clicks,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("tc") < F.col("tp"))
+            & (F.col("tc") > F.col("tp") - F.expr("INTERVAL 6 HOURS")),
+        )
+        .select(
+            "user_id",
+            "pid",
+            "cents",
+            F.element_at(weights, (age_h + 1).cast("int")).alias("w"),
+        )
+    )
+    w_p = Window.partitionBy("user_id", "pid")
+    shared = pairs.withColumn("tot_w", F.sum("w").over(w_p))
+    credit = shared.groupBy("user_id").agg(
+        F.sum(F.expr("(cents * w * 1000) div tot_w")).cast("bigint").alias("credit_milli")
+    )
+    attr = (
+        pairs.groupBy("user_id", "pid")
+        .agg(F.max("cents").alias("cents"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_attributed"),
+            F.sum("cents").cast("bigint").alias("attributed_cents"),
+        )
+    )
+    ptot = purch.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    return (
+        ptot.join(attr, "user_id", "left")
+        .join(credit, "user_id", "left")
+        .select(
+            "user_id",
+            "n_purchases",
+            "total_cents",
+            F.coalesce("n_attributed", F.lit(0)).cast("bigint").alias("n_attributed"),
+            F.coalesce("attributed_cents", F.lit(0)).cast("bigint").alias("attributed_cents"),
+            F.coalesce("credit_milli", F.lit(0)).cast("bigint").alias("credit_milli"),
+        )
+        .orderBy("user_id")
+    )

@@ -1362,3 +1362,69 @@ def q267_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode(lanes).alias("k", "proj"))
         .orderBy("vec_id", "k")
     )
+
+
+@register(
+    "q281_gram_matrix",
+    category="similarity",
+    oracle="""
+WITH c AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos, embedding AS v
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, pos - 1 AS i,
+         CAST(floor(CAST(v[pos] AS DOUBLE) * 1024.0) AS BIGINT) AS comp
+  FROM c
+)
+SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+       CAST(sum(a.comp * b.comp) AS BIGINT) AS gram
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY a.i, b.i
+ORDER BY i, j
+""",
+)
+def q281_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X'X over the embedding corpus — the
+    d x d covariance-style primitive under PCA, ridge regression, and
+    whitening. The key scale property: the Gram product is a SUM of
+    per-row outer products, so each Arrow batch reduces to one d x d
+    int64 partial (numpy matmul, vectorized, upper triangle emitted)
+    and the shuffle carries <= d(d+1)/2 rows PER BATCH no matter how
+    many embeddings stream through — a mergeable-summary aggregation,
+    never a row-level self-join (which is what the oracle does, per
+    dimension pair, to prove the values). Components quantize exactly
+    (floor of float32 * 2^10 — a power of two, lossless in float64);
+    int64 headroom: |comp| ~ 2^10, so ~2^43 rows fit before the
+    partial sum could wrap. Python touches data once, through Arrow,
+    with no per-row interpretation."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, "embeddings", sf_dir).select("embedding")
+
+    def gram(batches):
+        for batch in batches:
+            rows = batch.column("embedding").to_pylist()
+            if not rows:
+                continue
+            mat = np.asarray(rows, dtype=np.float64)
+            q = np.floor(mat * 1024.0).astype(np.int64)
+            g = q.T @ q
+            d = g.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(iu.astype(np.int64), pa.int64()),
+                    pa.array(ju.astype(np.int64), pa.int64()),
+                    pa.array(g[iu, ju], pa.int64()),
+                ],
+                names=["i", "j", "partial"],
+            )
+
+    return (
+        emb.mapInArrow(gram, schema="i long, j long, partial long")
+        .groupBy("i", "j")
+        .agg(F.sum("partial").cast("bigint").alias("gram"))
+        .orderBy("i", "j")
+    )

@@ -820,3 +820,29 @@ def test_revenue_bridge_broadcast_dim_single_combiner_shuffle(spark):
     assert "partial_sum" in plan
     assert "PushedFilters" in plan or "l_shipdate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decay_attribution_user_keyed_no_cartesian(spark):
+    from sensor_data_pipeline_spark.plans.behavior import q280_decay_attribution
+
+    plan = plan_of(q280_decay_attribution(spark, SF))
+    # the purchase x click pair join is an equi-join on user_id with
+    # the lookback as a residual predicate — never a cartesian; the
+    # share denominator is a keyed window, aggregates combine map-side
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert not re.search(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Window", plan
+    ), plan
+
+
+def test_gram_matrix_partials_combine_before_shuffle(spark):
+    from sensor_data_pipeline_spark.plans.northstar import q281_gram_matrix
+
+    plan = plan_of(q281_gram_matrix(spark, SF))
+    # Python sees Arrow batches once (MapInArrow), each emitting a
+    # d x d partial; partials combine map-side before the (i, j)
+    # exchange — the shuffle carries summaries, not row-level products
+    assert "MapInArrow" in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
