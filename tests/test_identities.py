@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis, pure Python — no Spark) for the
+mathematical identities the relational rewrites in plans/behavior.py
+and plans/scale_ops.py rest on. The differential oracle proves each
+query on the fixtures; these prove the IDENTITIES on arbitrary inputs,
+so correctness does not depend on what the fixture happens to contain.
+
+- q276: CUSUM clamp recursion == reflection via running-min of prefix
+  sums (the window-expressible form).
+- q275: the keyed-lag interval set-difference emits each (user,
+  window) exactly once and covers exactly the union of trailing
+  windows.
+- q272: FIFO queue matching of two ordered flows == interval overlap
+  of their cumulative sums, and conservation matched == min(in, out).
+- q280: truncated integer credit shares conserve the purchase amount
+  to within one unit per click.
+- q277: KMV sketches merge losslessly — the k smallest of the union
+  of two k-sketches equal the k smallest of the raw union.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# --- q276: CUSUM reflection identity -------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(devs=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60))
+def test_cusum_reflection_identity(devs):
+    # recursion: S_t = max(0, S_{t-1} + d_t)
+    s, rec = 0, []
+    for d in devs:
+        s = max(0, s + d)
+        rec.append(s)
+    # reflection: S_t = P_t - min(0, min_{j<=t} P_j)
+    p, run_min, refl = 0, 0, []
+    for d in devs:
+        p += d
+        run_min = min(run_min, p)
+        refl.append(p - min(0, run_min))
+    assert rec == refl
+
+
+# --- q275: interval set-difference expansion ------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(days=st.sets(st.integers(0, 60), min_size=1, max_size=25), span=st.integers(1, 10))
+def test_sliding_window_expansion_exact_cover(days, span):
+    ordered = sorted(days)
+    emitted = []
+    prev = None
+    for d in ordered:
+        start = d if prev is None else max(d, prev + span)
+        emitted.extend(range(start, d + span))
+        prev = d
+    # exactly once per covered window-end, and exactly the union
+    assert len(emitted) == len(set(emitted))
+    want = set()
+    for d in ordered:
+        want.update(range(d, d + span))
+    assert set(emitted) == want
+
+
+# --- q272: FIFO matching == cumulative-interval overlap -------------------
+
+
+def _fifo_replay(ins: list[int], outs: list[int]) -> int:
+    """Direct queue simulation: consume credits first-in-first-out."""
+    matched, lots, i = 0, [int(x) for x in ins], 0
+    for need in outs:
+        need = int(need)
+        while need > 0 and i < len(lots):
+            take = min(need, lots[i])
+            matched += take
+            lots[i] -= take
+            need -= take
+            if lots[i] == 0:
+                i += 1
+    return matched
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ins=st.lists(st.integers(1, 500), min_size=0, max_size=20),
+    outs=st.lists(st.integers(1, 500), min_size=0, max_size=20),
+)
+def test_fifo_matching_equals_interval_overlap(ins, outs):
+    cum_in = []
+    c = 0
+    for x in ins:
+        c += x
+        cum_in.append((c - x, c))
+    cum_out = []
+    c = 0
+    for x in outs:
+        c += x
+        cum_out.append((c - x, c))
+    overlap = sum(
+        max(0, min(ih, oh) - max(il, ol)) for il, ih in cum_in for ol, oh in cum_out
+    )
+    assert overlap == _fifo_replay(ins, outs)
+    assert overlap == min(sum(ins), sum(outs))
+
+
+# --- q280: truncated share conservation -----------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    cents=st.integers(0, 100_000),
+    weights=st.lists(st.sampled_from([64, 32, 16, 8, 4, 2]), min_size=1, max_size=15),
+)
+def test_decay_credit_conserves_within_truncation(cents, weights):
+    tot = sum(weights)
+    shares = [(cents * w * 1000) // tot for w in weights]
+    total = sum(shares)
+    assert total <= cents * 1000
+    assert total >= cents * 1000 - (len(weights) - 1)
+
+
+# --- q277: KMV merge losslessness ----------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    a=st.sets(st.integers(0, 2**31 - 1), max_size=200),
+    b=st.sets(st.integers(0, 2**31 - 1), max_size=200),
+    k=st.integers(1, 64),
+)
+def test_kmv_union_of_sketches_is_sketch_of_union(a, b, k):
+    sk_a = sorted(a)[:k]
+    sk_b = sorted(b)[:k]
+    merged = sorted(set(sk_a) | set(sk_b))[:k]
+    truth = sorted(a | b)[:k]
+    assert merged == truth
