@@ -856,3 +856,180 @@ def q280_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q282_time_weighted_average",
+    category="timeseries",
+    oracle="""
+WITH ser AS (
+  SELECT user_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_us,
+         epoch_us(ts) AS t_us
+  FROM events WHERE event_type = 'view'
+),
+seg AS (
+  SELECT user_id, cents * (next_us - t_us) AS area, next_us - t_us AS dur
+  FROM ser WHERE next_us IS NOT NULL
+)
+SELECT user_id,
+       CAST(sum(area) AS BIGINT) AS area_cents_us,
+       CAST(sum(dur) AS BIGINT) AS span_us,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(area) AS DOUBLE) / sum(dur) AS twap_cents
+FROM seg GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q282_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each reading holds its value until
+    the next one, so the average integrates value x holding-duration
+    instead of treating samples as equally spaced — THE correct
+    summary for irregularly-sampled gauges (sensor states, account
+    balances, position marks), where the arithmetic mean of q07
+    over-weights bursts. The integral is exact int64 (cents x
+    microseconds; |area| < 5.6e4 * 2.6e6s * 1e6 ~ 1.5e17 per segment-
+    month, summed per user), the per-user step function needs ONE
+    keyed window (lead), and the final division is a single IEEE op
+    on exact integers — both engines emit the identical double. At
+    100 TB: one user-keyed shuffle, map-side-combinable aggregate;
+    emitting numerator/denominator keeps the result mergeable across
+    partitions and re-aggregable to any coarser grouping."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_type") == "view")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ser = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        t_us.alias("t_us"),
+        F.lead(t_us).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    seg = ser.select(
+        "user_id",
+        (F.col("cents") * (F.col("next_us") - F.col("t_us"))).alias("area"),
+        (F.col("next_us") - F.col("t_us")).alias("dur"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum("area").cast("bigint").alias("area_cents_us"),
+            F.sum("dur").cast("bigint").alias("span_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        )
+        .select(
+            "user_id",
+            "area_cents_us",
+            "span_us",
+            "n_segments",
+            (F.col("area_cents_us").cast("double") / F.col("span_us")).alias("twap_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_INV_CAP = 20000  # 200.00 in cents: both clamps fire on this fixture
+
+
+@register(
+    "q283_bounded_inventory",
+    category="stateful",
+    oracle="""
+WITH RECURSIVE t AS (
+  SELECT user_id,
+         CAST(round(value * 100, 0) AS BIGINT)
+           * (CASE WHEN event_type = 'click' THEN 1 ELSE -1 END) AS delta,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+r AS (
+  SELECT user_id, rn,
+         least(20000, greatest(CAST(0 AS BIGINT), delta)) AS s,
+         CAST(CASE WHEN delta > 20000 THEN 1 ELSE 0 END AS BIGINT) AS nov,
+         CAST(CASE WHEN delta < 0 THEN 1 ELSE 0 END AS BIGINT) AS nun,
+         greatest(CAST(0 AS BIGINT), delta - 20000) AS lost,
+         greatest(CAST(0 AS BIGINT), -delta) AS unmet
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.user_id, t.rn,
+         least(20000, greatest(CAST(0 AS BIGINT), r.s + t.delta)),
+         r.nov + CASE WHEN r.s + t.delta > 20000 THEN 1 ELSE 0 END,
+         r.nun + CASE WHEN r.s + t.delta < 0 THEN 1 ELSE 0 END,
+         r.lost + greatest(CAST(0 AS BIGINT), r.s + t.delta - 20000),
+         r.unmet + greatest(CAST(0 AS BIGINT), -(r.s + t.delta))
+  FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1
+),
+last AS (SELECT user_id, max(rn) AS mr FROM t GROUP BY user_id)
+SELECT r.user_id,
+       CAST(l.mr AS BIGINT) AS n_events,
+       r.s AS final_cents,
+       r.nov AS n_overflow, r.nun AS n_underflow,
+       r.lost AS lost_cents, r.unmet AS unmet_cents
+FROM r JOIN last l ON r.user_id = l.user_id AND r.rn = l.mr
+ORDER BY r.user_id
+""",
+)
+def q283_bounded_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided bounded running sum — the battery/inventory/quota
+    simulation S_t = clamp(S_{t-1} + delta_t, 0, cap), with overflow
+    (clipped deposits) and shortfall (unmet withdrawals) accounted
+    exactly. Unlike q276's one-sided clamp, the two-sided recursion
+    has no frame-window reflection identity; but clamp-composition IS
+    an associative monoid (each segment reduces to a 3-parameter
+    (shift, lo, hi) transform), so the fold parallelizes as a scan at
+    any scale. Here it runs as q265's JVM-side pattern: one user-keyed
+    shuffle collects each user's (ts, event_id)-sorted flow array and
+    F.aggregate folds the clamp + counters in Catalyst expressions —
+    no Python, state bounded by one user's activity. The oracle
+    replays the recursion with a recursive CTE (the q200/q233
+    pattern). Clamps both fire on this fixture (single events reach
+    2.4x cap), so every output column discriminates."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    delta = F.round(F.col("value") * 100, 0).cast("bigint") * F.when(
+        F.col("event_type") == "click", 1
+    ).otherwise(-1)
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", delta.alias("delta")))
+        ).alias("evs")
+    )
+    cap = F.lit(_INV_CAP).cast("bigint")
+    zero_l = F.lit(0).cast("bigint")
+    acc0 = F.struct(
+        zero_l.alias("s"),
+        zero_l.alias("nov"),
+        zero_l.alias("nun"),
+        zero_l.alias("lost"),
+        zero_l.alias("unmet"),
+    )
+    state = F.aggregate(
+        F.col("evs"),
+        acc0,
+        lambda acc, e: F.struct(
+            F.least(cap, F.greatest(zero_l, acc["s"] + e["delta"])).alias("s"),
+            (acc["nov"] + (acc["s"] + e["delta"] > cap).cast("bigint")).alias("nov"),
+            (acc["nun"] + (acc["s"] + e["delta"] < 0).cast("bigint")).alias("nun"),
+            (acc["lost"] + F.greatest(zero_l, acc["s"] + e["delta"] - cap)).alias("lost"),
+            (acc["unmet"] + F.greatest(zero_l, -(acc["s"] + e["delta"]))).alias("unmet"),
+        ),
+    )
+    return (
+        seq.select(
+            "user_id",
+            F.size("evs").cast("bigint").alias("n_events"),
+            state.alias("st"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.col("st.s").alias("final_cents"),
+            F.col("st.nov").alias("n_overflow"),
+            F.col("st.nun").alias("n_underflow"),
+            F.col("st.lost").alias("lost_cents"),
+            F.col("st.unmet").alias("unmet_cents"),
+        )
+        .orderBy("user_id")
+    )

@@ -136,3 +136,33 @@ def test_kmv_union_of_sketches_is_sketch_of_union(a, b, k):
     merged = sorted(set(sk_a) | set(sk_b))[:k]
     truth = sorted(a | b)[:k]
     assert merged == truth
+
+
+# --- q283: clamp-fold composition is a 3-parameter monoid -----------------
+
+
+def _clamp(x, lo, hi):
+    return max(lo, min(hi, x))
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    deltas=st.lists(st.integers(-50_000, 50_000), min_size=1, max_size=40),
+    cap=st.integers(1, 30_000),
+    s0=st.integers(0, 30_000),
+)
+def test_bounded_inventory_clamp_composes(deltas, cap, s0):
+    s0 = min(s0, cap)
+    # sequential fold
+    s = s0
+    for d in deltas:
+        s = _clamp(s + d, 0, cap)
+    # composed transform: each step is f(s) = clamp(s + d, 0, cap),
+    # composition stays in the (shift, lo, hi) family — the property
+    # that makes the fold a parallel scan at scale
+    D, lo, hi = 0, -(10**18), 10**18
+    for d in deltas:
+        D = D + d
+        lo = _clamp(lo + d, 0, cap)
+        hi = _clamp(hi + d, 0, cap)
+    assert _clamp(s0 + D, lo, hi) == s

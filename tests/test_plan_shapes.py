@@ -846,3 +846,26 @@ def test_gram_matrix_partials_combine_before_shuffle(spark):
     assert "MapInArrow" in plan
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_twap_single_keyed_window_combiner_agg(spark):
+    from sensor_data_pipeline_spark.plans.behavior import q282_time_weighted_average
+
+    plan = plan_of(q282_time_weighted_average(spark, SF))
+    # one user-keyed lead window; integral sums combine map-side
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert not re.search(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Window", plan
+    ), plan
+
+
+def test_bounded_inventory_jvm_fold_no_python(spark):
+    from sensor_data_pipeline_spark.plans.behavior import q283_bounded_inventory
+
+    plan = plan_of(q283_bounded_inventory(spark, SF))
+    # the clamp fold runs in Catalyst expressions over the per-user
+    # sorted array — no Python evaluation node, one keyed shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
