@@ -249,3 +249,79 @@ def asof_join_cogrouped(
         .applyInPandas(merge, schema=out_schema)
         .select(*left_cols, *r_vals)
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    *,
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join, NEAREST direction: attach the right row whose
+    timestamp minimizes ``|right_ts - left_ts|``; exact ties resolve
+    to the earlier (backward) match, deterministically. Completes the
+    family next to :func:`asof_join`'s backward/forward (reference
+    J1 fan-in, src/modules/dd/producer.c:236-265 — "pair the reading
+    taken closest in time").
+
+    Same scale shape as asof_join: tag both sides, union, ONE
+    co-partitioning on the key, then BOTH candidate directions come
+    from two frames over the same keyed sort (last-non-null preceding
+    for the backward candidate, first-non-null following for the
+    forward one) — nearest selection is a row-local comparison, so
+    no second shuffle and no join. Equal-timestamp right rows sort
+    before left rows and are found by the backward frame with
+    distance zero. The chosen right timestamp is returned as
+    ``matched_ts`` so callers can emit the match distance.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    val_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    out_vals = [f"{c}{suffix}" if c in left.columns else c for c in val_cols]
+
+    l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    for c, new in zip(val_cols, out_vals):
+        l_tagged = l_tagged.withColumn(new, F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = right.withColumn("_ts", F.col(right_ts)).withColumn("_side", F.lit(0))
+    for c, new in zip(val_cols, out_vals):
+        if new != c:
+            r_tagged = r_tagged.withColumnRenamed(c, new)
+    for c in left.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    cols = [*keys, "_ts", "_side", *[c for c in left.columns if c not in keys], *out_vals]
+    unioned = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
+
+    wbase = Window.partitionBy(*keys).orderBy("_ts", "_side")
+    w_prev = wbase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = wbase.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    right_ts_col = F.when(F.col("_side") == 0, F.col("_ts"))
+    filled = unioned.withColumn(
+        "_prev_ts", F.last(right_ts_col, ignorenulls=True).over(w_prev)
+    ).withColumn("_next_ts", F.first(right_ts_col, ignorenulls=True).over(w_next))
+    for c in out_vals:
+        filled = filled.withColumn(f"_prev_{c}", F.last(c, ignorenulls=True).over(w_prev))
+        filled = filled.withColumn(f"_next_{c}", F.first(c, ignorenulls=True).over(w_next))
+
+    dist_prev = F.unix_micros(F.col("_ts").cast("timestamp")) - F.unix_micros(
+        F.col("_prev_ts").cast("timestamp")
+    )
+    dist_next = F.unix_micros(F.col("_next_ts").cast("timestamp")) - F.unix_micros(
+        F.col("_ts").cast("timestamp")
+    )
+    # forward wins only when strictly closer (ties -> backward/earlier)
+    take_next = F.col("_prev_ts").isNull() | (
+        F.col("_next_ts").isNotNull() & (dist_next < dist_prev)
+    )
+    result = filled.filter(F.col("_side") == 1).withColumn(
+        "matched_ts", F.when(take_next, F.col("_next_ts")).otherwise(F.col("_prev_ts"))
+    )
+    for c in out_vals:
+        result = result.withColumn(
+            c, F.when(take_next, F.col(f"_next_{c}")).otherwise(F.col(f"_prev_{c}"))
+        )
+    drop = ["_ts", "_side", "_prev_ts", "_next_ts"]
+    drop += [f"_prev_{c}" for c in out_vals] + [f"_next_{c}" for c in out_vals]
+    return result.drop(*drop)

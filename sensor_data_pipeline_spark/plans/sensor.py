@@ -974,3 +974,72 @@ def q222_ts_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "user_id", "start_pos")
         .limit(_TSS_K)
     )
+
+
+@register(
+    "q284_asof_nearest",
+    category="join",
+    # The oracle brute-forces every (purchase, click) pair per user and
+    # row_number-picks the minimum (distance, click-time) — quadratic,
+    # fine for an oracle; the engine side is the one-shuffle union-
+    # window plan in operators/joins.py::asof_join_nearest.
+    oracle="""
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+),
+cand AS (
+  SELECT p.user_id, p.event_id, epoch_us(p.ts) AS t_us, epoch_us(c.cts) AS c_us,
+         abs(epoch_us(c.cts) - epoch_us(p.ts)) AS dist,
+         row_number() OVER (
+           PARTITION BY p.user_id, p.event_id
+           ORDER BY abs(epoch_us(c.cts) - epoch_us(p.ts)), epoch_us(c.cts)
+         ) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id
+)
+SELECT user_id, event_id, CAST(t_us AS BIGINT) AS t_us,
+       CAST(dist AS BIGINT) AS diff_us,
+       CASE WHEN c_us <= t_us THEN 'backward' ELSE 'forward' END AS dir
+FROM cand WHERE rn = 1
+UNION ALL
+SELECT p.user_id, p.event_id, CAST(epoch_us(p.ts) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+FROM p WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id)
+ORDER BY user_id, event_id
+""",
+)
+def q284_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction — every purchase pairs with the
+    click closest in time either way, ties to the earlier click. This
+    completes the as-of family (q29 backward, q138 forward, q125
+    tolerance, q113 cogrouped, q258 point-in-time): 'nearest' is what
+    sensor fusion actually wants when neither before-only nor
+    after-only is privileged (reference J1 pairs the two sensor reads
+    taken closest together, src/modules/dd/producer.c:236-265). The
+    plan is ONE co-partitioning: both candidate directions come from
+    two frames over the same keyed sort inside
+    operators/joins.py::asof_join_nearest, and nearest-selection is a
+    row-local comparison — no second shuffle, no pairwise join, while
+    the oracle pays the quadratic candidate join to prove the values."""
+    from sensor_data_pipeline_spark.operators.joins import asof_join_nearest
+
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    j = asof_join_nearest(p, c, on="user_id", left_ts="ts", right_ts="cts")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    m_us = F.unix_micros(F.col("matched_ts").cast("timestamp"))
+    return j.select(
+        "user_id",
+        "event_id",
+        t_us.alias("t_us"),
+        F.abs(m_us - t_us).cast("bigint").alias("diff_us"),
+        F.when(F.col("matched_ts").isNull(), F.lit(None).cast("string"))
+        .when(F.col("matched_ts") <= F.col("ts"), F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("dir"),
+    ).orderBy("user_id", "event_id")

@@ -869,3 +869,15 @@ def test_bounded_inventory_jvm_fold_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_asof_nearest_one_copartition_no_join(spark):
+    from sensor_data_pipeline_spark.plans.sensor import q284_asof_nearest
+
+    plan = plan_of(q284_asof_nearest(spark, SF))
+    # both directions come from frames over ONE keyed sort of the
+    # union — no pairwise join node, no cartesian, one hash exchange
+    # for the window (plus the final order's range exchange)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

@@ -276,3 +276,39 @@ def test_rendezvous_grow_moves_only_to_new_shard(spark, ids):
 
     rows = df.select(shard_of(8).alias("s8"), shard_of(9).alias("s9")).collect()
     assert all(r.s9 == 8 for r in rows if r.s8 != r.s9)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left_ts=st.lists(_ts, min_size=1, max_size=12),
+    right=st.lists(
+        st.tuples(_ts, st.integers(-100, 100)), min_size=0, max_size=12, unique_by=lambda t: t[0]
+    ),
+)
+def test_asof_nearest_matches_reference(spark, left_ts, right):
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline_spark.operators.joins import asof_join_nearest
+
+    left = spark.createDataFrame([("k", t) for t in left_ts], "k string, lts long").withColumn(
+        "lts", F.timestamp_seconds("lts")
+    )
+    rdf = spark.createDataFrame(
+        [("k", t, float(v)) for t, v in right], "k string, rts long, v double"
+    ).withColumn("rts", F.timestamp_seconds("rts"))
+    got = {
+        (r.k, r.lts): r.v
+        for r in asof_join_nearest(left, rdf, on="k", left_ts="lts", right_ts="rts").collect()
+    }
+    assert len(got) == len(set(left_ts))  # one dict entry per distinct left ts
+    # reference: minimize (|rts - lts|, rts) — ties to the earlier match
+    import datetime
+
+    for t in left_ts:
+        if right:
+            rt, rv = min(right, key=lambda rv_: (abs(rv_[0] - t), rv_[0]))
+            want = float(rv)
+        else:
+            want = None
+        key = ("k", datetime.datetime.fromtimestamp(t, datetime.timezone.utc).replace(tzinfo=None))
+        assert got[key] == want, (t, got[key], want)
