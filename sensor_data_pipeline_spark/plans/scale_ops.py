@@ -1404,3 +1404,75 @@ def q277_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_intersection"
         ),
     )
+
+
+@register(
+    "q285_exact_auc",
+    category="profile",
+    oracle="""
+WITH s AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+),
+g AS (SELECT c, count(*) AS n, sum(pos) AS p FROM s GROUP BY c),
+r AS (
+  SELECT c, n, p,
+         coalesce(sum(n) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM g
+),
+agg AS (
+  SELECT CAST(sum(p * (2 * cum_before + n + 1)) AS BIGINT) AS r2,
+         CAST(sum(p) AS BIGINT) AS npos,
+         CAST(sum(n) - sum(p) AS BIGINT) AS nneg
+  FROM r
+)
+SELECT npos, nneg,
+       CAST(r2 - npos * (npos + 1) AS BIGINT) AS u2,
+       CAST(r2 - npos * (npos + 1) AS DOUBLE) / (2.0 * npos * nneg) AS auc
+FROM agg
+""",
+)
+def q285_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed ROC-AUC — the model-evaluation operator, via
+    the Mann-Whitney rank-sum identity AUC = U / (n+ * n-) with proper
+    midrank tie handling (scored datasets are full of ties; naive
+    rank() biases AUC). Everything is integer: scores collapse to a
+    bounded domain (cents), per-score (count, positives) is one
+    combiner groupBy, midranks come from a cumulative count over the
+    DOMAIN (the distributed two-pass prefix scan of
+    operators/prefix.py — never a single-partition window over data),
+    and 2x-scaled midranks keep the half-integer midpoints exact in
+    int64. The only float is the final one-op division of exact
+    integers. At 100 TB: sorting-free, two combiner shuffles plus the
+    O(distinct-scores) scan — this is how AUC is computed over
+    billions of rows without ranking them. Self-check: u2 is the
+    tie-corrected rank-sum statistic, recomputable from npos/nneg/auc."""
+    from sensor_data_pipeline_spark.operators.prefix import global_running_sum
+
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    g = s.groupBy("c").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p")
+    )
+    r = global_running_sum(g, "c", "n", out_col="cum").withColumn(
+        "cum_before", F.col("cum") - F.col("n")
+    )
+    agg = r.agg(
+        F.sum(F.col("p") * (2 * F.col("cum_before") + F.col("n") + 1))
+        .cast("bigint")
+        .alias("r2"),
+        F.sum("p").cast("bigint").alias("npos"),
+        (F.sum("n") - F.sum("p")).cast("bigint").alias("nneg"),
+    )
+    u2 = F.col("r2") - F.col("npos") * (F.col("npos") + 1)
+    return agg.select(
+        "npos",
+        "nneg",
+        u2.cast("bigint").alias("u2"),
+        (u2.cast("double") / (2.0 * F.col("npos") * F.col("nneg"))).alias("auc"),
+    )

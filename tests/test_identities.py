@@ -166,3 +166,28 @@ def test_bounded_inventory_clamp_composes(deltas, cap, s0):
         lo = _clamp(lo + d, 0, cap)
         hi = _clamp(hi + d, 0, cap)
     assert _clamp(s0 + D, lo, hi) == s
+
+
+# --- q285: midrank rank-sum AUC == pairwise AUC ---------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    pos=st.lists(st.integers(0, 30), min_size=1, max_size=40),
+    neg=st.lists(st.integers(0, 30), min_size=1, max_size=40),
+)
+def test_exact_auc_ranksum_equals_pairwise(pos, neg):
+    # pairwise: wins + half-ties over all (pos, neg) score pairs
+    wins2 = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
+    # rank-sum with 2x midranks over the bounded score domain
+    from collections import Counter
+
+    cn = Counter(pos + neg)
+    cp = Counter(pos)
+    cum_before, r2 = 0, 0
+    for c in sorted(cn):
+        r2 += cp.get(c, 0) * (2 * cum_before + cn[c] + 1)
+        cum_before += cn[c]
+    npos = len(pos)
+    u2 = r2 - npos * (npos + 1)
+    assert u2 == wins2

@@ -881,3 +881,14 @@ def test_asof_nearest_one_copartition_no_join(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_exact_auc_domain_scan_no_data_sort(spark):
+    from sensor_data_pipeline_spark.plans.scale_ops import q285_exact_auc
+
+    plan = plan_of(q285_exact_auc(spark, SF))
+    # midranks come from the checkpointed distributed prefix scan over
+    # the score DOMAIN; raw rows are never globally sorted or ranked
+    assert "Scan ExistingRDD" in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
