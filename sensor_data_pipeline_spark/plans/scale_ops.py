@@ -1476,3 +1476,80 @@ def q285_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         u2.cast("bigint").alias("u2"),
         (u2.cast("double") / (2.0 * F.col("npos") * F.col("nneg"))).alias("auc"),
     )
+
+
+@register(
+    "q286_calibration_bins",
+    category="profile",
+    oracle="""
+WITH s AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS y
+  FROM events
+),
+mx AS (SELECT max(c) AS cmax FROM s),
+b AS (
+  SELECT least(9, s.c * 10 // (m.cmax + 1)) AS bin, s.c, s.y, m.cmax
+  FROM s, mx m
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(c) AS BIGINT) AS sum_pred_scaled,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum((c - cmax * y) * (c - cmax * y)) AS BIGINT) AS brier_num,
+       CAST(min(cmax) AS BIGINT) AS cmax,
+       CAST(sum(y) AS DOUBLE) / count(*) AS observed_rate,
+       CAST(sum(c) AS DOUBLE) / (count(*) * min(cmax)) AS mean_pred
+FROM b GROUP BY bin ORDER BY bin
+""",
+)
+def q286_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability bins — q285's companion model-eval
+    operator: scores (normalized by the observed max, so p = c/cmax)
+    bucket into 10 fixed-width bins, each reporting predicted mass vs
+    observed outcome rate plus the exact Brier numerator
+    sum((c - cmax*y)^2) — the inputs of the Murphy reliability/
+    resolution/uncertainty decomposition, all in cross-multiplied
+    int64 (squares bounded ~3e9 per row, ~3e16 summed at the second
+    replica decade). The only floats are two final divisions of exact
+    integers. Plan: a 1-row max broadcast and ONE combiner groupBy
+    over 10 keys — calibration over any corpus size costs one
+    map-side-combinable shuffle of 10-row summaries, and bins stay
+    mergeable across shards/days by construction."""
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).cast("bigint").alias("y"),
+    )
+    mx = s.agg(F.max("c").alias("cmax"))
+    b = s.crossJoin(F.broadcast(mx)).select(
+        F.least(F.lit(9).cast("bigint"), F.expr("c * 10 div (cmax + 1)")).alias("bin"),
+        "c",
+        "y",
+        "cmax",
+    )
+    sq = (F.col("c") - F.col("cmax") * F.col("y")) * (F.col("c") - F.col("cmax") * F.col("y"))
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("sum_pred_scaled"),
+            F.sum("y").cast("bigint").alias("sum_y"),
+            F.sum(sq).cast("bigint").alias("brier_num"),
+            F.min("cmax").cast("bigint").alias("cmax"),
+        )
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            "n",
+            "sum_pred_scaled",
+            "sum_y",
+            "brier_num",
+            "cmax",
+            (F.col("sum_y").cast("double") / F.col("n")).alias("observed_rate"),
+            (F.col("sum_pred_scaled").cast("double") / (F.col("n") * F.col("cmax"))).alias(
+                "mean_pred"
+            ),
+        )
+        .orderBy("bin")
+    )

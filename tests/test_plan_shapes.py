@@ -892,3 +892,14 @@ def test_exact_auc_domain_scan_no_data_sort(spark):
     assert "Scan ExistingRDD" in plan
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_calibration_bins_single_combiner_groupby(spark):
+    from sensor_data_pipeline_spark.plans.scale_ops import q286_calibration_bins
+
+    plan = plan_of(q286_calibration_bins(spark, SF))
+    # the max rides a 1-row broadcast; the 10-bin rollup combines
+    # map-side — calibration is one summary shuffle at any scale
+    assert "BroadcastExchange" in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
