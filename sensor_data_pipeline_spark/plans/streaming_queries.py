@@ -825,3 +825,93 @@ def q260_stream_tws_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain(delta_stream(readings), "q260_mem")
     return out.select("k", "tick_ts", "value", "delta").orderBy("k", "tick_ts")
+
+
+@register(
+    "q287_stream_nearest_match",
+    category="streaming",
+    # The oracle replays the two-sided band join + per-purchase argmin
+    # relationally. The STREAM side stops at the raw pair join (q96's
+    # drain-then-aggregate pattern): chaining the argmin aggregation
+    # INTO the streaming query would make emission depend on the
+    # join's internally-propagated watermark (measured: the join
+    # lowers each side's output watermark by the band width, so tail
+    # windows are withheld ~band+delay earlier than the naive
+    # max(ts)-delay rule) — semantics a batch oracle cannot robustly
+    # encode; see .claude/skills/verify/SKILL.md.
+    oracle="""
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+cand AS (
+  SELECT p.event_id AS pid, p.user_id,
+         abs(epoch_us(c.cts) - epoch_us(p.ts)) AS dist,
+         epoch_us(c.cts) AS c_us,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(epoch_us(c.cts) - epoch_us(p.ts)), epoch_us(c.cts)
+         ) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.cts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE
+)
+SELECT CAST(pid AS BIGINT) AS pid, CAST(user_id AS BIGINT) AS user_id,
+       CAST(dist AS BIGINT) AS diff_us, CAST(c_us AS BIGINT) AS click_us
+FROM cand WHERE rn = 1 ORDER BY pid
+""",
+)
+def q287_stream_nearest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bounded-delay nearest match — q284's as-of NEAREST
+    lowered onto two live streams: purchases pair with the closest
+    click within a +/-5-minute band. 'Nearest' needs the FUTURE, so
+    unbounded nearest cannot stream; bounding the band makes it
+    viable — each purchase is decidable once the click watermark
+    passes its band end, and the two-sided interval join keeps both
+    state stores bounded to band + watermark delay (the q96 property,
+    here with a band in EACH direction). The drain emits raw pairs
+    and the per-purchase argmin runs batch-side on the sink (ties to
+    the earlier click, deterministically) — see the oracle comment
+    for why the argmin must not be fused into the streaming DAG. At
+    100 TB/day: join state is O(band x rate) per side, the argmin is
+    a combiner min(struct) keyed by purchase."""
+    p = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_uid"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("pid"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    c = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    j = p.join(
+        c,
+        F.expr(
+            "p_uid = c_uid AND c_ts >= p_ts - interval 5 minutes"
+            " AND c_ts <= p_ts + interval 5 minutes"
+        ),
+    )
+    out = _drain(
+        j.select(
+            "pid",
+            F.col("p_uid").alias("user_id"),
+            F.abs(F.unix_micros("c_ts") - F.unix_micros("p_ts")).alias("dist"),
+            F.unix_micros("c_ts").alias("c_us"),
+        ),
+        "q287_mem",
+    )
+    best = out.groupBy("pid", "user_id").agg(
+        F.min(F.struct("dist", "c_us")).alias("best")
+    )
+    return best.select(
+        F.col("pid").cast("bigint").alias("pid"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("best.dist").cast("bigint").alias("diff_us"),
+        F.col("best.c_us").cast("bigint").alias("click_us"),
+    ).orderBy("pid")
