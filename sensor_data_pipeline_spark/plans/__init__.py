@@ -26,12 +26,14 @@ from sensor_data_pipeline_spark.plans import behavior  # noqa: F401,E402
 # representatives each — rather than whatever import order produced.
 # Everything else follows in original registration order.
 _DRIVER_WINDOW = [
-    # ROUND-4 ROTATION (revised in-round): 46/50 (92%) never
-    # driver-checked in rounds 1-3; five stable never-checked slots
-    # (q227/q230/q231/q249/q197) were swapped for the five riskiest
-    # round-4 additions (q270/q271/q272/q275/q277) so the newest code
-    # gets hard verification first — fresh-for-fresh, cumulative
-    # coverage unchanged.
+    # ROUND-4 ROTATION (revised in-round, twice): 46/50 (92%) never
+    # driver-checked in rounds 1-3. Eight stable never-checked slots
+    # (q227/q230/q231/q249/q197, then q245/q247/q248 — all plain
+    # integer-algebra shapes) were swapped for the eight riskiest
+    # round-4 additions (q270/q271/q272/q275/q277, then q279 symmetric
+    # decimal, q281 mapInArrow, q287 streaming band join) so the
+    # newest code and newest PATTERNS get hard verification first —
+    # fresh-for-fresh, cumulative coverage unchanged.
     # prioritizing the newest, least-verified work (q236-q260 curation/
     # streaming additions, q213-q222 layout/multimodal/iterative,
     # q196-q198/q205-q206-adjacent scale ops). The 4 previously-green
@@ -59,10 +61,7 @@ _DRIVER_WINDOW = [
     "q242_sql_pipe_syntax",
     "q243_disorder_profile",
     "q244_k_anonymity_audit",
-    "q245_rank_normalize",
     "q246_ols_moments_by_key",
-    "q247_transition_matrix",
-    "q248_frequency_drift",
     "q250_referential_integrity",
     "q251_refpoint_pruned_search",
     "q252_incremental_topk",
@@ -82,6 +81,9 @@ _DRIVER_WINDOW = [
     "q272_fifo_matching",  # cumulative-interval-overlap identity
     "q275_sliding_distinct_actors",  # interval set-difference expansion
     "q277_kmv_intersection",  # KMV union/intersection estimator
+    "q279_revenue_bridge",  # symmetric DECIMAL(38,0)/HUGEINT products
+    "q281_gram_matrix",  # mapInArrow numpy partials
+    "q287_stream_nearest_match",  # two-sided-band stream-stream join
     # --- never checked: layout / multimodal / iterative (q213-q222) ---
     "q213_zorder_layout",
     "q214_bloom_semijoin",
