@@ -1,0 +1,776 @@
+"""Statistical inference and data-profiling queries: digit-law audits,
+two-sample tests, survival curves, functional-dependency discovery,
+weighted quantiles, grid-bucketed spatial nearest neighbors,
+Apriori-pruned association rules, and rank fusion.
+
+The family's shared discipline (the q246 pattern): quantize doubles to
+integer cents FIRST, keep every aggregate an exact BIGINT, and derive
+any final float statistic from those exact integers through
+correctly-rounded IEEE ops only (+ - * / sqrt) so Spark and DuckDB
+produce bit-identical doubles; transcendentals (log10/ln/exp) appear
+only under round(x, 6).
+
+Reference analog: the reference computes per-reading derived statistics
+one record at a time (src/modules/dd/consumer.cpp:241-268,
+src/modules/rs/main.c:101-133); these are the set-level statistical
+generalizations a 100 TB corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sensor_data_pipeline_spark.functions.text import tokenize
+from sensor_data_pipeline_spark.plans.registry import register
+from sensor_data_pipeline_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# q288 — Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q288_benford_digit_audit",
+    category="profile",
+    oracle="""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM lineitem
+),
+g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY digit),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+SELECT g.digit,
+       g.n,
+       CAST(g.n AS DOUBLE) / t.total AS obs_share,
+       round(log10(1.0 + 1.0 / g.digit), 6) AS exp_share,
+       round((g.n - t.total * log10(1.0 + 1.0 / g.digit))
+             * (g.n - t.total * log10(1.0 + 1.0 / g.digit))
+             / (t.total * log10(1.0 + 1.0 / g.digit)), 6) AS chi2_term
+FROM g, t
+ORDER BY g.digit
+""",
+)
+def q288_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of extended price: a
+    fraud/synthesis detector that compares the observed leading-digit
+    distribution against log10(1 + 1/d) and emits the per-digit
+    chi-square contribution. The digit is extracted from the exact
+    integer cents via string head (never floor(log10(x)), whose
+    last-ulp behavior at exact powers of ten differs between libm and
+    the JVM). Plan: map-only digit projection, a 9-group partial-agg
+    shuffle, and a broadcast 1-row total — a full-table audit whose
+    shuffle payload is 9 rows at any scale. At 100 TB this is the
+    cheapest possible shape: one scan, map-side combine into <=9
+    groups per partition."""
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    g = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = g.agg(F.sum("n").cast("bigint").alias("total"))
+    e = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    diff = F.col("n") - F.col("total") * e
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("obs_share"),
+            F.round(e, 6).alias("exp_share"),
+            F.round(diff * diff / (F.col("total") * e), 6).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q289 — Welch two-sample t-test per segment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q289_welch_ttest",
+    category="analytics",
+    oracle="""
+WITH base AS (
+  SELECT user_id % 3 AS segment,
+         event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS y
+  FROM events
+  WHERE event_type IN ('view', 'click')
+),
+m AS (
+  SELECT segment,
+         CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n1,
+         CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n2,
+         CAST(sum(y) FILTER (WHERE event_type = 'view') AS BIGINT) AS s1,
+         CAST(sum(y) FILTER (WHERE event_type = 'click') AS BIGINT) AS s2,
+         CAST(sum(y * y) FILTER (WHERE event_type = 'view') AS BIGINT) AS q1,
+         CAST(sum(y * y) FILTER (WHERE event_type = 'click') AS BIGINT) AS q2
+  FROM base GROUP BY segment
+),
+v AS (
+  SELECT segment, n1, n2, s1, s2,
+         (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS v1,
+         (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) AS v2
+  FROM m
+)
+SELECT segment, n1, n2,
+       CAST(s1 AS DOUBLE) / n1 AS mean1_cents,
+       CAST(s2 AS DOUBLE) / n2 AS mean2_cents,
+       v1 AS var1,
+       v2 AS var2,
+       (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+         / sqrt(v1 / n1 + v2 / n2) + 0.0 AS t_stat,
+       (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+         / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+            + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS welch_df
+FROM v
+ORDER BY segment
+""",
+)
+def q289_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test ('view' vs 'click'
+    event values) per user segment, with the Welch-Satterthwaite
+    degrees of freedom. Values quantize to exact integer cents; counts
+    and raw moments (sum, sum-of-squares) are exact BIGINTs, so the
+    final t statistic is computed from identical doubles through
+    correctly-rounded ops only (+ - * / sqrt) — bit-identical across
+    engines, so it is emitted RAW (no round(); `+ 0.0` normalizes a
+    potential -0.0 when group means tie). Variance uses the moment form
+    with the s^2/n product done in DOUBLE (s1*s1 would overflow BIGINT
+    near sf1). Plan: one scan, conditional partial aggregation into 3
+    segments — a map-side-combine shuffle of 3 rows regardless of
+    input size. The A/B-testing primitive at 100 TB: no second pass,
+    no per-group sort."""
+    ev = load_table(spark, "events", sf_dir)
+    y = F.round(F.col("value") * 100, 0).cast("bigint")
+    is1 = F.col("event_type") == "view"
+    is2 = F.col("event_type") == "click"
+    m = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .select((F.col("user_id") % 3).alias("segment"), F.col("event_type"), y.alias("y"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.when(is1, 1)).cast("bigint").alias("n1"),
+            F.count(F.when(is2, 1)).cast("bigint").alias("n2"),
+            F.sum(F.when(is1, F.col("y"))).cast("bigint").alias("s1"),
+            F.sum(F.when(is2, F.col("y"))).cast("bigint").alias("s2"),
+            F.sum(F.when(is1, F.col("y") * F.col("y"))).cast("bigint").alias("q1"),
+            F.sum(F.when(is2, F.col("y") * F.col("y"))).cast("bigint").alias("q2"),
+        )
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    v1 = (F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    v2 = (F.col("q2").cast("double") - F.col("s2").cast("double") * F.col("s2") / F.col("n2")) / (
+        F.col("n2") - 1
+    )
+    se1 = v1 / n1d
+    se2 = v2 / n2d
+    mean1 = F.col("s1").cast("double") / F.col("n1")
+    mean2 = F.col("s2").cast("double") / F.col("n2")
+    return (
+        m.select(
+            "segment",
+            "n1",
+            "n2",
+            mean1.alias("mean1_cents"),
+            mean2.alias("mean2_cents"),
+            v1.alias("var1"),
+            v2.alias("var2"),
+            ((mean1 - mean2) / F.sqrt(se1 + se2) + F.lit(0.0)).alias("t_stat"),
+            (
+                (se1 + se2) * (se1 + se2)
+                / (se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1))
+            ).alias("welch_df"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q290 — Kaplan-Meier survival estimator
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q290_kaplan_meier",
+    category="timeseries",
+    oracle="""
+WITH dur AS (
+  SELECT o.o_orderkey,
+         date_diff('day', CAST(o.o_orderdate AS DATE), CAST(max(l.l_shipdate) AS DATE)) AS t,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus
+),
+g AS (
+  SELECT t,
+         CAST(sum(ev) AS BIGINT) AS d,
+         CAST(sum(1 - ev) AS BIGINT) AS c
+  FROM dur GROUP BY t
+),
+r AS (
+  SELECT t, d, c,
+         (SELECT CAST(count(*) AS BIGINT) FROM dur)
+           - COALESCE(CAST(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS n_risk
+  FROM g
+),
+s AS (
+  SELECT t, d, c, n_risk,
+         max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t) AS dead_flag,
+         sum(CASE WHEN d < n_risk THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                  ELSE 0.0 END) OVER (ORDER BY t) AS logsurv
+  FROM r
+)
+SELECT t, n_risk, d, c,
+       CASE WHEN dead_flag = 1 THEN 0.0 ELSE round(exp(logsurv), 6) END AS surv
+FROM s
+WHERE d > 0
+ORDER BY t
+""",
+)
+def q290_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over order fulfillment time (days
+    from order date to last line shipment), treating status 'F' as the
+    observed event and 'O'/'P' as right-censored. Classic product form
+    S(t) = prod(1 - d_i/n_i) computed as exp of a running ln-sum, with
+    an explicit absorbing-zero flag once d == n_risk (ln(0) never
+    evaluated). The per-order duration reduce is one keyed shuffle;
+    the running sums then act on the per-DAY aggregate whose row count
+    is bounded by the calendar span (~3.6k distinct days in this
+    fixture, <=tens of thousands for any real corpus) — so the
+    unpartitioned window is over a domain-bounded frame, not the data:
+    the same justification as the repo's histogram/CDF family. At
+    100 TB the heavy input collapses to that bounded frame before any
+    ordered logic runs."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    dur = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderstatus")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.datediff(F.col("last_ship").cast("date"), F.col("o_orderdate").cast("date")).alias(
+                "t"
+            ),
+            F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+        )
+    )
+    g = dur.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("bigint").alias("c"),
+    )
+    total = dur.agg(F.count("*").cast("bigint").alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    r = (
+        g.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "dead_flag",
+            F.max(F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)).over(w_cum),
+        )
+        .withColumn(
+            "logsurv",
+            F.sum(
+                F.when(
+                    F.col("d") < F.col("n_risk"),
+                    F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+                ).otherwise(F.lit(0.0))
+            ).over(w_cum),
+        )
+    )
+    return (
+        r.filter(F.col("d") > 0)
+        .select(
+            "t",
+            "n_risk",
+            "d",
+            "c",
+            F.when(F.col("dead_flag") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("logsurv")), 6))
+            .alias("surv"),
+        )
+        .orderBy("t")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q291 — functional-dependency violation audit (TANE-style g3)
+# ---------------------------------------------------------------------------
+
+_FD_CANDIDATES = [
+    ("l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"),
+    ("l_partkey->l_suppkey", "l_partkey", "l_suppkey"),
+    ("l_suppkey->l_linestatus", "l_suppkey", "l_linestatus"),
+]
+
+
+def _fd_oracle_block(fd: str, x: str, y: str) -> str:
+    return f"""
+SELECT '{fd}' AS fd,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (WHERE n_y > 1) AS BIGINT) AS n_violating_groups,
+       CAST(sum(cnt) - sum(max_y) AS BIGINT) AS removal_cost,
+       (CAST(sum(cnt) AS BIGINT) - CAST(sum(max_y) AS BIGINT)) * 1000000
+         // CAST(sum(cnt) AS BIGINT) AS g3_ppm
+FROM (
+  SELECT {x}, CAST(count(*) AS BIGINT) AS n_y,
+         CAST(sum(yc) AS BIGINT) AS cnt, CAST(max(yc) AS BIGINT) AS max_y
+  FROM (SELECT {x}, {y}, count(*) AS yc FROM lineitem GROUP BY {x}, {y})
+  GROUP BY {x}
+)"""
+
+
+@register(
+    "q291_fd_violation_audit",
+    category="profile",
+    oracle=" UNION ALL ".join(
+        _fd_oracle_block(fd, x, y) for fd, x, y in _FD_CANDIDATES
+    )
+    + " ORDER BY fd",
+)
+def q291_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery audit: for each candidate FD
+    X -> Y over lineitem, the number of violating X-groups and the
+    TANE g3 error (minimum rows to delete for the FD to hold, as exact
+    ppm via integer division) — the schema-profiling primitive behind
+    key inference and denormalization checks. Per candidate the plan
+    is two partial-agg shuffles ((X,Y) then X) with pure integer
+    outputs; candidates union independently so Spark schedules them as
+    parallel stages over the same cached scan. At 100 TB each
+    candidate's shuffle carries one row per distinct (X,Y) — bounded
+    by key cardinality, not row count. Mirrors TANE's g3 measure
+    (Huhtala et al. 1999) without the lattice search (candidates are
+    declared, as in production data-contract checks)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    parts = []
+    for fd, x, y in _FD_CANDIDATES:
+        xy = li.groupBy(x, y).agg(F.count("*").alias("yc"))
+        gx = xy.groupBy(x).agg(
+            F.count("*").cast("bigint").alias("n_y"),
+            F.sum("yc").cast("bigint").alias("cnt"),
+            F.max("yc").cast("bigint").alias("max_y"),
+        )
+        parts.append(
+            gx.agg(
+                F.lit(fd).alias("fd"),
+                F.sum("cnt").cast("bigint").alias("n_rows"),
+                F.count("*").cast("bigint").alias("n_groups"),
+                F.sum((F.col("n_y") > 1).cast("bigint")).cast("bigint").alias(
+                    "n_violating_groups"
+                ),
+                (F.sum("cnt") - F.sum("max_y")).cast("bigint").alias("removal_cost"),
+                F.expr("(CAST(sum(cnt) AS BIGINT) - CAST(sum(max_y) AS BIGINT)) * 1000000 DIV CAST(sum(cnt) AS BIGINT)").alias(
+                    "g3_ppm"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fd")
+
+
+# ---------------------------------------------------------------------------
+# q292 — weighted quantiles (exact, by cumulative weight)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q292_weighted_quantiles",
+    category="aggregation",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS cents,
+         CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem
+  GROUP BY l_returnflag, CAST(round(l_discount * 100, 0) AS BIGINT)
+),
+c AS (
+  SELECT l_returnflag, cents, w,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS BIGINT) AS cw,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+  FROM q
+)
+SELECT l_returnflag,
+       CAST(min(CASE WHEN 4 * cw >= tw THEN cents END) AS BIGINT) AS w_p25_cents,
+       CAST(min(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT) AS w_median_cents,
+       CAST(min(CASE WHEN 4 * cw >= 3 * tw THEN cents END) AS BIGINT) AS w_p75_cents,
+       CAST(min(tw) AS BIGINT) AS total_weight
+FROM c
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q292_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted discount quantiles per return flag: the
+    weighted median (and p25/p75) is the smallest discount whose
+    cumulative weight reaches the quantile fraction of total weight —
+    the 'typical discount per unit shipped' statistic that unweighted
+    percentile queries (q60/q190) get wrong. Everything is exact
+    integers: discounts quantize to cents, quantities are whole, and
+    the quantile test is cross-multiplied (4*cw >= 3*tw) so no
+    division happens at all. Plan: one partial-agg shuffle onto the
+    (flag, cents) domain — at most |flags| x 101 rows — then windows
+    over that domain-bounded frame. At 100 TB the raw rows never
+    reach the window; only the bounded value-domain does (the q190
+    counting-quantile argument, generalized to weights)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    q = li.groupBy(
+        "l_returnflag",
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("cents"),
+    ).agg(F.sum(F.round(F.col("l_quantity"), 0).cast("bigint")).cast("bigint").alias("w"))
+    wc = Window.partitionBy("l_returnflag").orderBy("cents")
+    wt = Window.partitionBy("l_returnflag")
+    c = q.select(
+        "l_returnflag",
+        "cents",
+        "w",
+        F.sum("w").over(wc).cast("bigint").alias("cw"),
+        F.sum("w").over(wt).cast("bigint").alias("tw"),
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(4 * F.col("cw") >= F.col("tw"), F.col("cents")))
+            .cast("bigint")
+            .alias("w_p25_cents"),
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents")))
+            .cast("bigint")
+            .alias("w_median_cents"),
+            F.min(F.when(4 * F.col("cw") >= 3 * F.col("tw"), F.col("cents")))
+            .cast("bigint")
+            .alias("w_p75_cents"),
+            F.min("tw").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q293 — grid-bucketed spatial nearest-neighbor join
+# ---------------------------------------------------------------------------
+
+_GRID_CELL = 50
+_GRID_R2 = 2500  # radius 50 => cell size == radius => 3x3 candidate cells
+
+
+@register(
+    "q293_grid_nn_join",
+    category="join",
+    oracle=f"""
+WITH c AS (
+  SELECT c_custkey, (c_custkey * 37) % 1000 AS cx, (c_custkey * 91) % 1000 AS cy
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey, (s_suppkey * 53) % 1000 AS sx, (s_suppkey * 17) % 1000 AS sy
+  FROM supplier
+),
+cand AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         (c.cx - s.sx) * (c.cx - s.sx) + (c.cy - s.sy) * (c.cy - s.sy) AS dist2
+  FROM c JOIN s
+    ON s.sx // {_GRID_CELL} BETWEEN c.cx // {_GRID_CELL} - 1 AND c.cx // {_GRID_CELL} + 1
+   AND s.sy // {_GRID_CELL} BETWEEN c.cy // {_GRID_CELL} - 1 AND c.cy // {_GRID_CELL} + 1
+  WHERE (c.cx - s.sx) * (c.cx - s.sx) + (c.cy - s.sy) * (c.cy - s.sy) <= {_GRID_R2}
+),
+best AS (
+  SELECT c_custkey, s_suppkey, dist2
+  FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                     ORDER BY dist2, s_suppkey) AS rn
+        FROM cand)
+  WHERE rn = 1
+)
+SELECT c.c_custkey,
+       CAST(b.s_suppkey AS BIGINT) AS nn_suppkey,
+       CAST(b.dist2 AS BIGINT) AS nn_dist2
+FROM c LEFT JOIN best b ON c.c_custkey = b.c_custkey
+ORDER BY c.c_custkey
+""",
+)
+def q293_grid_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearest-neighbor join via uniform grid bucketing: each
+    customer point finds its nearest supplier point within radius 50,
+    exactly, by joining only the 3x3 neighborhood of grid cells (cell
+    size == radius, so the disk of radius r around any point is
+    covered by construction). Coordinates are deterministic integer
+    functions of the keys, so every distance-squared is an exact
+    BIGINT — no float geometry. The Spark side expands each probe
+    into its 9 candidate cells (a literal 9-row explode, not a
+    cross join) and equi-joins on the cell id: one hash shuffle whose
+    fan-out is bounded by cell occupancy, never an inequality join or
+    CartesianProduct. Ties break on (dist2, suppkey) via a min-struct
+    aggregate — partial-aggregable, no per-key sort. At 100 TB this
+    is the standard spatial-binning layout: occupancy stays bounded
+    if the grid tracks point density (here hash-uniform by design)."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % 1000).alias("cx"),
+        ((F.col("c_custkey") * 91) % 1000).alias("cy"),
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 53) % 1000).alias("sx"),
+        ((F.col("s_suppkey") * 17) % 1000).alias("sy"),
+    )
+    cell = _GRID_CELL
+    s_cells = supp.select(
+        "s_suppkey",
+        "sx",
+        "sy",
+        F.expr(f"sx DIV {cell}").alias("gx"),
+        F.expr(f"sy DIV {cell}").alias("gy"),
+    )
+    offsets = F.expr(
+        "explode(array("
+        + ", ".join(f"struct({dx} AS dx, {dy} AS dy)" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+        + "))"
+    )
+    c_cells = cust.select(
+        "c_custkey", "cx", "cy", offsets.alias("o")
+    ).select(
+        "c_custkey",
+        "cx",
+        "cy",
+        (F.expr(f"cx DIV {cell}") + F.col("o.dx")).alias("gx"),
+        (F.expr(f"cy DIV {cell}") + F.col("o.dy")).alias("gy"),
+    )
+    d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
+        F.col("cy") - F.col("sy")
+    ) * (F.col("cy") - F.col("sy"))
+    cand = (
+        c_cells.join(s_cells, ["gx", "gy"])
+        .select("c_custkey", "s_suppkey", d2.alias("dist2"))
+        .filter(F.col("dist2") <= _GRID_R2)
+    )
+    best = cand.groupBy("c_custkey").agg(
+        F.min(F.struct("dist2", "s_suppkey")).alias("b")
+    )
+    return (
+        cust.select("c_custkey")
+        .join(best, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.col("b.s_suppkey").cast("bigint").alias("nn_suppkey"),
+            F.col("b.dist2").cast("bigint").alias("nn_dist2"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q294 — Apriori-pruned association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_AR_PAIR_MINSUP = 3  # absolute pair support floor
+_AR_ITEM_MINSUP_PPM = 1000  # item must appear in >= 0.1% of baskets
+
+
+@register(
+    "q294_association_rules",
+    category="analytics",
+    oracle=f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM baskets),
+items AS (
+  SELECT pk, CAST(count(*) AS BIGINT) AS n_item FROM baskets GROUP BY pk
+),
+freq AS (
+  SELECT i.pk, i.n_item FROM items i, nb
+  WHERE i.n_item * 1000000 >= {_AR_ITEM_MINSUP_PPM} * nb.n_orders
+),
+pairs AS (
+  SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM baskets a
+  JOIN baskets b ON a.ok = b.ok AND a.pk < b.pk
+  JOIN freq f1 ON a.pk = f1.pk
+  JOIN freq f2 ON b.pk = f2.pk
+  GROUP BY a.pk, b.pk
+  HAVING count(*) >= {_AR_PAIR_MINSUP}
+)
+SELECT p.p1, p.p2, p.n_pair, f1.n_item AS n1, f2.n_item AS n2,
+       p.n_pair * 1000000 // f1.n_item AS conf12_ppm,
+       p.n_pair * 1000000 // f2.n_item AS conf21_ppm,
+       p.n_pair * nb.n_orders * 1000000 // (f1.n_item * f2.n_item) AS lift_ppm
+FROM pairs p
+JOIN freq f1 ON p.p1 = f1.pk
+JOIN freq f2 ON p.p2 = f2.pk
+CROSS JOIN nb
+ORDER BY lift_ppm DESC, p1, p2
+LIMIT 50
+""",
+)
+def q294_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets with Apriori
+    pruning: items below the relative support floor (0.1% of baskets)
+    are dropped BEFORE pair generation (the Apriori monotonicity — an
+    infrequent item cannot be in a frequent pair), pairs come from a
+    basket-keyed self-join (shuffle on orderkey, fan-out bounded by
+    per-basket item count, never all item pairs), and support /
+    confidence / lift are published as exact integer ppm via cross-
+    multiplied integer division — no float ranking, so the top-50 by
+    lift is deterministic across engines. At 100 TB this is the
+    textbook two-round Apriori on Spark: frequent-item filter is a
+    broadcast-able semi-join (item table << basket table), the pair
+    shuffle carries only pruned candidates. lift_ppm's BIGINT product
+    n_pair * n_orders * 1e6 caps at ~1e9 baskets (document: switch the
+    constant to 1e3 beyond that)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    nb = baskets.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
+    items = baskets.groupBy("pk").agg(F.count("*").cast("bigint").alias("n_item"))
+    freq = (
+        items.crossJoin(F.broadcast(nb))
+        .filter(F.col("n_item") * 1000000 >= _AR_ITEM_MINSUP_PPM * F.col("n_orders"))
+        .select("pk", "n_item")
+    )
+    fb = baskets.join(F.broadcast(freq.select("pk")), "pk")
+    a = fb.select(F.col("ok"), F.col("pk").alias("p1"))
+    b = fb.select(F.col("ok"), F.col("pk").alias("p2"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= _AR_PAIR_MINSUP)
+    )
+    f1 = freq.select(F.col("pk").alias("p1"), F.col("n_item").alias("n1"))
+    f2 = freq.select(F.col("pk").alias("p2"), F.col("n_item").alias("n2"))
+    return (
+        pairs.join(F.broadcast(f1), "p1")
+        .join(F.broadcast(f2), "p2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            "n1",
+            "n2",
+            F.expr("n_pair * 1000000 DIV n1").alias("conf12_ppm"),
+            F.expr("n_pair * 1000000 DIV n2").alias("conf21_ppm"),
+            F.expr("n_pair * n_orders * 1000000 DIV (n1 * n2)").alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "p1", "p2")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q295 — reciprocal-rank fusion of two retrieval lists
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_LIST = 100
+_RRF_TOP = 20
+
+
+@register(
+    "q295_rrf_fusion",
+    category="similarity",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         CAST(len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+           AS n_uniq
+  FROM documents
+),
+ra AS (
+  SELECT doc_id, rn AS ra FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+    FROM toks) WHERE rn <= {_RRF_LIST}
+),
+rb AS (
+  SELECT doc_id, rn AS rb FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY n_uniq DESC, doc_id) AS rn
+    FROM toks) WHERE rn <= {_RRF_LIST}
+),
+fused AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, ra.ra, rb.rb,
+         COALESCE(1.0 / ({_RRF_K} + ra.ra), 0.0)
+           + COALESCE(1.0 / ({_RRF_K} + rb.rb), 0.0) AS rrf
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT doc_id, CAST(ra AS BIGINT) AS rank_a, CAST(rb AS BIGINT) AS rank_b,
+       rrf AS rrf_score
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {_RRF_TOP}
+""",
+)
+def q295_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two document
+    rankings — by length (n_chars) and by lexical richness (distinct
+    token count) — with the standard k=60 damping: score(d) =
+    sum over lists of 1/(k + rank_d). Each list is truncated to its
+    top-100 BEFORE fusion, so the global sort collapses to two
+    TakeOrderedAndProject top-k passes (rank within the shortlist
+    equals global rank for surviving docs); the fusion itself is a
+    full outer join of two 100-row frames. The RRF score is a sum of
+    two exactly-representable reciprocals of small integers —
+    bit-identical across engines, so the final ordering needs no
+    fixed-point trick. At 100 TB: two scans (one computes distinct
+    tokens JVM-side), two top-k reductions, one tiny join — no full
+    sort anywhere."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(tokenize(F.col("text")))).cast("bigint").alias("n_uniq"),
+    )
+    top_a = (
+        docs.orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(_RRF_LIST)
+        .select("doc_id", "n_chars")
+    )
+    top_b = (
+        docs.orderBy(F.col("n_uniq").desc(), "doc_id")
+        .limit(_RRF_LIST)
+        .select("doc_id", "n_uniq")
+    )
+    wa = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    wb = Window.orderBy(F.col("n_uniq").desc(), "doc_id")
+    ra = top_a.select("doc_id", F.row_number().over(wa).alias("ra"))
+    rb = top_b.select("doc_id", F.row_number().over(wb).alias("rb"))
+    fused = (
+        ra.join(rb, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "ra",
+            "rb",
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("ra")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rb")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("ra").cast("bigint").alias("rank_a"),
+            F.col("rb").cast("bigint").alias("rank_b"),
+            F.col("rrf").alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(_RRF_TOP)
+    )
