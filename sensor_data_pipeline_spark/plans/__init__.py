@@ -56,14 +56,17 @@ _DRIVER_WINDOW = [
     # --- never checked: newest curation/streaming (q237-q259) ---
     "q237_correlation_moments",
     "q238_ann_eval_metrics",
-    "q239_mixture_allocation",
     "q240_conjunctive_search",
-    "q241_join_cardinality_estimate",
     "q242_sql_pipe_syntax",
     "q243_disorder_profile",
-    "q244_k_anonymity_audit",
     "q246_ols_moments_by_key",
-    "q250_referential_integrity",
+    # --- declared this round: the riskiest inference-family patterns
+    # (swapped in for q239/q241/q244/q250 — plain integer-algebra
+    # shapes — fresh-for-fresh, same rationale as the earlier swaps) ---
+    "q290_kaplan_meier",  # absorbing-zero ln/exp product, domain window
+    "q291_fd_violation_audit",  # three-way union of two-level aggs
+    "q293_grid_nn_join",  # 9-cell explode equi-join, min-struct argmin
+    "q294_association_rules",  # Apriori broadcast prune + ppm ranking
     "q251_refpoint_pruned_search",
     "q252_incremental_topk",
     "q253_cdc_changelog_deletes",

@@ -903,3 +903,70 @@ def test_calibration_bins_single_combiner_groupby(spark):
     assert "BroadcastExchange" in plan
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_benford_nine_group_combine(spark):
+    from sensor_data_pipeline_spark.plans.inference import q288_benford_digit_audit
+
+    plan = plan_of(q288_benford_digit_audit(spark, SF))
+    # digit census combines map-side into <=9 groups; the total rides a
+    # 1-row broadcast — the shuffle payload is 9 rows at any scale
+    assert "partial_count" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_welch_single_combiner_shuffle(spark):
+    from sensor_data_pipeline_spark.plans.inference import q289_welch_ttest
+
+    plan = plan_of(q289_welch_ttest(spark, SF))
+    # conditional moments combine map-side into 3 segments; one scan,
+    # one 3-row shuffle, no second pass for the variance
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_grid_nn_equijoin_no_cartesian(spark):
+    from sensor_data_pipeline_spark.plans.inference import q293_grid_nn_join
+
+    plan = plan_of(q293_grid_nn_join(spark, SF))
+    # candidates come from the 9-cell neighborhood equi-join on the cell
+    # id — never an inequality join or cross product; the nearest pick
+    # is a partial-aggregable min-struct, not a per-key sort
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan
+
+
+def test_association_rules_apriori_broadcast_prune(spark):
+    from sensor_data_pipeline_spark.plans.inference import q294_association_rules
+
+    plan = plan_of(q294_association_rules(spark, SF))
+    # frequent-item pruning rides broadcasts BEFORE pair generation;
+    # pairs come from the basket-keyed self-join, never all item pairs
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # deterministic integer-ppm ranking: top-50 is a TakeOrdered, not a sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_quantiles_no_single_partition_window(spark):
+    from sensor_data_pipeline_spark.plans.inference import q292_weighted_quantiles
+
+    plan = plan_of(q292_weighted_quantiles(spark, SF))
+    # cumulative weights run on flag-keyed windows over the (flag, cents)
+    # domain — the raw rows collapse in a partial-agg shuffle first and
+    # nothing ever moves to a single partition
+    assert "SinglePartition" not in plan
+    assert "partial_sum" in plan
+
+
+def test_rrf_topk_reductions_no_full_sort(spark):
+    from sensor_data_pipeline_spark.plans.inference import q295_rrf_fusion
+
+    plan = plan_of(q295_rrf_fusion(spark, SF))
+    # each ranking truncates via TakeOrderedAndProject before fusion;
+    # the global Sort only ever sees the <=100-row shortlists
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
