@@ -774,3 +774,186 @@ def q295_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(_RRF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q296 — mutual information / chi-square independence profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q296_mutual_information",
+    category="profile",
+    oracle="""
+WITH j AS (
+  SELECT event_type AS x,
+         CAST(round(value * 100, 0) AS BIGINT) // 5000 AS y,
+         CAST(count(*) AS BIGINT) AS nxy
+  FROM events
+  GROUP BY event_type, CAST(round(value * 100, 0) AS BIGINT) // 5000
+),
+mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM j GROUP BY x),
+my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM j GROUP BY y),
+t AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM j)
+SELECT t.n,
+       CAST((SELECT count(*) FROM mx) AS BIGINT) AS n_x_levels,
+       CAST((SELECT count(*) FROM my) AS BIGINT) AS n_y_levels,
+       CAST(((SELECT count(*) FROM mx) - 1)
+            * ((SELECT count(*) FROM my) - 1) AS BIGINT) AS dof,
+       round(sum((j.nxy - CAST(mx.nx AS DOUBLE) * my.ny / t.n)
+                 * (j.nxy - CAST(mx.nx AS DOUBLE) * my.ny / t.n)
+                 / (CAST(mx.nx AS DOUBLE) * my.ny / t.n)), 6) AS chi2,
+       round(sum((CAST(j.nxy AS DOUBLE) / t.n)
+                 * ln(CAST(j.nxy AS DOUBLE) * t.n
+                      / (CAST(mx.nx AS DOUBLE) * my.ny))), 6) AS mi_nats
+FROM j
+JOIN mx ON j.x = mx.x
+JOIN my ON j.y = my.y
+CROSS JOIN t
+GROUP BY t.n
+""",
+)
+def q296_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependence profiling between a categorical column (event_type)
+    and a bucketed numeric one (value in 50-unit deciles): Pearson
+    chi-square independence statistic, degrees of freedom, and mutual
+    information in nats — the column-pair relevance screen a feature
+    store runs before training. The joint histogram collapses in ONE
+    partial-agg shuffle to <= |X| x |Y| rows; marginals and the total
+    re-aggregate from that tiny frame and ride broadcasts back onto
+    it, so the statistic costs one scan at any size. chi2 and MI are
+    unordered sums over the joint cells, so both sit under round(6)
+    (partial-agg summation order differs from the oracle's scan
+    order); every input to those sums is an exact BIGINT count."""
+    ev = load_table(spark, "events", sf_dir)
+    j = (
+        ev.select(
+            F.col("event_type").alias("x"),
+            F.expr("CAST(round(value * 100, 0) AS BIGINT) DIV 5000").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("bigint").alias("nxy"))
+    )
+    mx = j.groupBy("x").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    my = j.groupBy("y").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    t = j.agg(F.sum("nxy").cast("bigint").alias("n"))
+    lx = mx.agg(F.count("*").cast("bigint").alias("n_x_levels"))
+    ly = my.agg(F.count("*").cast("bigint").alias("n_y_levels"))
+    e = F.col("nx").cast("double") * F.col("ny") / F.col("n")
+    joined = (
+        j.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(t))
+    )
+    agg = joined.groupBy("n").agg(
+        F.round(
+            F.sum((F.col("nxy") - e) * (F.col("nxy") - e) / e), 6
+        ).alias("chi2"),
+        F.round(
+            F.sum(
+                (F.col("nxy").cast("double") / F.col("n"))
+                * F.log(
+                    F.col("nxy").cast("double")
+                    * F.col("n")
+                    / (F.col("nx").cast("double") * F.col("ny"))
+                )
+            ),
+            6,
+        ).alias("mi_nats"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(lx))
+        .crossJoin(F.broadcast(ly))
+        .select(
+            "n",
+            "n_x_levels",
+            "n_y_levels",
+            ((F.col("n_x_levels") - 1) * (F.col("n_y_levels") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            "chi2",
+            "mi_nats",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q298 — Holt linear (double-exponential) smoothing per key
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q298_holt_linear",
+    category="timeseries",
+    oracle="""
+WITH RECURSIVE base AS (
+  SELECT user_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+r AS (
+  SELECT user_id, i, n, CAST(y AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM base WHERE i = 1
+  UNION ALL
+  SELECT b2.user_id, b2.i, b2.n,
+         0.5 * CAST(b2.y AS DOUBLE) + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * CAST(b2.y AS DOUBLE) + 0.5 * (r.l + r.b)) - r.l)
+           + 0.5 * r.b
+  FROM r JOIN base b2 ON b2.user_id = r.user_id AND b2.i = r.i + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_obs, l AS level, b AS trend
+FROM r WHERE i = n
+ORDER BY user_id
+""",
+)
+def q298_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double-exponential) smoothing of each user's event
+    value series with alpha = beta = 0.5: the coupled recurrence
+    l_t = a*y + (1-a)*(l+b), b_t = B*(l_t - l_prev) + (1-B)*b — the
+    two-term generalization of q200's single EWMA. The fold runs
+    JVM-side inside one aggregate() lambda over the time-sorted
+    per-user array (one keyed shuffle, recursion bounded by one
+    user's history, never a global sort); the oracle replays the
+    identical recurrence as a recursive CTE joined on (user, step).
+    Because alpha/beta are dyadic (0.5 multiplies are exact) and both
+    engines execute the same correctly-rounded op sequence in the
+    same per-key order, level/trend are bit-identical and emitted
+    RAW. At 100 TB: the streaming-state twin is q200's
+    applyInPandasWithState; this is the batch backfill."""
+    ev = load_table(spark, "events", sf_dir)
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts",
+                "event_id",
+                F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("evs"))
+    )
+    zero = F.struct(
+        F.lit(None).cast("double").alias("l"), F.lit(None).cast("double").alias("b")
+    )
+    half = F.lit(0.5)
+
+    def step(acc, e):
+        y = e["y"].cast("double")
+        nl = half * y + half * (acc["l"] + acc["b"])
+        nb = half * (nl - acc["l"]) + half * acc["b"]
+        return F.when(
+            acc["l"].isNull(),
+            F.struct(y.alias("l"), F.lit(0.0).alias("b")),
+        ).otherwise(F.struct(nl.alias("l"), nb.alias("b")))
+
+    st = seq.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_obs"),
+        F.aggregate(F.col("evs"), zero, step).alias("s"),
+    )
+    return st.select(
+        "user_id", "n_obs", F.col("s.l").alias("level"), F.col("s.b").alias("trend")
+    ).orderBy("user_id")

@@ -9,7 +9,7 @@ sides so rounded values hash-match.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sensor_data_pipeline_spark.functions.text import (
@@ -1427,4 +1427,97 @@ def q281_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("partial").cast("bigint").alias("gram"))
         .orderBy("i", "j")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q297 — sorted-neighborhood near-dup blocking (SNM)
+# ---------------------------------------------------------------------------
+
+_SNM_W = 2  # compare each doc with its next 2 sorted neighbors
+_SNM_JAC_PPM = 300000  # 0.30 Jaccard floor
+
+
+@register(
+    "q297_sorted_neighborhood_dedup",
+    category="dedup",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         substr(text, 1, 16) AS sk,
+         list_distinct(regexp_split_to_array(text, '\\s+')) AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, toks,
+         lead(doc_id, 1) OVER win AS id1, lead(toks, 1) OVER win AS t1,
+         lead(doc_id, 2) OVER win AS id2, lead(toks, 2) OVER win AS t2
+  FROM d WINDOW win AS (PARTITION BY lang, source ORDER BY sk, doc_id)
+),
+pairs AS (
+  SELECT doc_id AS doc_a, id1 AS doc_b,
+         CAST(len(list_intersect(toks, t1)) AS BIGINT) AS inter,
+         CAST(len(toks) + len(t1) - len(list_intersect(toks, t1)) AS BIGINT) AS uni
+  FROM w WHERE id1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, id2,
+         CAST(len(list_intersect(toks, t2)) AS BIGINT),
+         CAST(len(toks) + len(t2) - len(list_intersect(toks, t2)) AS BIGINT)
+  FROM w WHERE id2 IS NOT NULL
+)
+SELECT doc_a, doc_b, inter * 1000000 // uni AS jac_ppm
+FROM pairs
+WHERE inter * 1000000 >= {_SNM_JAC_PPM} * uni
+ORDER BY doc_a, doc_b
+""",
+)
+def q297_sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood method (Hernandez & Stolfo 1995) near-dup
+    blocking: within each (lang, source) block, docs sort by a 16-char
+    text prefix and each doc compares ONLY against its next w=2 sorted
+    neighbors — O(w*N) comparisons total, the classic alternative to
+    LSH banding (q42/q191) whose recall profile favors shared-prefix
+    near-dups. Jaccard is exact over distinct token sets and published
+    as integer ppm (no float ranking). Plan: one keyed shuffle to sort
+    within blocks, two lead() windows per block (never a global sort:
+    the block key partitions the window), then a filter — candidate
+    generation touches each row w times, full stop. At 100 TB the
+    block key must keep blocks executor-sized (here lang x source;
+    production adds a prefix byte); skewed blocks re-salt the sort key
+    exactly as the repo's banded-LSH path does."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring("text", 1, 16).alias("sk"),
+        F.array_distinct(tokenize(F.col("text"))).alias("toks"),
+    )
+    win = Window.partitionBy("lang", "source").orderBy("sk", "doc_id")
+    w = d.select(
+        "doc_id",
+        "toks",
+        F.lead("doc_id", 1).over(win).alias("id1"),
+        F.lead("toks", 1).over(win).alias("t1"),
+        F.lead("doc_id", 2).over(win).alias("id2"),
+        F.lead("toks", 2).over(win).alias("t2"),
+    )
+    branches = []
+    for k in (1, 2):
+        idk, tk = f"id{k}", f"t{k}"
+        inter = F.size(F.array_intersect(F.col("toks"), F.col(tk))).cast("bigint")
+        uni = (F.size("toks") + F.size(tk)).cast("bigint") - inter
+        branches.append(
+            w.filter(F.col(idk).isNotNull()).select(
+                F.col("doc_id").alias("doc_a"),
+                F.col(idk).alias("doc_b"),
+                inter.alias("inter"),
+                uni.alias("uni"),
+            )
+        )
+    pairs = branches[0].unionByName(branches[1])
+    return (
+        pairs.filter(F.col("inter") * 1000000 >= _SNM_JAC_PPM * F.col("uni"))
+        .select("doc_a", "doc_b", F.expr("inter * 1000000 DIV uni").alias("jac_ppm"))
+        .orderBy("doc_a", "doc_b")
     )
