@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sensor_data_pipeline_spark.functions.text import tokenize
+from sensor_data_pipeline_spark.operators.spatial import grid_nn_join
 from sensor_data_pipeline_spark.plans.registry import register
 from sensor_data_pipeline_spark.sources.tables import load_table
 
@@ -521,57 +522,21 @@ def q293_grid_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — partial-aggregable, no per-key sort. At 100 TB this
     is the standard spatial-binning layout: occupancy stays bounded
     if the grid tracks point density (here hash-uniform by design)."""
-    cust = load_table(spark, "customer", sf_dir).select(
-        "c_custkey",
-        ((F.col("c_custkey") * 37) % 1000).alias("cx"),
-        ((F.col("c_custkey") * 91) % 1000).alias("cy"),
-    )
-    supp = load_table(spark, "supplier", sf_dir).select(
-        "s_suppkey",
-        ((F.col("s_suppkey") * 53) % 1000).alias("sx"),
-        ((F.col("s_suppkey") * 17) % 1000).alias("sy"),
-    )
-    cell = _GRID_CELL
-    s_cells = supp.select(
-        "s_suppkey",
-        "sx",
-        "sy",
-        F.expr(f"sx DIV {cell}").alias("gx"),
-        F.expr(f"sy DIV {cell}").alias("gy"),
-    )
-    offsets = F.expr(
-        "explode(array("
-        + ", ".join(f"struct({dx} AS dx, {dy} AS dy)" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
-        + "))"
-    )
-    c_cells = cust.select(
-        "c_custkey", "cx", "cy", offsets.alias("o")
-    ).select(
-        "c_custkey",
-        "cx",
-        "cy",
-        (F.expr(f"cx DIV {cell}") + F.col("o.dx")).alias("gx"),
-        (F.expr(f"cy DIV {cell}") + F.col("o.dy")).alias("gy"),
-    )
-    d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
-        F.col("cy") - F.col("sy")
-    ) * (F.col("cy") - F.col("sy"))
-    cand = (
-        c_cells.join(s_cells, ["gx", "gy"])
-        .select("c_custkey", "s_suppkey", d2.alias("dist2"))
-        .filter(F.col("dist2") <= _GRID_R2)
-    )
-    best = cand.groupBy("c_custkey").agg(
-        F.min(F.struct("dist2", "s_suppkey")).alias("b")
-    )
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
     return (
-        cust.select("c_custkey")
-        .join(best, "c_custkey", "left")
-        .select(
+        grid_nn_join(
+            cust,
+            supp,
             "c_custkey",
-            F.col("b.s_suppkey").cast("bigint").alias("nn_suppkey"),
-            F.col("b.dist2").cast("bigint").alias("nn_dist2"),
+            "s_suppkey",
+            px=(F.col("c_custkey") * 37) % 1000,
+            py=(F.col("c_custkey") * 91) % 1000,
+            qx=(F.col("s_suppkey") * 53) % 1000,
+            qy=(F.col("s_suppkey") * 17) % 1000,
+            radius=_GRID_CELL,
         )
+        .withColumnRenamed("nn_s_suppkey", "nn_suppkey")
         .orderBy("c_custkey")
     )
 

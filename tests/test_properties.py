@@ -312,3 +312,38 @@ def test_asof_nearest_matches_reference(spark, left_ts, right):
             want = None
         key = ("k", datetime.datetime.fromtimestamp(t, datetime.timezone.utc).replace(tzinfo=None))
         assert got[key] == want, (t, got[key], want)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    probes=st.lists(st.tuples(st.integers(0, 200), st.integers(0, 200)), min_size=1, max_size=25),
+    points=st.lists(st.tuples(st.integers(0, 200), st.integers(0, 200)), min_size=0, max_size=25),
+    radius=st.integers(5, 60),
+)
+def test_grid_nn_join_matches_bruteforce(spark, probes, points, radius):
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline_spark.operators.spatial import grid_nn_join
+
+    pr = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(probes)], "pid long, x long, y long"
+    )
+    pt = spark.createDataFrame(
+        [(j, x, y) for j, (x, y) in enumerate(points)], "qid long, x long, y long"
+    )
+    out = {
+        r["pid"]: (r["nn_qid"], r["nn_dist2"])
+        for r in grid_nn_join(
+            pr, pt, "pid", "qid",
+            px=F.col("x"), py=F.col("y"), qx=F.col("x"), qy=F.col("y"),
+            radius=radius,
+        ).collect()
+    }
+    for i, (x, y) in enumerate(probes):
+        cands = [
+            ((x - px) ** 2 + (y - py) ** 2, j)
+            for j, (px, py) in enumerate(points)
+            if (x - px) ** 2 + (y - py) ** 2 <= radius * radius
+        ]
+        expect = (None, None) if not cands else (min(cands)[1], min(cands)[0])
+        assert out[i] == expect, (i, out[i], expect)
