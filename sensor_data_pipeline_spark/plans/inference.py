@@ -922,3 +922,201 @@ def q298_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.select(
         "user_id", "n_obs", F.col("s.l").alias("level"), F.col("s.b").alias("trend")
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q299 — per-key autocorrelation function (lags 1..3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q299_autocorrelation",
+    category="timeseries",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS y,
+         lag(CAST(round(value * 100, 0) AS BIGINT), 1)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l1,
+         lag(CAST(round(value * 100, 0) AS BIGINT), 2)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l2,
+         lag(CAST(round(value * 100, 0) AS BIGINT), 3)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l3
+  FROM events
+),
+stacked AS (
+  SELECT user_id, 1 AS lag, y, l1 AS x FROM base WHERE l1 IS NOT NULL
+  UNION ALL
+  SELECT user_id, 2, y, l2 FROM base WHERE l2 IS NOT NULL
+  UNION ALL
+  SELECT user_id, 3, y, l3 FROM base WHERE l3 IS NOT NULL
+),
+m AS (
+  SELECT user_id, lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y * x) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM stacked GROUP BY user_id, lag
+)
+SELECT user_id, CAST(lag AS INT) AS lag, n,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+            ELSE NULL END AS acf
+FROM m
+ORDER BY user_id, lag
+""",
+)
+def q299_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation at lags 1-3 of each user's event
+    values: one keyed window pass computes all three lags, stack()
+    unpivots them, and Pearson r comes from exact BIGINT moments per
+    (user, lag) — numerator and the two variance factors stay integer
+    (order-independent sums), converted to DOUBLE only for the final
+    correctly-rounded divide/sqrt, so acf is bit-identical across
+    engines and emitted raw; constant series yield NULL via the
+    positive-variance guard. The variance-factor PRODUCT is done in
+    DOUBLE (two ~1e13 BIGINTs would overflow int64 multiplied). Plan:
+    one user-keyed window shuffle (never global), then a partial-agg
+    shuffle onto (user, lag) — series length bounds memory, the ACF
+    of a billion series costs two exchanges. The seasonality screen
+    companion to q298's smoothing."""
+    ev = load_table(spark, "events", sf_dir)
+    y = F.round(F.col("value") * 100, 0).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        y.alias("y"),
+        F.lag(y, 1).over(w).alias("l1"),
+        F.lag(y, 2).over(w).alias("l2"),
+        F.lag(y, 3).over(w).alias("l3"),
+    )
+    stacked = base.select(
+        "user_id",
+        F.expr("stack(3, 1, l1, 2, l2, 3, l3)").alias("lag", "x"),
+        "y",
+    ).filter(F.col("x").isNotNull())
+    m = stacked.groupBy("user_id", "lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("y") * F.col("x")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        m.select(
+            "user_id",
+            F.col("lag").cast("int").alias("lag"),
+            "n",
+            F.when(
+                (dx > 0) & (dy > 0),
+                num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double")),
+            ).alias("acf"),
+        )
+        .orderBy("user_id", "lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q300 — largest-remainder (Hamilton) apportionment
+# ---------------------------------------------------------------------------
+
+_ALLOC_SEATS = 1000
+
+
+@register(
+    "q300_largest_remainder_alloc",
+    category="aggregation",
+    oracle=f"""
+WITH w AS (
+  SELECT c.c_nationkey AS nationkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS wt
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+),
+t AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM w),
+q AS (
+  SELECT w.nationkey, w.wt,
+         w.wt * {_ALLOC_SEATS} // t.tot AS base,
+         w.wt * {_ALLOC_SEATS} % t.tot AS rem
+  FROM w, t
+),
+r AS (
+  SELECT nationkey, wt, base, rem,
+         row_number() OVER (ORDER BY rem DESC, nationkey) AS rk,
+         CAST(sum(base) OVER () AS BIGINT) AS base_total
+  FROM q
+)
+SELECT nationkey, wt, CAST(base AS BIGINT) AS base_seats,
+       CAST(rem AS BIGINT) AS remainder,
+       CAST(base + CASE WHEN rk <= {_ALLOC_SEATS} - base_total
+                        THEN 1 ELSE 0 END AS BIGINT) AS seats
+FROM r
+ORDER BY nationkey
+""",
+)
+def q300_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split a fixed
+    budget of 1000 shards across nations proportional to their order
+    revenue, exactly — floor quotas first, then the leftover seats go
+    to the largest integer remainders (tiebreak on key). This is the
+    allocation primitive behind proportional shard/quota assignment
+    (q239's mixture allocation solves the continuous version; this is
+    the exact integer one, guaranteeing sum(seats) == budget). All
+    arithmetic is exact BIGINT: quota = w*S DIV W, remainder = w*S
+    MOD W — no float quotas to tie-break inconsistently. Plan: one
+    keyed revenue reduce, then windows over the 25-row nation frame
+    (domain-bounded); the heavy input never reaches the ordered
+    logic. At 100 TB: identical — apportionment cost is a function
+    of group count, not data size."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    wt = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("wt")
+        )
+    )
+    tot = wt.agg(F.sum("wt").cast("bigint").alias("tot"))
+    q = wt.crossJoin(F.broadcast(tot)).select(
+        "nationkey",
+        "wt",
+        F.expr(f"wt * {_ALLOC_SEATS} DIV tot").alias("base"),
+        F.expr(f"wt * {_ALLOC_SEATS} % tot").alias("rem"),
+    )
+    w_rk = Window.orderBy(F.col("rem").desc(), "nationkey")
+    w_all = Window.partitionBy()
+    r = q.select(
+        "nationkey",
+        "wt",
+        "base",
+        "rem",
+        F.row_number().over(w_rk).alias("rk"),
+        F.sum("base").over(w_all).cast("bigint").alias("base_total"),
+    )
+    return (
+        r.select(
+            "nationkey",
+            "wt",
+            F.col("base").cast("bigint").alias("base_seats"),
+            F.col("rem").cast("bigint").alias("remainder"),
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= _ALLOC_SEATS - F.col("base_total"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("seats"),
+        )
+        .orderBy("nationkey")
+    )
