@@ -791,6 +791,10 @@ def q296_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial-agg summation order differs from the oracle's scan
     order); every input to those sums is an exact BIGINT count."""
     ev = load_table(spark, "events", sf_dir)
+    # pin the tiny joint histogram: five downstream consumers (marginals,
+    # total, level counts) would each re-scan events otherwise —
+    # localCheckpoint collapses the plan to ONE parquet scan (the repo's
+    # multiply-consumed-frame rule; see the verify skill)
     j = (
         ev.select(
             F.col("event_type").alias("x"),
@@ -798,6 +802,7 @@ def q296_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("x", "y")
         .agg(F.count("*").cast("bigint").alias("nxy"))
+        .localCheckpoint(eager=True)
     )
     mx = j.groupBy("x").agg(F.sum("nxy").cast("bigint").alias("nx"))
     my = j.groupBy("y").agg(F.sum("nxy").cast("bigint").alias("ny"))

@@ -970,3 +970,56 @@ def test_rrf_topk_reductions_no_full_sort(spark):
     # the global Sort only ever sees the <=100-row shortlists
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mutual_information_single_scan_pinned_joint(spark):
+    from sensor_data_pipeline_spark.plans.inference import q296_mutual_information
+
+    plan = plan_of(q296_mutual_information(spark, SF))
+    # the joint histogram is localCheckpoint-pinned: marginals, total and
+    # level counts all read the tiny pinned frame — events is scanned ONCE
+    # (at checkpoint time), never re-scanned per consumer
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sorted_neighborhood_keyed_windows(spark):
+    from sensor_data_pipeline_spark.plans.northstar import q297_sorted_neighborhood_dedup
+
+    plan = plan_of(q297_sorted_neighborhood_dedup(spark, SF))
+    # the neighbor windows partition on the block key — candidate
+    # generation is O(w*N) inside blocks, never a global sort or a join
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_holt_single_keyed_shuffle_jvm_fold(spark):
+    from sensor_data_pipeline_spark.plans.inference import q298_holt_linear
+
+    plan = plan_of(q298_holt_linear(spark, SF))
+    # one scan, one user-keyed exchange; the recurrence folds JVM-side
+    # inside aggregate() — no Python workers in the plan
+    assert plan.count("Scan parquet") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_acf_keyed_window_then_combine(spark):
+    from sensor_data_pipeline_spark.plans.inference import q299_autocorrelation
+
+    plan = plan_of(q299_autocorrelation(spark, SF))
+    # lag windows are user-keyed; moments combine map-side onto (user, lag)
+    assert "SinglePartition" not in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_apportionment_heavy_reduce_before_tiny_window(spark):
+    from sensor_data_pipeline_spark.plans.inference import q300_largest_remainder_alloc
+
+    plan = plan_of(q300_largest_remainder_alloc(spark, SF))
+    # the revenue reduce partial-combines before its exchange; the ordered
+    # remainder logic only ever sees the 25-row nation frame
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
