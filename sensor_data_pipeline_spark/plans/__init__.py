@@ -56,10 +56,13 @@ _DRIVER_WINDOW = [
     # --- never checked: newest curation/streaming (q237-q259) ---
     "q237_correlation_moments",
     "q238_ann_eval_metrics",
-    "q240_conjunctive_search",
     "q242_sql_pipe_syntax",
-    "q243_disorder_profile",
-    "q246_ols_moments_by_key",
+    "q243_disorder_profile",  # time-family representative
+    # (q240/q246 — posting-list and integer-algebra shapes whose
+    # families are already driver-green — swapped for the two riskiest
+    # remaining inference patterns, fresh-for-fresh)
+    "q297_sorted_neighborhood_dedup",  # block-keyed lead windows, list ops
+    "q298_holt_linear",  # JVM fold vs recursive-CTE oracle, raw doubles
     # --- declared this round: the riskiest inference-family patterns
     # (swapped in for q239/q241/q244/q250 — plain integer-algebra
     # shapes — fresh-for-fresh, same rationale as the earlier swaps) ---

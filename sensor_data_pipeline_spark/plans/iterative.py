@@ -387,3 +387,98 @@ def q269_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# q302 — Bellman-Ford bounded-hop shortest paths
+# ---------------------------------------------------------------------------
+
+_BF_ROUNDS = 6
+_BF_SOURCE = 1
+
+
+def _bf_oracle() -> str:
+    rounds = []
+    prev = "d0"
+    for i in range(1, _BF_ROUNDS + 1):
+        rounds.append(
+            f"""d{i} AS (
+  SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+    SELECT node, d FROM {prev}
+    UNION ALL
+    SELECT e.dst, {prev}.d + e.w FROM {prev} JOIN edges e ON e.src = {prev}.node
+  ) GROUP BY node
+)"""
+        )
+        prev = f"d{i}"
+    return f"""
+WITH pairs AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+e0 AS (
+  SELECT DISTINCT a.s AS src, b.s AS dst
+  FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.s < b.s
+),
+edges AS (
+  SELECT src, dst, (src + dst) % 20 + 1 AS w FROM e0
+  UNION ALL
+  SELECT dst, src, (src + dst) % 20 + 1 FROM e0
+),
+d0 AS (SELECT CAST({_BF_SOURCE} AS BIGINT) AS node, CAST(0 AS BIGINT) AS d),
+{",".join(rounds)}
+SELECT node, d AS dist FROM {prev} ORDER BY node
+"""
+
+
+@register(
+    "q302_bellman_ford",
+    category="graph",
+    oracle=_bf_oracle(),
+)
+def q302_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths by 6 unrolled Bellman-Ford
+    relaxation rounds over the co-supply graph (suppliers sharing an
+    order, symmetric deterministic integer weights): each round joins
+    the frontier distances to the edge list and min-combines — the
+    weighted generalization of q269's BFS k-hop. Every round's result
+    is localCheckpoint-pinned (the repo's loop-invariant rule: unpinned,
+    round k re-executes rounds 1..k-1, a 2^k lineage blowup), and so is
+    the 6-times-consumed edge list. Distances are exact BIGINTs. The
+    oracle replays the identical rounds as chained min-relaxation CTEs
+    (NOT a recursive path enumeration, which explodes on dense graphs).
+    At 100 TB: per round one hash join shuffle on src + one min
+    combine — the standard Pregel-as-joins layout; rounds bound hops,
+    and a real cluster would switch to delta-frontier joins once the
+    active set shrinks."""
+    li = load_table(spark, "lineitem", sf_dir)
+    pairs = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = pairs.select("ok", F.col("s").alias("src"))
+    b = pairs.select("ok", F.col("s").alias("dst"))
+    e0 = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    w = (F.col("src") + F.col("dst")) % 20 + 1
+    edges = (
+        e0.select("src", "dst", w.alias("w"))
+        .unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), w.alias("w")))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        li.sparkSession.range(_BF_SOURCE, _BF_SOURCE + 1)
+        .select(F.col("id").cast("bigint").alias("node"), F.lit(0).cast("bigint").alias("d"))
+    )
+    for _ in range(_BF_ROUNDS):
+        relax = (
+            dist.join(edges, dist["node"] == edges["src"])
+            .select(edges["dst"].alias("node"), (dist["d"] + edges["w"]).alias("d"))
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("d").cast("bigint").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", F.col("d").alias("dist")).orderBy("node")

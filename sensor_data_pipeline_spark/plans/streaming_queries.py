@@ -915,3 +915,54 @@ def q287_stream_nearest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.dist").cast("bigint").alias("diff_us"),
         F.col("best.c_us").cast("bigint").alias("click_us"),
     ).orderBy("pid")
+
+
+# ---------------------------------------------------------------------------
+# q301 — streaming hopping-window distinct-user census
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q301_stream_hopping_distinct",
+    category="streaming",
+    oracle="""
+WITH assigned AS (
+  SELECT DISTINCT user_id,
+         unnest([ts - to_microseconds(CAST(epoch_us(ts) % 1800000000 AS BIGINT)),
+                 ts - to_microseconds(CAST(epoch_us(ts) % 1800000000 AS BIGINT))
+                   - INTERVAL 30 MINUTE]) AS win_start
+  FROM events
+)
+SELECT win_start, CAST(count(*) AS BIGINT) AS n_users
+FROM assigned
+GROUP BY win_start
+ORDER BY win_start
+""",
+)
+def q301_stream_hopping_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per HOPPING window (1 h length, 30 min slide),
+    computed stream-side: every event expands into its two overlapping
+    windows via window(), then dropDuplicatesWithinWatermark on
+    (user_id, window) keeps only each user's first arrival per window
+    — streaming aggregation can't do COUNT(DISTINCT), so the dedup
+    IS the distinct, with state aged out by the watermark instead of
+    growing forever. The drained first-arrivals are counted batch-side
+    per the q96 pattern (one stateful operator in the streaming DAG;
+    the count never fights the propagated-watermark emission rule).
+    The oracle unnests the same two epoch-aligned hop starts and
+    counts DISTINCT users exactly. At 100 TB/day: state is one key
+    per active (user, window) within the watermark horizon — the
+    window/slide ratio (2 here) multiplies state, so widening hops
+    means re-budgeting state stores, not rewriting the query."""
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    # the window struct inherits the event-time watermark metadata; ts
+    # must NOT survive the projection or the plan has two event-time
+    # columns and the stream aborts (XXKST)
+    hopped = stream.select(F.window("ts", "1 hour", "30 minutes").alias("w"), "user_id")
+    deduped = hopped.dropDuplicatesWithinWatermark(["user_id", "w"])
+    out = _drain(deduped, "q301_mem")
+    return (
+        out.groupBy(F.col("w.start").alias("win_start"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("win_start")
+    )
