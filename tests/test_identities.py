@@ -191,3 +191,109 @@ def test_exact_auc_ranksum_equals_pairwise(pos, neg):
     npos = len(pos)
     u2 = r2 - npos * (npos + 1)
     assert u2 == wins2
+
+
+# --- q300: largest-remainder apportionment invariants ---------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    weights=st.lists(st.integers(1, 10**9), min_size=1, max_size=30),
+    budget=st.integers(1, 5000),
+)
+def test_largest_remainder_conserves_budget(weights, budget):
+    total = sum(weights)
+    base = [w * budget // total for w in weights]
+    rem = [w * budget % total for w in weights]
+    extra = budget - sum(base)
+    # rank remainders desc, tiebreak on index (the query's nationkey)
+    order = sorted(range(len(weights)), key=lambda i: (-rem[i], i))
+    seats = list(base)
+    for i in order[:extra]:
+        seats[i] += 1
+    # budget conservation — the property float quotas can't guarantee
+    assert sum(seats) == budget
+    # quota property: every group gets floor or ceil of its ideal share
+    for w, s in zip(weights, seats):
+        ideal = w * budget / total
+        assert s in (int(ideal), int(ideal) + 1)
+
+
+# --- q290: Kaplan-Meier equals empirical survival without censoring -------
+
+
+@settings(max_examples=300, deadline=None)
+@given(durs=st.lists(st.integers(0, 40), min_size=1, max_size=60))
+def test_kaplan_meier_matches_empirical_when_uncensored(durs):
+    n = len(durs)
+    times = sorted(set(durs))
+    at_risk, surv, out = n, 1.0, {}
+    for t in times:
+        d = durs.count(t)
+        surv *= 1.0 - d / at_risk
+        out[t] = surv
+        at_risk -= d
+    for t in times:
+        # with no censoring S(t) is exactly the fraction still alive
+        assert abs(out[t] - sum(1 for x in durs if x > t) / n) < 1e-9
+
+
+# --- q292: cumulative-weight median equals sort-and-walk ------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(rows=st.lists(st.tuples(st.integers(0, 10), st.integers(1, 50)), min_size=1, max_size=40))
+def test_weighted_median_cumweight_equals_walk(rows):
+    # query form: group by value, smallest value with 2*cumw >= total
+    from collections import defaultdict
+
+    agg = defaultdict(int)
+    for v, w in rows:
+        agg[v] += w
+    total = sum(agg.values())
+    cum, by_cum = 0, None
+    for v in sorted(agg):
+        cum += agg[v]
+        if by_cum is None and 2 * cum >= total:
+            by_cum = v
+    # reference: expand to units and walk to the ceil(total/2)-th unit
+    units = sorted(v for v, w in rows for _ in range(w))
+    by_walk = units[(total - 1) // 2]
+    assert by_cum == by_walk
+
+
+# --- q302: unrolled relaxation equals bounded-hop shortest path -----------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7), st.integers(1, 20)),
+        min_size=0,
+        max_size=25,
+    ),
+    rounds=st.integers(1, 6),
+)
+def test_bellman_rounds_equal_bounded_hop_paths(edges, rounds):
+    # round-k relaxation table == min-cost path using <= k edges (DP)
+    INF = float("inf")
+    dist = {0: 0}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for s, t, w in edges:
+            if s in dist and dist[s] + w < nxt.get(t, INF):
+                nxt[t] = dist[s] + w
+        dist = nxt
+    dp = {(0, 0): 0}
+    for k in range(1, rounds + 1):
+        for node in range(8):
+            best = dp.get((k - 1, node), INF)
+            for s, t, w in edges:
+                if t == node and (k - 1, s) in dp:
+                    best = min(best, dp[(k - 1, s)] + w)
+            if best < INF:
+                dp[(k, node)] = best
+    bounded = {}
+    for (k, node), d in dp.items():
+        bounded[node] = min(bounded.get(node, INF), d)
+    assert dist == bounded
