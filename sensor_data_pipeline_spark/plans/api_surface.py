@@ -489,3 +489,70 @@ def q204_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q304 — DataFrame.transpose (Spark 4 reshape API)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q304_transpose_metrics",
+    category="reshape",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty_units,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS price_cents
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT 'n_rows' AS key,
+       CAST(min(CASE WHEN l_returnflag = 'A' THEN n_rows END) AS BIGINT) AS A,
+       CAST(min(CASE WHEN l_returnflag = 'N' THEN n_rows END) AS BIGINT) AS N,
+       CAST(min(CASE WHEN l_returnflag = 'R' THEN n_rows END) AS BIGINT) AS R
+FROM g
+UNION ALL
+SELECT 'price_cents',
+       CAST(min(CASE WHEN l_returnflag = 'A' THEN price_cents END) AS BIGINT),
+       CAST(min(CASE WHEN l_returnflag = 'N' THEN price_cents END) AS BIGINT),
+       CAST(min(CASE WHEN l_returnflag = 'R' THEN price_cents END) AS BIGINT)
+FROM g
+UNION ALL
+SELECT 'qty_units',
+       CAST(min(CASE WHEN l_returnflag = 'A' THEN qty_units END) AS BIGINT),
+       CAST(min(CASE WHEN l_returnflag = 'N' THEN qty_units END) AS BIGINT),
+       CAST(min(CASE WHEN l_returnflag = 'R' THEN qty_units END) AS BIGINT)
+FROM g
+ORDER BY key
+""",
+)
+def q304_transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric matrix pivot via DataFrame.transpose() (new in Spark 4):
+    the per-returnflag aggregate frame (flags as rows, metrics as
+    columns) flips to metrics-as-rows / flags-as-columns — the report
+    layout — without hand-writing a stack+pivot pair. transpose()
+    takes new column names from the FIRST column's values in row
+    order, so the input is sorted on the flag first; all metric cells
+    share one BIGINT type (transpose requires a least common type
+    across transposed cells). The oracle writes the flipped layout as
+    conditional aggregation. Scale: transpose collects the first
+    column to the driver to learn the output schema — correct ONLY
+    for domain-bounded frames like this 3-row aggregate (the same
+    bound every pivot holds); the heavy reduce happens before it."""
+    li = load_table(spark, "lineitem", sf_dir)
+    g = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.round(F.col("l_quantity"), 0).cast("bigint"))
+            .cast("bigint")
+            .alias("qty_units"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return g.transpose().orderBy("key")

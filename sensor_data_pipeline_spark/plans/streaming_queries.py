@@ -966,3 +966,70 @@ def q301_stream_hopping_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("win_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# q303 — state-store data source audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q303_stream_state_audit",
+    category="streaming",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q303_stream_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit a streaming aggregation's CHECKPOINT STATE with the state
+    data source (`spark.read.format("statestore")`, Spark 4): run a
+    per-type running count/sum over the event stream, then read the
+    committed state store back as a batch DataFrame and verify it
+    equals the batch GROUP BY — the state-debugging workflow for a
+    production stream (is the store consistent with a bounded replay?)
+    expressed as a differential query. The state source exposes
+    key/value structs per partition; the audit projects them back to
+    relational columns. At 100 TB/day this is how state corruption,
+    skewed state partitions, and watermark bugs get diagnosed without
+    stopping the stream: the reader works on checkpoint files alone.
+    The checkpoint is a per-invocation temp dir (availableNow drain
+    commits exactly one batch, so the read targets the last committed
+    version deterministically)."""
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="q303_state_")
+    stream = _events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).cast("bigint").alias("sum_cents"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    state = spark.read.format("statestore").load(ckpt)
+    # the value struct exposes the PHYSICAL aggregation buffer, named
+    # after the aggregate functions (`count`, `sum`), not the query's
+    # aliases — the audit maps buffer fields back to logical columns
+    return (
+        state.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("bigint").alias("n"),
+            F.col("value.sum").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
