@@ -80,8 +80,10 @@ _DRIVER_WINDOW = [
     "q258_pit_feature_audit",
     "q259_stream_learned_fences",
     # --- never checked: quality gates / sampling (q227-q234) ---
-    "q228_mad_anomaly_gate",
     "q234_domain_quota_sample",
+    # (q228 — integer-fence gate, quality family still covered by q225 —
+    # swapped for the state-reader pattern, the round's riskiest API)
+    "q303_stream_state_audit",  # statestore source reads checkpoint state
     # --- never checked: newest round-4 additions (q270-q277) ---
     "q270_hll_rollup",  # DataSketches HLL union-of-cell-sketches
     "q271_fuzzy_join_deletion_blocking",  # FastSS candidate completeness
