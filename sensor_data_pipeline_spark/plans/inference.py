@@ -1125,3 +1125,151 @@ def q300_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q305 — day-of-week seasonal index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q305_seasonal_dow_index",
+    category="timeseries",
+    oracle="""
+WITH d AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 7 AS dow,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+g AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS rev
+  FROM d GROUP BY dow
+),
+t AS (SELECT CAST(sum(rev) AS BIGINT) AS tot, CAST(sum(n) AS BIGINT) AS nt FROM g)
+SELECT g.dow, g.n, g.rev,
+       g.rev * 7 * 1000000 // t.tot AS seasonal_index_ppm,
+       g.n * 7 * 1000000 // t.nt AS volume_index_ppm
+FROM g, t
+ORDER BY g.dow
+""",
+)
+def q305_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index of order revenue and volume: each
+    weekday's share against the uniform 1/7 expectation, as exact ppm
+    (index 1_000_000 = no seasonality). The weekday comes from
+    days-since-epoch MOD 7 — pure integer arithmetic, because the
+    engines disagree on dayofweek() numbering conventions (Spark
+    1=Sunday, DuckDB 0=Sunday) and a convention bug would silently
+    rotate the whole profile. Plan: map-only weekday projection, a
+    7-group partial-agg shuffle, one broadcast total — the q288 shape.
+    The deseasonalization prior every forecast pipeline needs, at one
+    scan regardless of scale."""
+    o = load_table(spark, "orders", sf_dir)
+    d = o.select(
+        (F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")) % 7).alias(
+            "dow"
+        ),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    g = d.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("cents").cast("bigint").alias("rev")
+    )
+    t = g.agg(F.sum("rev").cast("bigint").alias("tot"), F.sum("n").cast("bigint").alias("nt"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "dow",
+            "n",
+            "rev",
+            F.expr("rev * 7 * 1000000 DIV tot").alias("seasonal_index_ppm"),
+            F.expr("n * 7 * 1000000 DIV nt").alias("volume_index_ppm"),
+        )
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q306 — ABC revenue classification on the distributed prefix scan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q306_abc_classification",
+    category="aggregation",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS r
+  FROM lineitem GROUP BY l_partkey
+),
+c AS (
+  SELECT l_partkey, r,
+         CAST(sum(r) OVER (ORDER BY r DESC, l_partkey) AS BIGINT) AS cum,
+         CAST(sum(r) OVER () AS BIGINT) AS tot
+  FROM rev
+),
+cls AS (
+  SELECT CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+              WHEN 20 * cum <= 19 * tot THEN 'B'
+              ELSE 'C' END AS abc_class,
+         r, tot
+  FROM c
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(r) AS BIGINT) AS class_cents,
+       CAST(sum(r) AS BIGINT) * 1000000 // CAST(min(tot) AS BIGINT) AS share_ppm
+FROM cls
+GROUP BY abc_class
+ORDER BY abc_class
+""",
+)
+def q306_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    class A while the running cumulative share stays within 80%
+    (cross-multiplied 5*cum <= 4*tot — no float shares), B to 95%, C
+    after. The ranking's cumulative sum runs on the DISTRIBUTED prefix
+    scan (operators/prefix.py), not a single-partition window: the
+    part dimension is millions of rows at 100 TB, exactly the case
+    the two-pass range-partitioned scan exists for. Ordering rides a
+    single fixed-width string key (inverted zero-padded revenue ++
+    partkey) so the scan's unique-key contract holds under revenue
+    ties. The oracle is the plain window form — identical by the
+    prefix-scan equivalence the operator's property test pins."""
+    from sensor_data_pipeline_spark.operators.prefix import global_running_sum
+
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("r")
+    )
+    keyed = rev.select(
+        "l_partkey",
+        "r",
+        F.format_string("%013d%09d", F.lit(9999999999999) - F.col("r"), F.col("l_partkey")).alias(
+            "ok"
+        ),
+    )
+    pre = global_running_sum(keyed, "ok", "r", "cum")
+    tot = rev.agg(F.sum("r").cast("bigint").alias("tot"))
+    cls = pre.crossJoin(F.broadcast(tot)).select(
+        F.when(5 * F.col("cum") <= 4 * F.col("tot"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "r",
+        "tot",
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("r").cast("bigint").alias("class_cents"),
+            F.expr("CAST(sum(r) AS BIGINT) * 1000000 DIV CAST(min(tot) AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("abc_class")
+    )
