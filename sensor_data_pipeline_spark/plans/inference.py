@@ -328,8 +328,8 @@ SELECT '{fd}' AS fd,
        CAST(count(*) AS BIGINT) AS n_groups,
        CAST(count(*) FILTER (WHERE n_y > 1) AS BIGINT) AS n_violating_groups,
        CAST(sum(cnt) - sum(max_y) AS BIGINT) AS removal_cost,
-       (CAST(sum(cnt) AS BIGINT) - CAST(sum(max_y) AS BIGINT)) * 1000000
-         // CAST(sum(cnt) AS BIGINT) AS g3_ppm
+       CAST((CAST(sum(cnt) AS HUGEINT) - sum(max_y)) * 1000000
+            // sum(cnt) AS BIGINT) AS g3_ppm
 FROM (
   SELECT {x}, CAST(count(*) AS BIGINT) AS n_y,
          CAST(sum(yc) AS BIGINT) AS cnt, CAST(max(yc) AS BIGINT) AS max_y
@@ -377,9 +377,10 @@ def q291_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_violating_groups"
                 ),
                 (F.sum("cnt") - F.sum("max_y")).cast("bigint").alias("removal_cost"),
-                F.expr("(CAST(sum(cnt) AS BIGINT) - CAST(sum(max_y) AS BIGINT)) * 1000000 DIV CAST(sum(cnt) AS BIGINT)").alias(
-                    "g3_ppm"
-                ),
+                F.expr(
+                    "CAST((CAST(sum(cnt) AS DECIMAL(38,0)) - sum(max_y)) * 1000000"
+                    " DIV sum(cnt) AS BIGINT)"
+                ).alias("g3_ppm"),
             )
         )
     out = parts[0]
@@ -576,7 +577,8 @@ pairs AS (
 SELECT p.p1, p.p2, p.n_pair, f1.n_item AS n1, f2.n_item AS n2,
        p.n_pair * 1000000 // f1.n_item AS conf12_ppm,
        p.n_pair * 1000000 // f2.n_item AS conf21_ppm,
-       p.n_pair * nb.n_orders * 1000000 // (f1.n_item * f2.n_item) AS lift_ppm
+       CAST(CAST(p.n_pair AS HUGEINT) * nb.n_orders * 1000000
+            // (CAST(f1.n_item AS HUGEINT) * f2.n_item) AS BIGINT) AS lift_ppm
 FROM pairs p
 JOIN freq f1 ON p.p1 = f1.pk
 JOIN freq f2 ON p.p2 = f2.pk
@@ -635,7 +637,12 @@ def q294_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n2",
             F.expr("n_pair * 1000000 DIV n1").alias("conf12_ppm"),
             F.expr("n_pair * 1000000 DIV n2").alias("conf21_ppm"),
-            F.expr("n_pair * n_orders * 1000000 DIV (n1 * n2)").alias("lift_ppm"),
+            # numerator and denominator both clear int64 near 1e9 baskets
+            # — symmetric decimal keeps the ranking exact at any scale
+            F.expr(
+                "CAST(CAST(n_pair AS DECIMAL(38,0)) * n_orders * 1000000"
+                " DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
         .orderBy(F.col("lift_ppm").desc(), "p1", "p2")
         .limit(50)
@@ -1050,8 +1057,8 @@ WITH w AS (
 t AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM w),
 q AS (
   SELECT w.nationkey, w.wt,
-         w.wt * {_ALLOC_SEATS} // t.tot AS base,
-         w.wt * {_ALLOC_SEATS} % t.tot AS rem
+         CAST(CAST(w.wt AS HUGEINT) * {_ALLOC_SEATS} // t.tot AS BIGINT) AS base,
+         CAST(CAST(w.wt AS HUGEINT) * {_ALLOC_SEATS} % t.tot AS BIGINT) AS rem
   FROM w, t
 ),
 r AS (
@@ -1097,8 +1104,12 @@ def q300_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = wt.crossJoin(F.broadcast(tot)).select(
         "nationkey",
         "wt",
-        F.expr(f"wt * {_ALLOC_SEATS} DIV tot").alias("base"),
-        F.expr(f"wt * {_ALLOC_SEATS} % tot").alias("rem"),
+        F.expr(
+            f"CAST(CAST(wt AS DECIMAL(38,0)) * {_ALLOC_SEATS} DIV tot AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            f"CAST(CAST(wt AS DECIMAL(38,0)) * {_ALLOC_SEATS} % tot AS BIGINT)"
+        ).alias("rem"),
     )
     w_rk = Window.orderBy(F.col("rem").desc(), "nationkey")
     w_all = Window.partitionBy()
@@ -1148,8 +1159,10 @@ g AS (
 ),
 t AS (SELECT CAST(sum(rev) AS BIGINT) AS tot, CAST(sum(n) AS BIGINT) AS nt FROM g)
 SELECT g.dow, g.n, g.rev,
-       g.rev * 7 * 1000000 // t.tot AS seasonal_index_ppm,
-       g.n * 7 * 1000000 // t.nt AS volume_index_ppm
+       CAST(CAST(g.rev AS HUGEINT) * 7000000 // t.tot AS BIGINT)
+         AS seasonal_index_ppm,
+       CAST(CAST(g.n AS HUGEINT) * 7000000 // t.nt AS BIGINT)
+         AS volume_index_ppm
 FROM g, t
 ORDER BY g.dow
 """,
@@ -1182,8 +1195,15 @@ def q305_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow",
             "n",
             "rev",
-            F.expr("rev * 7 * 1000000 DIV tot").alias("seasonal_index_ppm"),
-            F.expr("n * 7 * 1000000 DIV nt").alias("volume_index_ppm"),
+            # rev*7e6 exceeds int64 one decade above sf0.1 (caught by the
+            # sf1 stress run) — the ppm product runs in DECIMAL(38,0)/
+            # HUGEINT, the q279 symmetric-decimal idiom
+            F.expr("CAST(CAST(rev AS DECIMAL(38,0)) * 7000000 DIV tot AS BIGINT)").alias(
+                "seasonal_index_ppm"
+            ),
+            F.expr("CAST(CAST(n AS DECIMAL(38,0)) * 7000000 DIV nt AS BIGINT)").alias(
+                "volume_index_ppm"
+            ),
         )
         .orderBy("dow")
     )
@@ -1219,7 +1239,7 @@ cls AS (
 SELECT abc_class,
        CAST(count(*) AS BIGINT) AS n_parts,
        CAST(sum(r) AS BIGINT) AS class_cents,
-       CAST(sum(r) AS BIGINT) * 1000000 // CAST(min(tot) AS BIGINT) AS share_ppm
+       CAST(CAST(sum(r) AS HUGEINT) * 1000000 // min(tot) AS BIGINT) AS share_ppm
 FROM cls
 GROUP BY abc_class
 ORDER BY abc_class
@@ -1248,9 +1268,9 @@ def q306_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = rev.select(
         "l_partkey",
         "r",
-        F.format_string("%013d%09d", F.lit(9999999999999) - F.col("r"), F.col("l_partkey")).alias(
-            "ok"
-        ),
+        F.format_string(
+            "%016d%012d", F.lit(9999999999999999) - F.col("r"), F.col("l_partkey")
+        ).alias("ok"),
     )
     pre = global_running_sum(keyed, "ok", "r", "cum")
     tot = rev.agg(F.sum("r").cast("bigint").alias("tot"))
@@ -1267,9 +1287,11 @@ def q306_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_parts"),
             F.sum("r").cast("bigint").alias("class_cents"),
-            F.expr("CAST(sum(r) AS BIGINT) * 1000000 DIV CAST(min(tot) AS BIGINT)").alias(
-                "share_ppm"
-            ),
+            # class cents * 1e6 overflows int64 already at sf1 (the 80%
+            # class holds ~1.4e13 cents there) — symmetric decimal
+            F.expr(
+                "CAST(CAST(sum(r) AS DECIMAL(38,0)) * 1000000 DIV min(tot) AS BIGINT)"
+            ).alias("share_ppm"),
         )
         .orderBy("abc_class")
     )
