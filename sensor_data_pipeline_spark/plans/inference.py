@@ -1295,3 +1295,142 @@ def q306_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# q307 — join-skew diagnosis report
+# ---------------------------------------------------------------------------
+
+_SKEW_SHARDS = 32
+
+
+@register(
+    "q307_join_skew_report",
+    category="profile",
+    oracle=f"""
+WITH k AS (
+  SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_orderkey
+),
+t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(n) AS BIGINT) AS max_key FROM k
+),
+s AS (
+  SELECT key % {_SKEW_SHARDS} AS shard, CAST(sum(n) AS BIGINT) AS load
+  FROM k GROUP BY key % {_SKEW_SHARDS}
+),
+m AS (SELECT CAST(max(load) AS BIGINT) AS max_load,
+             CAST(count(*) AS BIGINT) AS n_shards FROM s)
+SELECT t.total, t.n_keys, t.max_key,
+       t.max_key * t.n_keys * 1000000 // t.total AS key_skew_ppm,
+       m.max_load, m.n_shards,
+       m.max_load * {_SKEW_SHARDS} * 1000000 // t.total AS shard_imbalance_ppm
+FROM t, m
+""",
+)
+def q307_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew diagnosis for a prospective shuffle key (l_orderkey):
+    per-key frequency reduce, then (a) key skew = hottest key vs the
+    uniform per-key expectation and (b) shard imbalance = hottest of
+    32 deterministic key%32 shards vs the uniform per-shard load,
+    both as exact ppm (1_000_000 = perfectly uniform). This is the
+    pre-flight a 100 TB join runs to decide between plain hash
+    shuffle, AQE skew splitting, and salting — produced here by the
+    engine itself as a query: one combiner groupBy onto distinct
+    keys, a 32-row shard rollup, two 1-row broadcasts. The shard
+    assignment is key MOD shards (not the engine's internal hash) so
+    the oracle replays it exactly; the diagnosis is the same because
+    imbalance is a property of the key distribution, not the hash."""
+    li = load_table(spark, "lineitem", sf_dir)
+    k = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    t = k.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_key"),
+    )
+    s = k.groupBy((F.col("key") % _SKEW_SHARDS).alias("shard")).agg(
+        F.sum("n").cast("bigint").alias("load")
+    )
+    m = s.agg(
+        F.max("load").cast("bigint").alias("max_load"),
+        F.count("*").cast("bigint").alias("n_shards"),
+    )
+    return (
+        t.crossJoin(F.broadcast(m))
+        .select(
+            "total",
+            "n_keys",
+            "max_key",
+            F.expr("max_key * n_keys * 1000000 DIV total").alias("key_skew_ppm"),
+            "max_load",
+            "n_shards",
+            F.expr(f"max_load * {_SKEW_SHARDS} * 1000000 DIV total").alias(
+                "shard_imbalance_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q308 — text normalization with idempotence audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q308_normalize_idempotent",
+    category="text",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS t1
+  FROM documents
+),
+norm2 AS (
+  SELECT doc_id, t1,
+         trim(regexp_replace(regexp_replace(lower(t1), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS t2
+  FROM norm
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN t1 = t2 THEN 1 ELSE 0 END) AS BIGINT) AS n_idempotent,
+       CAST(sum(length(t1)) AS BIGINT) AS total_norm_chars,
+       CAST(sum(CASE WHEN t1 = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_emptied
+FROM norm2
+""",
+)
+def q308_normalize_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (lowercase, non-alphanumeric -> space,
+    whitespace squeeze, trim) with the cleaning-pipeline invariant
+    audited IN the query: applying the normalizer twice must equal
+    applying it once (idempotence), or re-processed documents drift
+    on every ingestion pass. Emits corpus counts: docs, idempotent
+    docs (must equal docs), normalized char mass, fully-emptied docs.
+    Regexes are RE2-safe (no lookaheads) so both engines execute the
+    identical automaton. Plan: map-only double-normalization fused in
+    one projection — one scan, a 1-row combiner agg; the audit is
+    free at any corpus size because the second pass runs on the
+    already-shrunk t1."""
+    docs = load_table(spark, "documents", sf_dir)
+
+    def norm(c):
+        return F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " "
+            )
+        )
+
+    n2 = docs.select(norm(F.col("text")).alias("t1")).select(
+        "t1", norm(F.col("t1")).alias("t2")
+    )
+    return n2.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("t1") == F.col("t2")).cast("bigint")).cast("bigint").alias(
+            "n_idempotent"
+        ),
+        F.sum(F.length("t1")).cast("bigint").alias("total_norm_chars"),
+        F.sum((F.col("t1") == "").cast("bigint")).cast("bigint").alias("n_emptied"),
+    )
