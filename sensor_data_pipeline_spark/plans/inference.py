@@ -1434,3 +1434,202 @@ def q308_normalize_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("t1")).cast("bigint").alias("total_norm_chars"),
         F.sum((F.col("t1") == "").cast("bigint")).cast("bigint").alias("n_emptied"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q309 — winsorized mean per group (robust location)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q309_winsorized_mean",
+    category="aggregation",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, cents, c,
+         CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY cents) AS BIGINT) AS cw,
+         CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+  FROM q
+),
+fence AS (
+  SELECT l_returnflag,
+         CAST(min(CASE WHEN 20 * cw >= n THEN cents END) AS BIGINT) AS p05,
+         CAST(min(CASE WHEN 20 * cw >= 19 * n THEN cents END) AS BIGINT) AS p95
+  FROM cum GROUP BY l_returnflag
+)
+SELECT q.l_returnflag,
+       CAST(sum(q.c) AS BIGINT) AS n,
+       CAST(min(f.p05) AS BIGINT) AS p05_cents,
+       CAST(min(f.p95) AS BIGINT) AS p95_cents,
+       CAST(sum(q.c * least(greatest(q.cents, f.p05), f.p95)) AS BIGINT)
+         AS winsorized_sum_cents,
+       CAST(sum(q.c * least(greatest(q.cents, f.p05), f.p95)) AS DOUBLE)
+         / sum(q.c) AS winsorized_mean_cents
+FROM q JOIN fence f ON q.l_returnflag = f.l_returnflag
+GROUP BY q.l_returnflag
+ORDER BY q.l_returnflag
+""",
+)
+def q309_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per return flag: prices clamped into the
+    [p5, p95] fences before averaging — the robust location estimate
+    that survives fat tails where the plain mean (q07) and even the
+    trimmed median (q132/q228) answer different questions. Fences
+    come from counting quantiles over the (flag, cents) domain (the
+    q292 machinery: cross-multiplied 20*cw >= 19*n, no division);
+    clamping and summation run on the ALREADY-AGGREGATED domain rows
+    (count * clamped-value), so the raw table is scanned once and the
+    ordered logic touches only the bounded value domain. The mean is
+    a division of exact BIGINTs — raw, bit-identical."""
+    li = load_table(spark, "lineitem", sf_dir)
+    q = li.groupBy(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    wc = Window.partitionBy("l_returnflag").orderBy("cents")
+    wt = Window.partitionBy("l_returnflag")
+    cum = q.select(
+        "l_returnflag",
+        "cents",
+        "c",
+        F.sum("c").over(wc).cast("bigint").alias("cw"),
+        F.sum("c").over(wt).cast("bigint").alias("n"),
+    )
+    fence = cum.groupBy("l_returnflag").agg(
+        F.min(F.when(20 * F.col("cw") >= F.col("n"), F.col("cents")))
+        .cast("bigint")
+        .alias("p05"),
+        F.min(F.when(20 * F.col("cw") >= 19 * F.col("n"), F.col("cents")))
+        .cast("bigint")
+        .alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("p05")), F.col("p95"))
+    return (
+        q.join(F.broadcast(fence), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.min("p05").cast("bigint").alias("p05_cents"),
+            F.min("p95").cast("bigint").alias("p95_cents"),
+            F.sum(F.col("c") * clamped).cast("bigint").alias("winsorized_sum_cents"),
+            (
+                F.sum(F.col("c") * clamped).cast("double") / F.sum("c")
+            ).alias("winsorized_mean_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q310 — zone-map pruning effectiveness audit
+# ---------------------------------------------------------------------------
+
+_ZM_CHUNK = 1000
+
+
+@register(
+    "q310_zonemap_prune_audit",
+    category="layout",
+    oracle=f"""
+WITH probe AS (
+  SELECT CAST(min(epoch_us(l_shipdate))
+              + (max(epoch_us(l_shipdate)) - min(epoch_us(l_shipdate)))
+                * 45 // 100 AS BIGINT) AS lo,
+         CAST(min(epoch_us(l_shipdate))
+              + (max(epoch_us(l_shipdate)) - min(epoch_us(l_shipdate)))
+                * 55 // 100 AS BIGINT) AS hi
+  FROM lineitem
+),
+layouts AS (
+  SELECT 'by_orderkey' AS layout, l_orderkey // {_ZM_CHUNK} AS chunk,
+         epoch_us(l_shipdate) AS ship_us FROM lineitem
+  UNION ALL
+  SELECT 'by_partkey', l_partkey // {_ZM_CHUNK}, epoch_us(l_shipdate)
+  FROM lineitem
+),
+zones AS (
+  SELECT layout, chunk,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(ship_us) AS BIGINT) AS zmin,
+         CAST(max(ship_us) AS BIGINT) AS zmax
+  FROM layouts GROUP BY layout, chunk
+)
+SELECT z.layout,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN z.zmax < p.lo OR z.zmin >= p.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_prunable,
+       CAST(sum(CASE WHEN z.zmax < p.lo OR z.zmin >= p.hi THEN 1 ELSE 0 END)
+            AS BIGINT) * 1000000 // count(*) AS prune_ppm,
+       CAST(sum(CASE WHEN NOT (z.zmax < p.lo OR z.zmin >= p.hi)
+                     THEN z.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+FROM zones z, probe p
+GROUP BY z.layout
+ORDER BY z.layout
+""",
+)
+def q310_zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max file-statistics) pruning effectiveness for a
+    centered 10% ship-date range probe, compared across two physical
+    layouts: chunks of 1000 by orderkey (insertion order — correlates
+    with ship date, so zones are tight and most chunks prune) vs
+    chunks by partkey (uncorrelated — every zone spans the full date
+    range and nothing prunes). This quantifies exactly WHY the
+    repo's layout queries (q213 Z-order, q71 partition pruning) pay
+    for clustering: same data, same predicate, orders-of-magnitude
+    different scanned-row mass, measured by the engine itself. One
+    scan builds both layouts' zones (union fused over the cached
+    table), probe bounds ride a 1-row broadcast; output is exact
+    counts + ppm."""
+    li = load_table(spark, "lineitem", sf_dir)
+    # probe bounds as exact integer microseconds: interval * double
+    # arithmetic rounds differently across engines at the boundary
+    us = F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+    probe = li.agg(
+        F.expr(
+            "CAST(min(unix_micros(CAST(l_shipdate AS TIMESTAMP))) + (max(unix_micros(CAST(l_shipdate AS TIMESTAMP)))"
+            " - min(unix_micros(CAST(l_shipdate AS TIMESTAMP)))) * 45 DIV 100 AS BIGINT)"
+        ).alias("lo"),
+        F.expr(
+            "CAST(min(unix_micros(CAST(l_shipdate AS TIMESTAMP))) + (max(unix_micros(CAST(l_shipdate AS TIMESTAMP)))"
+            " - min(unix_micros(CAST(l_shipdate AS TIMESTAMP)))) * 55 DIV 100 AS BIGINT)"
+        ).alias("hi"),
+    )
+    layouts = li.select(
+        F.lit("by_orderkey").alias("layout"),
+        F.expr(f"l_orderkey DIV {_ZM_CHUNK}").alias("chunk"),
+        us.alias("ship_us"),
+    ).unionByName(
+        li.select(
+            F.lit("by_partkey").alias("layout"),
+            F.expr(f"l_partkey DIV {_ZM_CHUNK}").alias("chunk"),
+            us.alias("ship_us"),
+        )
+    )
+    zones = layouts.groupBy("layout", "chunk").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("ship_us").cast("bigint").alias("zmin"),
+        F.max("ship_us").cast("bigint").alias("zmax"),
+    )
+    pruned = (F.col("zmax") < F.col("lo")) | (F.col("zmin") >= F.col("hi"))
+    return (
+        zones.crossJoin(F.broadcast(probe))
+        .groupBy("layout")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(pruned.cast("bigint")).cast("bigint").alias("n_prunable"),
+            F.expr(
+                "CAST(sum(CASE WHEN zmax < lo OR zmin >= hi THEN 1 ELSE 0 END)"
+                " AS BIGINT) * 1000000 DIV count(*)"
+            ).alias("prune_ppm"),
+            F.sum(F.when(~pruned, F.col("n_rows")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("rows_scanned"),
+        )
+        .orderBy("layout")
+    )
