@@ -297,3 +297,50 @@ def test_bellman_rounds_equal_bounded_hop_paths(edges, rounds):
     for (k, node), d in dp.items():
         bounded[node] = min(bounded.get(node, INF), d)
     assert dist == bounded
+
+
+# --- q309: winsorized mean on the aggregated domain == rowwise clamp -----
+
+
+@settings(max_examples=300, deadline=None)
+@given(vals=st.lists(st.integers(0, 100), min_size=1, max_size=80))
+def test_winsorized_domain_form_equals_rowwise(vals):
+    from collections import Counter
+
+    n = len(vals)
+    agg = Counter(vals)
+    # counting-quantile fences (query form: smallest v with 20*cw >= q*n)
+    cum, p05, p95 = 0, None, None
+    for v in sorted(agg):
+        cum += agg[v]
+        if p05 is None and 20 * cum >= n:
+            p05 = v
+        if p95 is None and 20 * cum >= 19 * n:
+            p95 = v
+    dom_sum = sum(c * min(max(v, p05), p95) for v, c in agg.items())
+    row_sum = sum(min(max(v, p05), p95) for v in vals)
+    assert dom_sum == row_sum
+    # clamping cannot move the mean outside the fences
+    assert p05 * n <= dom_sum <= p95 * n
+
+
+# --- q310: zone-map pruning is sound (never prunes a matching row) --------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 20), st.integers(0, 1000)), min_size=1, max_size=80),
+    lo=st.integers(0, 1000),
+    width=st.integers(0, 500),
+)
+def test_zonemap_pruning_sound(rows, lo, width):
+    hi = lo + width
+    zones = {}
+    for chunk, v in rows:
+        mn, mx = zones.get(chunk, (v, v))
+        zones[chunk] = (min(mn, v), max(mx, v))
+    pruned = {c for c, (mn, mx) in zones.items() if mx < lo or mn >= hi}
+    # soundness: every row matching [lo, hi) lives in an unpruned chunk
+    for chunk, v in rows:
+        if lo <= v < hi:
+            assert chunk not in pruned
