@@ -48,16 +48,29 @@ def grid_nn_join(
     if cell < radius:
         raise ValueError(f"cell {cell} < radius {radius} breaks 3x3 coverage")
     r2 = radius * radius
-    pt = points.select(
-        F.col(point_key),
-        qx.alias("_sx"),
-        qy.alias("_sy"),
-    ).select(
-        point_key,
-        "_sx",
-        "_sy",
-        F.expr(f"_sx DIV {cell}").alias("_gx"),
-        F.expr(f"_sy DIV {cell}").alias("_gy"),
+    # the candidate join EXPLODES relative to its shuffle-write size
+    # (9 cells/probe x cell occupancy), which is AQE's blind spot: it
+    # coalesces the small shuffle and then 3-4 tasks grind the whole
+    # join (observed: a 10-minute straggler at the 100x replica).
+    # Explicit-width co-partitioning on the cell key pins the join
+    # fan-in — AQE never coalesces a user-specified partition count —
+    # and both sides sharing HashPartitioning(_gx,_gy,n) means the
+    # join itself adds no further exchange.
+    n_part = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    pt = (
+        points.select(
+            F.col(point_key),
+            qx.alias("_sx"),
+            qy.alias("_sy"),
+        )
+        .select(
+            point_key,
+            "_sx",
+            "_sy",
+            F.expr(f"_sx DIV {cell}").alias("_gx"),
+            F.expr(f"_sy DIV {cell}").alias("_gy"),
+        )
+        .repartition(n_part, "_gx", "_gy")
     )
     offsets = F.explode(
         F.array(
@@ -69,12 +82,16 @@ def grid_nn_join(
         )
     )
     pr = probes.select(F.col(probe_key), px.alias("_cx"), py.alias("_cy"))
-    pr_cells = pr.select(probe_key, "_cx", "_cy", offsets.alias("_o")).select(
-        probe_key,
-        "_cx",
-        "_cy",
-        (F.expr(f"_cx DIV {cell}") + F.col("_o.dx")).alias("_gx"),
-        (F.expr(f"_cy DIV {cell}") + F.col("_o.dy")).alias("_gy"),
+    pr_cells = (
+        pr.select(probe_key, "_cx", "_cy", offsets.alias("_o"))
+        .select(
+            probe_key,
+            "_cx",
+            "_cy",
+            (F.expr(f"_cx DIV {cell}") + F.col("_o.dx")).alias("_gx"),
+            (F.expr(f"_cy DIV {cell}") + F.col("_o.dy")).alias("_gy"),
+        )
+        .repartition(n_part, "_gx", "_gy")
     )
     d2 = (F.col("_cx") - F.col("_sx")) * (F.col("_cx") - F.col("_sx")) + (
         F.col("_cy") - F.col("_sy")
