@@ -954,13 +954,37 @@ def q301_stream_hopping_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     per active (user, window) within the watermark horizon — the
     window/slide ratio (2 here) multiplies state, so widening hops
     means re-budgeting state stores, not rewriting the query."""
+    import tempfile
+
     stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     # the window struct inherits the event-time watermark metadata; ts
     # must NOT survive the projection or the plan has two event-time
     # columns and the stream aborts (XXKST)
     hopped = stream.select(F.window("ts", "1 hour", "30 minutes").alias("w"), "user_id")
     deduped = hopped.dropDuplicatesWithinWatermark(["user_id", "w"])
-    out = _drain(deduped, "q301_mem")
+    # drain to a FILE sink, not the memory sink: first-arrivals are
+    # O(N) rows and the memory sink materializes them on the driver —
+    # at the 100x replica that's >1.3 GiB of task results and the job
+    # dies on spark.driver.maxResultSize. Files keep the drain
+    # executor-side (the production layout); the census then reads
+    # them back as a batch scan.
+    sink_dir = tempfile.mkdtemp(prefix="q301_sink_")
+    ckpt = tempfile.mkdtemp(prefix="q301_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.read.parquet(sink_dir)
     return (
         out.groupBy(F.col("w.start").alias("win_start"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
