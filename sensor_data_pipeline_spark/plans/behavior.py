@@ -1033,3 +1033,78 @@ def q283_bounded_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q313 — Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q313_markov_transitions",
+    category="timeseries",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+tr AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n FROM tr GROUP BY 1
+)
+SELECT tr.from_type, tr.to_type, tr.n,
+       CAST(tr.n AS DOUBLE) / tot.row_n AS p_next,
+       CAST(row_number() OVER (PARTITION BY tr.from_type
+                               ORDER BY tr.n DESC, tr.to_type)
+            AS BIGINT) AS rnk
+FROM tr JOIN tot USING (from_type)
+ORDER BY tr.from_type, rnk
+""",
+)
+def q313_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    observed (from_type -> to_type) event pair, the exact transition
+    count, the row-normalized probability, and the within-row rank of
+    the next state — the session-model a behavioral pipeline fits
+    before simulating or anomaly-scoring clickstreams (and the input
+    to q216-style stationary analysis). Adjacency comes from a lag
+    window over (user_id) ordered by (ts, event_id) — the same
+    deterministic total order every sequence query in this suite
+    uses. Plan: one shuffle to sequence per user, then the pair count
+    collapses to |types|^2 <= 25 rows via map-side combine; row
+    totals re-aggregate the COUNTS, not the base table. p_next is a
+    raw division of exact BIGINTs (bit-identical across engines).
+    At 100 TB the user-partitioned window is the only data-sized
+    exchange; everything downstream is alphabet-sized."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    tr = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = tr.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("row_n"))
+    wr = Window.partitionBy("from_type").orderBy(F.col("n").desc(), "to_type")
+    return (
+        tr.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("row_n")).alias("p_next"),
+            F.row_number().over(wr).cast("bigint").alias("rnk"),
+        )
+        .orderBy("from_type", "rnk")
+    )

@@ -559,3 +559,81 @@ def q153_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split", "n_docs", "n_sources", "sum_chars", "n_leaked_sources")
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# q314 — n-gram novelty scoring (corpus-order first-seen attribution)
+# ---------------------------------------------------------------------------
+
+_NOV_K = 3
+_DUCK_WORDS = "regexp_split_to_array(text, '\\s+')"
+
+
+@register(
+    "q314_ngram_novelty",
+    category="corpus",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS a FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(a[i:i + {_NOV_K} - 1], 'string_agg', ' ') AS gram
+  FROM w CROSS JOIN unnest(range(1, len(a) - {_NOV_K} + 2)) AS t(i)
+),
+first_seen AS (
+  SELECT gram, CAST(min(doc_id) AS BIGINT) AS first_doc
+  FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000 // count(*) AS novelty_ppm
+FROM g JOIN first_seen f USING (gram)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
+)
+def q314_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty in corpus (doc_id) order: the share
+    of a document's distinct 3-gram shingles whose FIRST corpus
+    occurrence is this document — the curation signal that separates
+    genuinely-new material from recombinations of already-ingested
+    text (low novelty late in the crawl = boilerplate or near-dup
+    tail; the streaming twin of this attribution is how dataset
+    decontamination pipelines cap memorization). Shingling stays
+    JVM-side (transform over sequence); attribution is one groupBy
+    gram taking min(doc_id) (map-side combinable), joined back to the
+    distinct (doc, gram) pairs and re-reduced per doc. novelty_ppm is
+    exact integer ppm (x*1e6 DIV n) — no float in the output. Plan:
+    two shuffles (gram, then doc_id), both on pre-deduplicated pairs;
+    the gram key is content-hashable and salts naturally. At 100 TB
+    this is the span-dedup (q236) skeleton with min-attribution
+    instead of interval union."""
+    from sensor_data_pipeline_spark.functions.text import tokenize, word_shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    g = (
+        docs.select(
+            "doc_id",
+            F.explode(word_shingles(tokenize(F.col("text")), _NOV_K)).alias("gram"),
+        )
+        .distinct()
+    )
+    first_seen = g.groupBy("gram").agg(F.min("doc_id").cast("bigint").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        g.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            novel.alias("n_novel"),
+            F.expr(
+                "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)"
+                " * 1000000 DIV count(*)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1633,3 +1633,393 @@ def q310_zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# q311 — per-group OLS regression (closed form from exact sums)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q311_grouped_ols_trend",
+    category="analytics",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(round(l_extendedprice, 0) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS sxx,
+         CAST(sum(CAST(round(l_extendedprice, 0) AS BIGINT)
+                  * CAST(round(l_extendedprice, 0) AS BIGINT)) AS BIGINT) AS syy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_extendedprice, 0) AS BIGINT)) AS BIGINT) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, sx, sy,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+FROM s ORDER BY l_returnflag
+""",
+)
+def q311_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit of whole-dollar price on
+    quantity, in closed form from the five classic sufficient sums
+    (n, Sx, Sy, Sxx, Syy, Sxy) — the distributed regression shape:
+    one scan, map-side partial sums, a 3-group shuffle, and the
+    slope/intercept/r2 derived on the reduced rows. y is quantized to
+    whole dollars (round-then-cast, the cross-engine pattern) so every
+    sufficient statistic is an exact BIGINT: Syy <= 1.1e10 per row
+    keeps int64 headroom through a 100x scale-up, where cent-scaled
+    y^2 would overflow. The final statistics combine those exact
+    integers through correctly-rounded IEEE ops only (double mult/
+    sub/div), so Spark and DuckDB agree bitwise before the display
+    round(6). At 100 TB this is the cheapest regression possible:
+    shuffle payload is 6 numbers per (group x partition)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice"), 0).cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x * x).cast("bigint").alias("sxx"),
+        F.sum(y * y).cast("bigint").alias("syy"),
+        F.sum(x * y).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    denx = nd * F.col("sxx").cast("double") - sxd * sxd
+    deny = nd * F.col("syy").cast("double") - syd * syd
+    slope = num / denx
+    return s.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        F.round(slope, 6).alias("slope"),
+        F.round((syd - slope * sxd) / F.col("n"), 6).alias("intercept"),
+        F.round(num * num / (denx * deny), 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q312 — chi-square test of independence (per-cell contributions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q312_chi2_independence",
+    category="profile",
+    oracle="""
+WITH cell AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+r AS (SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS rn FROM cell GROUP BY 1),
+c AS (SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS cn FROM cell GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cell)
+SELECT cell.o_orderpriority, cell.o_orderstatus, cell.n,
+       round(CAST(r.rn * c.cn AS DOUBLE) / t.total, 6) AS expected,
+       round((cell.n - CAST(r.rn * c.cn AS DOUBLE) / t.total)
+             * (cell.n - CAST(r.rn * c.cn AS DOUBLE) / t.total)
+             / (CAST(r.rn * c.cn AS DOUBLE) / t.total), 6) AS chi2_term
+FROM cell
+JOIN r USING (o_orderpriority)
+JOIN c USING (o_orderstatus)
+CROSS JOIN t
+ORDER BY cell.o_orderpriority, cell.o_orderstatus
+""",
+)
+def q312_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and
+    order status: the contingency table with per-cell expected counts
+    under independence (row_total * col_total / N) and each cell's
+    chi-square contribution — the categorical-association audit a
+    data-quality pipeline runs to catch label leakage between
+    supposedly-independent facets. Per the q288 Benford discipline,
+    only per-cell terms are emitted (each an exact-integer-derived
+    IEEE expression, bit-identical across engines); the suite never
+    emits an unordered float SUM whose accumulation order could flip
+    a last ulp. Plan: one scan reduced by partial agg to <=15 cells,
+    then marginals re-aggregated from the CELLS (9+3+1 rows), not the
+    base table — three broadcast joins back onto the cell rows. At
+    100 TB the scan dominates; everything after is constant-size."""
+    o = load_table(spark, "orders", sf_dir)
+    cell = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    r = cell.groupBy("o_orderpriority").agg(F.sum("n").cast("bigint").alias("rn"))
+    c = cell.groupBy("o_orderstatus").agg(F.sum("n").cast("bigint").alias("cn"))
+    t = cell.agg(F.sum("n").cast("bigint").alias("total"))
+    expected = (F.col("rn") * F.col("cn")).cast("double") / F.col("total")
+    diff = F.col("n") - expected
+    return (
+        cell.join(F.broadcast(r), "o_orderpriority")
+        .join(F.broadcast(c), "o_orderstatus")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "n",
+            F.round(expected, 6).alias("expected"),
+            F.round(diff * diff / expected, 6).alias("chi2_term"),
+        )
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q315 — Benjamini-Hochberg FDR control over per-brand deviation scores
+# ---------------------------------------------------------------------------
+
+_BH_ALPHA_PPM = 200000  # alpha = 0.20 as exact ppm so thresholds stay rational
+_BH_SCALE = 100000.0  # squash scale: sized so the fixture yields a reject/keep mix
+
+
+@register(
+    "q315_bh_fdr_control",
+    category="profile",
+    oracle=f"""
+WITH g AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT) AS s
+  FROM part GROUP BY p_brand
+),
+t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(s) AS BIGINT) AS ts FROM g
+),
+p AS (
+  SELECT g.p_brand, g.n,
+         1.0 / (1.0 + CAST(g.n AS DOUBLE)
+                * (CAST(g.s AS DOUBLE) / g.n - CAST(t.ts AS DOUBLE) / t.tn)
+                * (CAST(g.s AS DOUBLE) / g.n - CAST(t.ts AS DOUBLE) / t.tn)
+                / 100000.0) AS p_value
+  FROM g CROSS JOIN t
+),
+rk AS (
+  SELECT p_brand, n, p_value,
+         CAST(row_number() OVER (ORDER BY p_value, p_brand) AS BIGINT) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM p
+),
+kk AS (
+  SELECT coalesce(max(CASE WHEN p_value * 1000000.0 * m
+                                <= {_BH_ALPHA_PPM} * i THEN i END), 0) AS k
+  FROM rk
+)
+SELECT rk.p_brand, rk.n, round(rk.p_value, 6) AS p_value, rk.i,
+       round(CAST({_BH_ALPHA_PPM} * rk.i AS DOUBLE) / (1000000.0 * rk.m), 6)
+         AS bh_threshold,
+       rk.i <= kk.k AS rejected
+FROM rk CROSS JOIN kk
+ORDER BY rk.i
+""",
+)
+def q315_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control over per-brand
+    price-deviation scores: rank pseudo-p-values ascending, find the
+    largest i with p_(i) <= alpha*i/m, reject ranks 1..k — the
+    multiple-testing gate a profiling pipeline runs after emitting
+    hundreds of per-facet test statistics (q289 Welch, q288 Benford)
+    so it doesn't chase noise. The pseudo-p is a rational squashing
+    1/(1 + n*t^2/1e8) of the exact-integer deviation t (cents), so
+    every comparison in the BH step is a correctly-rounded IEEE
+    expression on identical inputs in both engines; the alpha
+    threshold is carried as exact ppm (p*1e6*m <= alpha_ppm*i) to
+    keep the decision boundary rational. Plan: one scan to 25 brand
+    groups, marginals from the groups, a 25-row window rank, and the
+    step-up cutoff as a 1-row broadcast — O(1) beyond the scan."""
+    part = load_table(spark, "part", sf_dir)
+    g = part.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("p_retailprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("s"),
+    )
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("tn"), F.sum("s").cast("bigint").alias("ts")
+    )
+    dev = F.col("s").cast("double") / F.col("n") - F.col("ts").cast("double") / F.col(
+        "tn"
+    )
+    p = (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "p_brand",
+            "n",
+            (
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.col("n").cast("double") * dev * dev / F.lit(_BH_SCALE)
+                )
+            ).alias("p_value"),
+        )
+    )
+    w = Window.orderBy("p_value", "p_brand")
+    rk = p.select(
+        "p_brand",
+        "n",
+        "p_value",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("m"),
+    )
+    kk = rk.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_value") * 1000000.0 * F.col("m")
+                    <= F.lit(_BH_ALPHA_PPM) * F.col("i"),
+                    F.col("i"),
+                )
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("k")
+    )
+    return (
+        rk.crossJoin(F.broadcast(kk))
+        .select(
+            "p_brand",
+            "n",
+            F.round("p_value", 6).alias("p_value"),
+            "i",
+            F.round(
+                (F.lit(_BH_ALPHA_PPM) * F.col("i")).cast("double")
+                / (F.lit(1000000.0) * F.col("m")),
+                6,
+            ).alias("bh_threshold"),
+            (F.col("i") <= F.col("k")).alias("rejected"),
+        )
+        .orderBy("i")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q316 — deterministic Poisson bootstrap CI for the mean
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 16
+#: Poisson(1) inverse-CDF fence posts: P(X<=k) for k = 0..4, capped at 5.
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+
+
+@register(
+    "q316_poisson_bootstrap_ci",
+    category="sampling",
+    oracle=f"""
+WITH e AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         ((o_orderkey % 2147483648 + (t.b + 1) * 48271 + 11) % 2147483648
+          * 2654435761) % 2147483648 AS h,
+         t.b
+  FROM orders CROSS JOIN unnest(range(-1, {_BOOT_B})) AS t(b)
+),
+wts AS (
+  SELECT b, cents,
+         CASE WHEN b = -1 THEN 1
+              WHEN CAST(h AS DOUBLE) / 2147483648 < {_POIS_CDF[0]} THEN 0
+              WHEN CAST(h AS DOUBLE) / 2147483648 < {_POIS_CDF[1]} THEN 1
+              WHEN CAST(h AS DOUBLE) / 2147483648 < {_POIS_CDF[2]} THEN 2
+              WHEN CAST(h AS DOUBLE) / 2147483648 < {_POIS_CDF[3]} THEN 3
+              WHEN CAST(h AS DOUBLE) / 2147483648 < {_POIS_CDF[4]} THEN 4
+              ELSE 5 END AS w
+  FROM e
+),
+m AS (
+  SELECT b, CAST(sum(w * cents) AS DOUBLE) / sum(w) AS mean_b
+  FROM wts GROUP BY b
+),
+arr AS (
+  SELECT list(mean_b ORDER BY mean_b) AS a FROM m WHERE b >= 0
+)
+SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+       (SELECT mean_b FROM m WHERE b = -1) AS mean_cents,
+       a[2] AS ci_lo_cents,
+       a[{_BOOT_B - 1}] AS ci_hi_cents
+FROM arr
+""",
+)
+def q316_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean order value:
+    each row contributes Poisson(1)-many copies to each of B=16
+    resamples (the single-pass bootstrap of Chamandy et al. / Kleiner
+    et al.'s stream-friendly variant — the only bootstrap that works
+    when the data doesn't fit anywhere), with the Poisson draw
+    inverted from a deterministic Knuth multiplicative hash of
+    (orderkey, replicate) so Spark and DuckDB materialize identical
+    resamples. A b=-1 pseudo-replicate with weight 1 carries the
+    point estimate through the same single scan. CI = 2nd/15th order
+    statistics of the 16 replicate means (a sorted 16-element array,
+    not a percentile estimate). Plan: the scan fans out x17 map-side,
+    partial aggregation collapses it to 17 rows per partition before
+    the shuffle — at 100 TB the B-multiplier is pure map CPU; shuffle
+    payload stays B+1 rows per partition."""
+    o = load_table(spark, "orders", sf_dir)
+    e = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.col("o_orderkey"),
+        F.explode(F.sequence(F.lit(-1), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    h = (
+        (F.col("o_orderkey") % 2147483648 + (F.col("b") + 1) * 48271 + 11)
+        % 2147483648
+        * 2654435761
+    ) % 2147483648
+    u = h.cast("double") / 2147483648
+    ladder = (
+        F.when(F.col("b") == -1, 1)
+        .when(u < _POIS_CDF[0], 0)
+        .when(u < _POIS_CDF[1], 1)
+        .when(u < _POIS_CDF[2], 2)
+        .when(u < _POIS_CDF[3], 3)
+        .when(u < _POIS_CDF[4], 4)
+        .otherwise(5)
+    )
+    m = (
+        e.select("b", "cents", ladder.alias("w"))
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("cents")).cast("double") / F.sum("w")).alias(
+                "mean_b"
+            )
+        )
+    )
+    res = m.agg(
+        F.max(F.when(F.col("b") == -1, F.col("mean_b"))).alias("mean_cents"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("b") >= 0, F.col("mean_b")))
+        ).alias("a"),
+    )
+    return res.select(
+        F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
+        "mean_cents",
+        F.element_at("a", 2).alias("ci_lo_cents"),
+        F.element_at("a", _BOOT_B - 1).alias("ci_hi_cents"),
+    )
