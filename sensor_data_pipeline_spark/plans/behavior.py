@@ -1108,3 +1108,178 @@ def q313_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q318 — RFM (recency / frequency / monetary) quintile segmentation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q318_rfm_segmentation",
+    category="analytics",
+    oracle="""
+WITH anchor AS (
+  SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS max_us FROM events
+),
+u AS (
+  SELECT user_id,
+         CAST(min(a.max_us) - max(epoch_us(ts)) AS BIGINT) AS recency_us,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS monetary
+  FROM events CROSS JOIN anchor a
+  GROUP BY user_id
+),
+q AS (
+  SELECT user_id, recency_us, freq, monetary,
+         ntile(5) OVER (ORDER BY recency_us, user_id) AS r_q,
+         ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_q,
+         ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_q
+  FROM u
+)
+SELECT r_q, f_q, m_q,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(monetary) AS BIGINT) AS sum_monetary_cents,
+       CAST(sum(monetary) AS DOUBLE) / count(*) AS avg_monetary_cents
+FROM q
+GROUP BY r_q, f_q, m_q
+ORDER BY r_q, f_q, m_q
+""",
+)
+def q318_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic behavioral cohorting: per user,
+    recency (microseconds before the corpus max-ts anchor), frequency
+    (event count), monetary (exact cent sum); each dimension cut into
+    quintiles (ntile over a deterministic (metric, user_id) order, with
+    R ascending and F/M descending so quintile 1 is always "best"),
+    then the 5x5x5 cell census with exact monetary sums. Plan: one
+    scan reduced per-user (map-side combinable), three global ntile
+    windows over the USER rows (not events; at 100 TB user cardinality
+    is the windowed mass — a rank-vs-ntile tradeoff documented in
+    q306's ABC classification, which shares the shape), and a final
+    125-cell reduce. The anchor is a 1-row broadcast."""
+    ev = load_table(spark, "events", sf_dir)
+    anchor = ev.agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))).cast("bigint").alias("max_us"))
+    u = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            (F.min("max_us") - F.max(F.unix_micros(F.col("ts").cast("timestamp"))))
+            .cast("bigint")
+            .alias("recency_us"),
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary"),
+        )
+    )
+    q = u.select(
+        "monetary",
+        F.ntile(5).over(Window.orderBy("recency_us", "user_id")).alias("r_q"),
+        F.ntile(5).over(Window.orderBy(F.col("freq").desc(), "user_id")).alias("f_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+        .alias("m_q"),
+    )
+    return (
+        q.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("monetary").cast("bigint").alias("sum_monetary_cents"),
+            (F.sum("monetary").cast("double") / F.count("*")).alias(
+                "avg_monetary_cents"
+            ),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q320 — frequent length-3 event-path mining
+# ---------------------------------------------------------------------------
+
+_PATH_TOPK = 20
+
+
+@register(
+    "q320_event_path_mining",
+    category="timeseries",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER w AS p1,
+         lag(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE p2 IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM paths),
+rk AS (
+  SELECT step1, step2, step3, n,
+         row_number() OVER (ORDER BY n DESC, step1, step2, step3) AS rnk
+  FROM paths
+)
+SELECT rk.step1, rk.step2, rk.step3, rk.n,
+       CAST(rk.rnk AS BIGINT) AS rnk,
+       rk.n * 1000000 // tot.t AS support_ppm
+FROM rk CROSS JOIN tot
+WHERE rk.rnk <= {_PATH_TOPK}
+ORDER BY rk.rnk
+""",
+)
+def q320_event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent length-3 behavioral paths: every consecutive
+    (step1 -> step2 -> step3) event-type trigram per user (the q313
+    Markov chain extended one hop — the sequence-mining primitive
+    behind funnel discovery), ranked by exact support with integer-ppm
+    share of all observed trigrams. Adjacency via two lag offsets over
+    the same deterministic (ts, event_id) per-user order. Plan: one
+    user-partitioned window exchange, then map-side-combinable counts
+    into an alphabet-cubed (<=125) group space; ranking happens on
+    those counts, a TakeOrderedAndProject at any scale; total rides a
+    1-row broadcast. The top-k cut is rank-deterministic (count desc,
+    lexicographic tiebreak) so the result is unique."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    paths = (
+        seq.where(F.col("p2").isNotNull())
+        .groupBy(
+            F.col("p2").alias("step1"),
+            F.col("p1").alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = paths.agg(F.sum("n").cast("bigint").alias("t"))
+    rk = paths.select(
+        "step1",
+        "step2",
+        "step3",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "step1", "step2", "step3"))
+        .cast("bigint")
+        .alias("rnk"),
+    ).where(F.col("rnk") <= _PATH_TOPK)
+    return (
+        rk.crossJoin(F.broadcast(tot))
+        .select(
+            "step1",
+            "step2",
+            "step3",
+            "n",
+            "rnk",
+            F.expr("n * 1000000 DIV t").alias("support_ppm"),
+        )
+        .orderBy("rnk")
+    )

@@ -637,3 +637,101 @@ def q314_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q321 — feature-hashing (hashing-trick) collision census
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 4096
+
+
+@register(
+    "q321_feature_hashing_census",
+    category="corpus",
+    oracle=f"""
+WITH w AS (SELECT {_DUCK_WORDS} AS a FROM documents),
+tok AS (
+  SELECT DISTINCT list_aggregate(a[i:i + 2], 'string_agg', ' ') AS token
+  FROM w CROSS JOIN unnest(range(1, len(a) - 1)) AS t(i)
+),
+b AS (
+  SELECT token,
+         CAST(('0x' || substr(md5('11:' || token), 1, 8)) AS BIGINT)
+           % {_FH_BUCKETS} AS bucket
+  FROM tok
+),
+census AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS degree FROM b GROUP BY bucket
+),
+hist AS (
+  SELECT degree, CAST(count(*) AS BIGINT) AS n_buckets
+  FROM census GROUP BY degree
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS vocab,
+         CAST(count(DISTINCT bucket) AS BIGINT) AS used
+  FROM b
+)
+SELECT h.degree, h.n_buckets,
+       CAST(min(t.vocab) AS BIGINT) AS vocab_size,
+       CAST(min(t.used) AS BIGINT) AS buckets_used,
+       CAST({_FH_BUCKETS} AS BIGINT) AS n_buckets_total
+FROM hist h CROSS JOIN tot t
+GROUP BY h.degree, h.n_buckets
+ORDER BY h.degree
+""",
+)
+def q321_feature_hashing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision census: project the corpus's distinct
+    word-trigram features (the fixture's unigram vocabulary is only 31
+    tokens; trigrams give a 16k+ feature space worth hashing)
+    into 4096 feature buckets via a seeded portable hash (the
+    Weinberger et al. 2009 feature-hashing scheme every
+    out-of-core text vectorizer uses) and report the bucket-degree
+    histogram — how many buckets hold 1, 2, 3... distinct tokens —
+    plus vocabulary size and bucket utilization. The degree histogram
+    is the operational answer to "how much signal does 2^12 cost":
+    expected collisions follow the birthday bound, and a pipeline
+    sizes its feature dim from exactly this census. Hash =
+    word_hash32 (md5-head, cross-engine portable; the xxhash64 fast
+    path is the documented scale swap). Plan: distinct tokens (one
+    gram-keyed shuffle), bucket census (4096-group combine), then
+    constant-size histogram — vocabulary-bounded beyond the scan.
+    At 100 TB the distinct-token reduce dominates and salts
+    naturally; nothing downstream sees document mass."""
+    from sensor_data_pipeline_spark.functions.text import (
+        tokenize,
+        word_hash32,
+        word_shingles,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        F.explode(word_shingles(tokenize(F.col("text")), 3)).alias("token")
+    ).distinct()
+    b = tok.select(
+        "token",
+        F.pmod(word_hash32(F.col("token"), seed=11), F.lit(_FH_BUCKETS)).alias(
+            "bucket"
+        ),
+    )
+    census = b.groupBy("bucket").agg(F.count("*").cast("bigint").alias("degree"))
+    hist = census.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_buckets")
+    )
+    tot = b.agg(
+        F.count("*").cast("bigint").alias("vocab"),
+        F.countDistinct("bucket").cast("bigint").alias("used"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "degree",
+            "n_buckets",
+            F.col("vocab").alias("vocab_size"),
+            F.col("used").alias("buckets_used"),
+            F.lit(_FH_BUCKETS).cast("bigint").alias("n_buckets_total"),
+        )
+        .orderBy("degree")
+    )

@@ -1977,39 +1977,47 @@ def q316_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     resamples. A b=-1 pseudo-replicate with weight 1 carries the
     point estimate through the same single scan. CI = 2nd/15th order
     statistics of the 16 replicate means (a sorted 16-element array,
-    not a percentile estimate). Plan: the scan fans out x17 map-side,
-    partial aggregation collapses it to 17 rows per partition before
-    the shuffle — at 100 TB the B-multiplier is pure map CPU; shuffle
-    payload stays B+1 rows per partition."""
+    not a percentile estimate). Plan: ONE scan with 2(B+1) fused
+    conditional aggregates — no row fan-out at all (the exploded x17
+    form measured 16x at the 10x replica because the expansion
+    serialized the scan); the 1-row result is unpivoted with stack()
+    into (b, mean) rows. At 100 TB the B-multiplier is pure map CPU
+    inside whole-stage codegen; shuffle payload is one 34-number row
+    per partition."""
     o = load_table(spark, "orders", sf_dir)
-    e = o.select(
-        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
-        F.col("o_orderkey"),
-        F.explode(F.sequence(F.lit(-1), F.lit(_BOOT_B - 1))).alias("b"),
-    )
-    h = (
-        (F.col("o_orderkey") % 2147483648 + (F.col("b") + 1) * 48271 + 11)
-        % 2147483648
-        * 2654435761
-    ) % 2147483648
-    u = h.cast("double") / 2147483648
-    ladder = (
-        F.when(F.col("b") == -1, 1)
-        .when(u < _POIS_CDF[0], 0)
-        .when(u < _POIS_CDF[1], 1)
-        .when(u < _POIS_CDF[2], 2)
-        .when(u < _POIS_CDF[3], 3)
-        .when(u < _POIS_CDF[4], 4)
-        .otherwise(5)
-    )
-    m = (
-        e.select("b", "cents", ladder.alias("w"))
-        .groupBy("b")
-        .agg(
-            (F.sum(F.col("w") * F.col("cents")).cast("double") / F.sum("w")).alias(
-                "mean_b"
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    # One scan, NO row fan-out: the b-th replicate's (sum w, sum w*cents)
+    # are two conditional aggregates per b, all fused into a single
+    # map-side combine (the exploded form measured 16x at the 10x
+    # replica — the x17 row expansion serialized the scan).
+    aggs = []
+    for b in range(-1, _BOOT_B):
+        if b == -1:
+            w = F.lit(1).cast("bigint")
+        else:
+            h = (
+                (F.col("o_orderkey") % 2147483648 + (b + 1) * 48271 + 11)
+                % 2147483648
+                * 2654435761
+            ) % 2147483648
+            u = h.cast("double") / 2147483648
+            w = (
+                F.when(u < _POIS_CDF[0], 0)
+                .when(u < _POIS_CDF[1], 1)
+                .when(u < _POIS_CDF[2], 2)
+                .when(u < _POIS_CDF[3], 3)
+                .when(u < _POIS_CDF[4], 4)
+                .otherwise(5)
+                .cast("bigint")
             )
-        )
+        aggs.append(F.sum(w * cents).cast("bigint").alias(f"swy_{b + 1}"))
+        aggs.append(F.sum(w).cast("bigint").alias(f"sw_{b + 1}"))
+    wide = o.agg(*aggs)
+    stack_expr = ", ".join(
+        f"{b}L, CAST(swy_{b + 1} AS DOUBLE) / sw_{b + 1}" for b in range(-1, _BOOT_B)
+    )
+    m = wide.select(
+        F.expr(f"stack({_BOOT_B + 1}, {stack_expr}) AS (b, mean_b)")
     )
     res = m.agg(
         F.max(F.when(F.col("b") == -1, F.col("mean_b"))).alias("mean_cents"),
@@ -2022,4 +2030,248 @@ def q316_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_cents",
         F.element_at("a", 2).alias("ci_lo_cents"),
         F.element_at("a", _BOOT_B - 1).alias("ci_hi_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q317 — centile (quantile) normalization across groups
+# ---------------------------------------------------------------------------
+
+_QN_BUCKETS = 20
+
+
+@register(
+    "q317_centile_normalization",
+    category="analytics",
+    oracle=f"""
+WITH v AS (
+  SELECT c_mktsegment,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+         ntile({_QN_BUCKETS}) OVER (PARTITION BY c_mktsegment
+                                    ORDER BY round(c_acctbal * 100, 0),
+                                             c_custkey) AS bucket
+  FROM customer
+),
+seg AS (
+  SELECT c_mktsegment, bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s
+  FROM v GROUP BY 1, 2
+),
+pooled AS (
+  SELECT bucket,
+         CAST(sum(n) AS BIGINT) AS pn,
+         CAST(sum(s) AS BIGINT) AS ps
+  FROM seg GROUP BY bucket
+)
+SELECT seg.c_mktsegment, seg.bucket, seg.n,
+       CAST(seg.s AS DOUBLE) / seg.n AS seg_mean_cents,
+       CAST(pooled.ps AS DOUBLE) / pooled.pn AS norm_mean_cents
+FROM seg JOIN pooled USING (bucket)
+ORDER BY seg.c_mktsegment, seg.bucket
+""",
+)
+def q317_centile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (centile) normalization of account balances across
+    market segments — the cross-batch calibration trick from
+    microarray statistics that ML feature pipelines reuse to make a
+    feature comparable across cohorts: rank each segment into 20
+    equal-count buckets, then replace each bucket's segment-local
+    mean with the POOLED mean of that bucket across all segments.
+    Bucketing is ntile over a deterministic (cents, custkey) order —
+    identical tie handling in both engines; both means are divisions
+    of exact BIGINT sums (bit-identical, no float aggregation). Plan:
+    one segment-partitioned window (the only data-sized exchange),
+    then everything reduces to 5x20 bucket rows; the pooled marginal
+    re-aggregates the BUCKET rows and broadcasts back. At 100 TB the
+    per-segment sort is the cost — exactly the shape distributed
+    ranking requires, skew-free because segments are hash-spread."""
+    cust = load_table(spark, "customer", sf_dir)
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.round(F.col("c_acctbal") * 100, 0), "c_custkey"
+    )
+    v = cust.select(
+        "c_mktsegment",
+        cents.alias("cents"),
+        F.ntile(_QN_BUCKETS).over(w).alias("bucket"),
+    )
+    seg = v.groupBy("c_mktsegment", "bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    pooled = seg.groupBy("bucket").agg(
+        F.sum("n").cast("bigint").alias("pn"),
+        F.sum("s").cast("bigint").alias("ps"),
+    )
+    return (
+        seg.join(F.broadcast(pooled), "bucket")
+        .select(
+            "c_mktsegment",
+            "bucket",
+            "n",
+            (F.col("s").cast("double") / F.col("n")).alias("seg_mean_cents"),
+            (F.col("ps").cast("double") / F.col("pn")).alias("norm_mean_cents"),
+        )
+        .orderBy("c_mktsegment", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q319 — population-stability-index (PSI) drift audit
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+
+
+@register(
+    "q319_psi_drift_audit",
+    category="profile",
+    oracle=f"""
+WITH e AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents, ts,
+         CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events
+),
+mid AS (
+  SELECT CAST((min(us) + max(us)) // 2 AS BIGINT) AS split_us FROM e
+),
+halves AS (
+  SELECT cents, CASE WHEN us < split_us THEN 0 ELSE 1 END AS half
+  FROM e CROSS JOIN mid
+),
+dom AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS c
+  FROM halves WHERE half = 0 GROUP BY cents
+),
+cum AS (
+  SELECT cents, c,
+         CAST(sum(c) OVER (ORDER BY cents) AS BIGINT) AS cw,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM dom
+),
+fence AS (
+  SELECT j AS b,
+         CAST(min(CASE WHEN {_PSI_BINS} * cw >= j * n THEN cents END) AS BIGINT)
+           AS hi
+  FROM cum CROSS JOIN unnest(range(1, {_PSI_BINS})) AS t(j)
+  GROUP BY j
+),
+hc AS (
+  SELECT half, cents, CAST(count(*) AS BIGINT) AS nn
+  FROM halves GROUP BY 1, 2
+),
+binned AS (
+  SELECT hc.half, hc.nn,
+         CAST(coalesce(min(f.b), {_PSI_BINS}) AS BIGINT) AS bin
+  FROM hc LEFT JOIN fence f ON hc.cents <= f.hi
+  GROUP BY hc.half, hc.cents, hc.nn
+),
+cnt AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN half = 0 THEN nn ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN half = 1 THEN nn ELSE 0 END) AS BIGINT) AS n_cur
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc
+  FROM cnt
+)
+SELECT cnt.bin, cnt.n_ref, cnt.n_cur,
+       round((CAST(cnt.n_ref + 1 AS DOUBLE) / (tot.tr + {_PSI_BINS})
+              - CAST(cnt.n_cur + 1 AS DOUBLE) / (tot.tc + {_PSI_BINS}))
+             * ln((CAST(cnt.n_ref + 1 AS DOUBLE) / (tot.tr + {_PSI_BINS}))
+                  / (CAST(cnt.n_cur + 1 AS DOUBLE) / (tot.tc + {_PSI_BINS}))), 6)
+         AS psi_term
+FROM cnt CROSS JOIN tot
+ORDER BY cnt.bin
+""",
+)
+def q319_psi_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift audit: split the event stream
+    at its midpoint timestamp, build decile fences from the FIRST
+    half's value distribution (counting quantiles over the exact
+    cents domain — the q292/q309 machinery, no percentile_approx),
+    bin both halves against those fences, and emit each bin's
+    Laplace-smoothed PSI contribution (p-q)*ln(p/q) — the standard
+    scorecard-monitoring statistic for "did the feature distribution
+    move". Per the q288/q312 discipline only per-bin terms are
+    emitted (no unordered float total); ln appears only under
+    round(6). The 9 fences ride a broadcast; binning is an unrolled
+    least-fence comparison, not a range join. Plan: one scan to the
+    value DOMAIN (distinct cents ~ bounded), fences from the domain,
+    then a second scan binned map-only against broadcast fences —
+    shuffle payload is 10 rows. At 100 TB both scans are
+    embarrassingly parallel."""
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("bigint").alias("us"),
+    )
+    mid = e.agg(
+        F.expr("CAST((min(us) + max(us)) DIV 2 AS BIGINT)").alias("split_us")
+    )
+    halves = e.crossJoin(F.broadcast(mid)).select(
+        "cents", F.when(F.col("us") < F.col("split_us"), 0).otherwise(1).alias("half")
+    )
+    dom = (
+        halves.where(F.col("half") == 0)
+        .groupBy("cents")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wc = Window.orderBy("cents")
+    wt = Window.partitionBy()
+    cum = dom.select(
+        "cents",
+        "c",
+        F.sum("c").over(wc).cast("bigint").alias("cw"),
+        F.sum("c").over(wt).cast("bigint").alias("n"),
+    )
+    fence = (
+        cum.select(
+            "cents",
+            "cw",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(_PSI_BINS - 1))).alias("b"),
+        )
+        .where(F.lit(_PSI_BINS) * F.col("cw") >= F.col("b") * F.col("n"))
+        .groupBy("b")
+        .agg(F.min("cents").cast("bigint").alias("hi"))
+    )
+    # least-fence bin id via a broadcast join on the 9 fences, computed
+    # once per distinct (half, cents) domain row, then counts re-reduced
+    hc = halves.groupBy("half", "cents").agg(
+        F.count("*").cast("bigint").alias("nn")
+    )
+    binned = (
+        hc.join(F.broadcast(fence), F.col("cents") <= F.col("hi"), "left")
+        .groupBy("half", "cents", "nn")
+        .agg(F.coalesce(F.min("b"), F.lit(_PSI_BINS)).cast("bigint").alias("bin"))
+    )
+    cnt = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, F.col("nn")).otherwise(0))
+            .cast("bigint")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("half") == 1, F.col("nn")).otherwise(0))
+            .cast("bigint")
+            .alias("n_cur"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("n_ref").cast("bigint").alias("tr"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("tr") + _PSI_BINS)
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + _PSI_BINS)
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
     )

@@ -505,3 +505,218 @@ def q279_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         vol_num.cast("decimal(38,0)").alias("volume_effect_num"),
         (price_num + vol_num == delta_dec).alias("bridge_conserved"),
     ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# q322 — right-to-erasure cascade audit
+# ---------------------------------------------------------------------------
+
+_ERASE_MOD = 97
+
+
+@register(
+    "q322_erasure_cascade_audit",
+    category="storage",
+    oracle=f"""
+WITH erased AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % {_ERASE_MOD} = 0
+),
+ev AS (
+  SELECT CAST(count(*) AS BIGINT) AS total,
+         CAST(count(*) FILTER (WHERE user_id IN (SELECT user_id FROM erased))
+              AS BIGINT) AS hit
+  FROM events
+),
+cu AS (
+  SELECT CAST(count(*) AS BIGINT) AS total,
+         CAST(count(*) FILTER (WHERE c_custkey IN (SELECT user_id FROM erased))
+              AS BIGINT) AS hit
+  FROM customer
+),
+o AS (
+  SELECT CAST(count(*) AS BIGINT) AS total,
+         CAST(count(*) FILTER (WHERE o_custkey IN (SELECT user_id FROM erased))
+              AS BIGINT) AS hit
+  FROM orders
+),
+li AS (
+  SELECT CAST(count(*) AS BIGINT) AS total,
+         CAST(count(*) FILTER (WHERE l_orderkey IN (
+             SELECT o_orderkey FROM orders
+             WHERE o_custkey IN (SELECT user_id FROM erased)))
+              AS BIGINT) AS hit
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT 'events' AS tbl, total, hit, hit * 1000000 // total AS erased_ppm FROM ev
+  UNION ALL
+  SELECT 'customer', total, hit, hit * 1000000 // total FROM cu
+  UNION ALL
+  SELECT 'orders', total, hit, hit * 1000000 // total FROM o
+  UNION ALL
+  SELECT 'lineitem', total, hit, hit * 1000000 // total FROM li
+) ORDER BY tbl
+""",
+)
+def q322_erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR Art. 17) cascade impact audit: given a
+    deterministic erasure cohort (user_id % 97 == 0), count the rows
+    each table loses when the deletion cascades over the modeled
+    subject-key linkage (events.user_id, customer.c_custkey,
+    orders.o_custkey, and lineitem through its order) — the dry-run
+    every compliance pipeline executes before the actual anti-join
+    rewrite (q253's changelog-delete machinery applies the erasure;
+    this query prices it). Each per-table count is a LEFT SEMI
+    membership probe against the erased-key set: Spark plans these as
+    broadcast semi joins when the cohort is small and shuffled
+    semi joins beyond, never an IN-subquery re-execution; the
+    lineitem leg chains through orders semi-first so the order-key
+    probe set is already erasure-filtered. Output is 4 rows of exact
+    counts with integer-ppm shares. At 100 TB the only data-sized
+    exchanges are the two semi joins on (custkey, orderkey)."""
+    ev = load_table(spark, "events", sf_dir)
+    cu = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    erased = (
+        ev.where(F.col("user_id") % _ERASE_MOD == 0)
+        .select("user_id")
+        .distinct()
+    )
+    def probe(df: DataFrame, key: str, label: str) -> DataFrame:
+        hit = (
+            df.join(erased, df[key] == erased["user_id"], "left_semi")
+            .agg(F.count("*").cast("bigint").alias("hit"))
+        )
+        total = df.agg(F.count("*").cast("bigint").alias("total"))
+        return (
+            total.crossJoin(hit)
+            .select(
+                F.lit(label).alias("tbl"),
+                "total",
+                "hit",
+                F.expr("hit * 1000000 DIV total").alias("erased_ppm"),
+            )
+        )
+    erased_orders = o.join(
+        erased, o["o_custkey"] == erased["user_id"], "left_semi"
+    ).select(F.col("o_orderkey").alias("user_id"))
+    li_probe = (
+        li.join(erased_orders, li["l_orderkey"] == erased_orders["user_id"], "left_semi")
+        .agg(F.count("*").cast("bigint").alias("hit"))
+    )
+    li_total = li.agg(F.count("*").cast("bigint").alias("total"))
+    li_row = li_total.crossJoin(li_probe).select(
+        F.lit("lineitem").alias("tbl"),
+        "total",
+        "hit",
+        F.expr("hit * 1000000 DIV total").alias("erased_ppm"),
+    )
+    return (
+        probe(ev, "user_id", "events")
+        .unionByName(probe(cu, "c_custkey", "customer"))
+        .unionByName(probe(o, "o_custkey", "orders"))
+        .unionByName(li_row)
+        .orderBy("tbl")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q323 — data-contract validation suite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q323_data_contract_validation",
+    category="quality",
+    oracle="""
+WITH checks AS (
+  SELECT 'quantity_range' AS rule,
+         CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+              AS BIGINT) AS n_violations
+  FROM lineitem
+  UNION ALL
+  SELECT 'discount_range',
+         CAST(count(*) AS BIGINT),
+         CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+              AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'price_positive',
+         CAST(count(*) AS BIGINT),
+         CAST(count(*) FILTER (WHERE l_extendedprice IS NULL
+                                  OR l_extendedprice <= 0) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'shipdate_present',
+         CAST(count(*) AS BIGINT),
+         CAST(count(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'line_id_unique',
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         CAST(coalesce((SELECT sum(c - 1)
+                        FROM (SELECT count(*) AS c FROM lineitem
+                              GROUP BY l_orderkey, l_linenumber
+                              HAVING count(*) > 1)), 0) AS BIGINT)
+)
+SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
+FROM checks ORDER BY rule
+""",
+)
+def q323_data_contract_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation: the declarative rule suite a producer
+    publishes with a table (range bounds, non-null, positivity,
+    composite-key uniqueness) evaluated in bulk, one row per rule with
+    exact violation counts and a pass verdict — the generalization of
+    the reference's per-record validation predicates (P11,
+    src/modules/hko/hko.cpp:108-115) to set-level contract audits.
+    The four scalar rules fuse into conditional aggregates; Spark
+    computes them in ONE scan (a single Aggregate of count-if
+    expressions), while the uniqueness rule is the only keyed shuffle
+    — a (orderkey, linenumber) combine whose excess-count sum is the
+    duplicate mass. The oracle states each rule as its own scan for
+    SQL clarity; the Spark plan's single-pass fusion is the
+    at-scale win. n_checked for uniqueness = total rows (every row
+    participates in the key census)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    n = F.count("*").cast("bigint")
+    cond = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    scalar = li.agg(
+        n.alias("n_checked"),
+        cond((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "v_quantity"
+        ),
+        cond((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias(
+            "v_discount"
+        ),
+        cond(
+            F.col("l_extendedprice").isNull() | (F.col("l_extendedprice") <= 0)
+        ).alias("v_price"),
+        cond(F.col("l_shipdate").isNull()).alias("v_shipdate"),
+    )
+    dup = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("bigint").alias("v_dup"))
+    )
+    wide = scalar.crossJoin(dup)
+    rules = [
+        ("discount_range", "v_discount"),
+        ("line_id_unique", "v_dup"),
+        ("price_positive", "v_price"),
+        ("quantity_range", "v_quantity"),
+        ("shipdate_present", "v_shipdate"),
+    ]
+    rows = None
+    for rule, col in rules:
+        r = wide.select(
+            F.lit(rule).alias("rule"),
+            F.col("n_checked"),
+            F.col(col).alias("n_violations"),
+            (F.col(col) == 0).alias("passed"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("rule")

@@ -344,3 +344,158 @@ def test_zonemap_pruning_sound(rows, lo, width):
     for chunk, v in rows:
         if lo <= v < hi:
             assert chunk not in pruned
+
+
+# --- q311: closed-form OLS equals definitional least squares --------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(1, 50), st.integers(-1000, 100000)),
+        min_size=3,
+        max_size=60,
+    )
+)
+def test_ols_sufficient_sums_match_normal_equations(pts):
+    # require non-degenerate x variance
+    xs = [p[0] for p in pts]
+    if len(set(xs)) < 2:
+        return
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    # definitional check: residuals are orthogonal to [1, x]
+    r = [y - (slope * x + intercept) for x, y in pts]
+    assert abs(sum(r)) < 1e-6 * max(1.0, abs(sy))
+    assert abs(sum(ri * x for ri, (x, _) in zip(r, pts))) < 1e-5 * max(
+        1.0, float(abs(sxy))
+    )
+
+
+# --- q312: chi-square terms sum to the classic statistic ------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 2), st.integers(1, 500)),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_chi2_cell_terms_match_definition(cells):
+    # collapse duplicate (r,c) cells
+    agg = {}
+    for r, c, n in cells:
+        agg[(r, c)] = agg.get((r, c), 0) + n
+    rows = {}
+    cols = {}
+    total = 0
+    for (r, c), n in agg.items():
+        rows[r] = rows.get(r, 0) + n
+        cols[c] = cols.get(c, 0) + n
+        total += n
+    terms = {}
+    for (r, c), n in agg.items():
+        e = rows[r] * cols[c] / total
+        terms[(r, c)] = (n - e) ** 2 / e
+    # invariance: scaling every cell by k scales each term by k
+    k = 7
+    rows2 = {r: v * k for r, v in rows.items()}
+    cols2 = {c: v * k for c, v in cols.items()}
+    for (r, c), n in agg.items():
+        e2 = rows2[r] * cols2[c] / (total * k)
+        t2 = (n * k - e2) ** 2 / e2
+        assert abs(t2 - k * terms[(r, c)]) < 1e-6 * max(1.0, t2)
+
+
+# --- q315: BH step-up is monotone and controls the right boundary ---------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ps=st.lists(st.floats(0.0001, 0.9999), min_size=1, max_size=40),
+    alpha=st.floats(0.01, 0.5),
+)
+def test_bh_stepup_rejection_set_is_prefix(ps, alpha):
+    m = len(ps)
+    ordered = sorted(ps)
+    k = 0
+    for i, p in enumerate(ordered, start=1):
+        if p <= alpha * i / m:
+            k = i
+    rejected = [i <= k for i in range(1, m + 1)]
+    # the rejection set is a prefix of the sorted order
+    assert rejected == sorted(rejected, reverse=True)
+    # every rejected p is <= the threshold AT RANK K (step-up property)
+    if k:
+        assert all(ordered[i] <= alpha * k / m for i in range(k))
+
+
+# --- q316: Poisson ladder is a valid inverse CDF --------------------------
+
+
+def test_poisson_ladder_constants_are_cdf():
+    import math
+
+    from sensor_data_pipeline_spark.plans.inference import _POIS_CDF
+
+    acc = 0.0
+    for kk in range(5):
+        acc += math.exp(-1.0) / math.factorial(kk)
+        assert abs(_POIS_CDF[kk] - acc) < 1e-12
+    # monotone, in (0,1)
+    assert all(0 < c < 1 for c in _POIS_CDF)
+    assert list(_POIS_CDF) == sorted(_POIS_CDF)
+
+
+# --- q319: PSI terms are non-negative and vanish iff p == q ---------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ref=st.lists(st.integers(0, 500), min_size=2, max_size=10),
+    cur=st.lists(st.integers(0, 500), min_size=2, max_size=10),
+)
+def test_psi_terms_nonnegative_and_zero_iff_equal(ref, cur):
+    import math
+
+    bins = min(len(ref), len(cur))
+    ref, cur = ref[:bins], cur[:bins]
+    tr, tc = sum(ref), sum(cur)
+    for nr, nc in zip(ref, cur):
+        p = (nr + 1) / (tr + bins)
+        q = (nc + 1) / (tc + bins)
+        term = (p - q) * math.log(p / q)
+        assert term >= 0.0
+        if abs(p - q) < 1e-15:
+            assert abs(term) < 1e-12
+
+
+# --- q317: pooled bucket mean is the count-weighted segment-mean mix ------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    segs=st.lists(
+        st.lists(st.tuples(st.integers(1, 50), st.integers(-100, 100)), min_size=1, max_size=8),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_pooled_mean_is_weighted_mix(segs):
+    # per "bucket": (n_i, s_i) per segment; pooled = sum(s)/sum(n)
+    tot_n = sum(n for seg in segs for n, _ in seg)
+    tot_s = sum(s * n for seg in segs for n, s in seg)  # s as per-item value
+    pooled = tot_s / tot_n
+    mix = sum(
+        (sum(n for n, _ in seg) / tot_n)
+        * (sum(s * n for n, s in seg) / sum(n for n, _ in seg))
+        for seg in segs
+    )
+    assert abs(pooled - mix) < 1e-9 * max(1.0, abs(pooled))
