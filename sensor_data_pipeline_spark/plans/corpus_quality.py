@@ -601,8 +601,9 @@ def q314_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely-new material from recombinations of already-ingested
     text (low novelty late in the crawl = boilerplate or near-dup
     tail; the streaming twin of this attribution is how dataset
-    decontamination pipelines cap memorization). Shingling stays
-    JVM-side (transform over sequence); attribution is one groupBy
+    decontamination pipelines cap memorization). Shingling is
+    codegen-side (arrays_zip of k shifted slices) and grams shuffle as
+    64-bit struct hashes, not strings; attribution is one groupBy
     gram taking min(doc_id) (map-side combinable), joined back to the
     distinct (doc, gram) pairs and re-reduced per doc. novelty_ppm is
     exact integer ppm (x*1e6 DIV n) — no float in the output. Plan:
@@ -610,14 +611,29 @@ def q314_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gram key is content-hashable and salts naturally. At 100 TB
     this is the span-dedup (q236) skeleton with min-attribution
     instead of interval union."""
-    from sensor_data_pipeline_spark.functions.text import tokenize, word_shingles
+    from sensor_data_pipeline_spark.functions.text import tokenize
 
-    docs = load_table(spark, "documents", sf_dir)
+    # repartition before the gram map: the sf fixtures are single
+    # parquet files, so without this the whole shingling explosion runs
+    # on ONE task (q236's measured fix; no-op on a real multi-file lake)
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    # codegen-side shingling via arrays_zip of k shifted slices (the
+    # transform(sequence(...)) form runs on the interpreted expression
+    # path); grams are keyed by a 64-bit hash of the 3-token struct —
+    # a collision would mis-attribute a gram and the differential
+    # oracle (which compares per-doc counts against real strings)
+    # would catch it (q236 precedent)
+    zips = ", ".join(
+        f"slice(a, {j + 1}, greatest(size(a) - {_NOV_K - 1}, 0))"
+        for j in range(_NOV_K)
+    )
     g = (
-        docs.select(
-            "doc_id",
-            F.explode(word_shingles(tokenize(F.col("text")), _NOV_K)).alias("gram"),
-        )
+        docs.select("doc_id", tokenize(F.col("text")).alias("a"))
+        .select("doc_id", F.expr(f"arrays_zip({zips})").alias("z"))
+        .select("doc_id", F.explode("z").alias("p"))
+        .select("doc_id", F.xxhash64("p").alias("gram"))
         .distinct()
     )
     first_seen = g.groupBy("gram").agg(F.min("doc_id").cast("bigint").alias("first_doc"))
@@ -700,16 +716,26 @@ def q321_feature_hashing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size histogram — vocabulary-bounded beyond the scan.
     At 100 TB the distinct-token reduce dominates and salts
     naturally; nothing downstream sees document mass."""
-    from sensor_data_pipeline_spark.functions.text import (
-        tokenize,
-        word_hash32,
-        word_shingles,
-    )
+    from sensor_data_pipeline_spark.functions.text import tokenize, word_hash32
 
-    docs = load_table(spark, "documents", sf_dir)
-    tok = docs.select(
-        F.explode(word_shingles(tokenize(F.col("text")), 3)).alias("token")
-    ).distinct()
+    # single-file fixture -> repartition before the gram explosion so the
+    # map runs on every core (q236's measured fix), and shingle via
+    # arrays_zip slices (codegen) rather than transform(sequence(...))
+    # (interpreted); the gram STRING must be materialized here because
+    # the feature hash is the portable md5-head of the string itself
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    zips = ", ".join(
+        "slice(a, %d, greatest(size(a) - 2, 0))" % (j + 1) for j in range(3)
+    )
+    tok = (
+        docs.select(tokenize(F.col("text")).alias("a"))
+        .select(F.expr(f"arrays_zip({zips})").alias("z"))
+        .select(F.explode("z").alias("p"))
+        .select(F.expr("concat_ws(' ', p.`0`, p.`1`, p.`2`)").alias("token"))
+        .distinct()
+    )
     b = tok.select(
         "token",
         F.pmod(word_hash32(F.col("token"), seed=11), F.lit(_FH_BUCKETS)).alias(

