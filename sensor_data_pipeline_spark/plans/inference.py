@@ -1760,24 +1760,31 @@ def q312_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     only per-cell terms are emitted (each an exact-integer-derived
     IEEE expression, bit-identical across engines); the suite never
     emits an unordered float SUM whose accumulation order could flip
-    a last ulp. Plan: one scan reduced by partial agg to <=15 cells,
-    then marginals re-aggregated from the CELLS (9+3+1 rows), not the
-    base table — three broadcast joins back onto the cell rows. At
-    100 TB the scan dominates; everything after is constant-size."""
+    a last ulp. Plan: ONE scan reduced by partial agg to <=15 cells;
+    marginals are window sums OVER THE CELL ROWS (re-aggregating the
+    cell frame three ways would re-derive it and re-scan the base
+    table per marginal — the plan guard pins scan-count == 1); the
+    windows' single-partition exchange carries 15 rows. At 100 TB the
+    scan dominates; everything after is constant-size."""
     o = load_table(spark, "orders", sf_dir)
     cell = o.groupBy("o_orderpriority", "o_orderstatus").agg(
         F.count("*").cast("bigint").alias("n")
     )
-    r = cell.groupBy("o_orderpriority").agg(F.sum("n").cast("bigint").alias("rn"))
-    c = cell.groupBy("o_orderstatus").agg(F.sum("n").cast("bigint").alias("cn"))
-    t = cell.agg(F.sum("n").cast("bigint").alias("total"))
+    # marginals as window sums OVER THE CELL ROWS (<=15 of them): one
+    # parquet scan total — re-aggregating `cell` three ways would
+    # re-derive it and re-scan the base table per marginal
+    enriched = cell.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n",
+        F.sum("n").over(Window.partitionBy("o_orderpriority")).cast("bigint").alias("rn"),
+        F.sum("n").over(Window.partitionBy("o_orderstatus")).cast("bigint").alias("cn"),
+        F.sum("n").over(Window.partitionBy()).cast("bigint").alias("total"),
+    )
     expected = (F.col("rn") * F.col("cn")).cast("double") / F.col("total")
     diff = F.col("n") - expected
     return (
-        cell.join(F.broadcast(r), "o_orderpriority")
-        .join(F.broadcast(c), "o_orderstatus")
-        .crossJoin(F.broadcast(t))
-        .select(
+        enriched.select(
             "o_orderpriority",
             "o_orderstatus",
             "n",

@@ -1038,9 +1038,11 @@ def test_chi2_marginals_from_cells_not_base(spark):
     from sensor_data_pipeline_spark.plans.inference import q312_chi2_independence
 
     plan = plan_of(q312_chi2_independence(spark, SF))
-    # one parquet scan only: marginals re-aggregate the cell rows
+    # one parquet scan only: marginals are window sums over the cell rows
+    # (the broadcast-join form re-derived the cell frame per marginal,
+    # re-scanning the base table 4x)
     assert plan.count("Scan parquet") == 1, plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan
 
 
 def test_markov_counts_partial_agg_after_window(spark):
@@ -1057,10 +1059,16 @@ def test_bootstrap_no_row_fanout(spark):
     from sensor_data_pipeline_spark.plans.inference import q316_poisson_bootstrap_ci
 
     plan = plan_of(q316_poisson_bootstrap_ci(spark, SF))
-    # the fused-aggregate form: no explode/Generate in the scan path, and
-    # a map-side partial aggregate carrying all 34 sums
-    assert "Generate" not in plan, plan
+    # the fused-aggregate form: the only Generate (the stack() unpivot)
+    # sits DOWNSTREAM of the aggregation, i.e. on the 1-row result —
+    # never a x17 fan-out of the scan; partial aggregation carries all
+    # 34 sums map-side (tree prints output-first, so downstream nodes
+    # appear EARLIER in the string)
     assert "partial_sum" in plan
+    # compare against the scan-side partial_sum aggregate specifically:
+    # the downstream collect_list ObjectHashAggregate also contains the
+    # substring "HashAggregate" and prints before the Generate
+    assert plan.index("Generate") < plan.index("partial_sum"), plan
 
 
 def test_psi_fences_broadcast(spark):
