@@ -1480,7 +1480,7 @@ SELECT t.col_x, t.col_y, a.n,
          WHEN 'price|tax' THEN a.s_price_tax ELSE a.s_disc_tax END)
        - CAST(CASE t.col_x WHEN 'qty' THEN a.s_qty WHEN 'price' THEN a.s_price WHEN 'disc' THEN a.s_disc ELSE a.s_tax END AS HUGEINT)
          * (CASE t.col_y WHEN 'price' THEN a.s_price WHEN 'disc' THEN a.s_disc ELSE a.s_tax END)
-         AS DECIMAL(38,0)) AS cov_num
+         AS VARCHAR) AS cov_num
 FROM (VALUES ('qty','price'),('qty','disc'),('qty','tax'),
              ('price','disc'),('price','tax'),('disc','tax')) AS t(col_x, col_y)
 CROSS JOIN agg a
@@ -1547,9 +1547,12 @@ def q237_correlation_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cov_num = n*sum_xy - sum_x*sum_y exceeds int64 one decade above
     # sf0.1 (6M rows: n*sum_xy ~ 2e20 — caught by the 10x stress run,
-    # BENCH_SF1.json), so the product runs in DECIMAL(38,0) on BOTH
-    # engines (oracle: HUGEINT then CAST) — the q99 exact-decimal path
-    # the docstring names. The raw moments stay BIGINT.
+    # BENCH_SF1.json), so the product is computed in DECIMAL(38,0) on
+    # both engines but EMITTED AS A STRING: round-4 driver verification
+    # proved scale-0 decimal outputs hash differently across engines
+    # (a float64 render path drops bits above 2^53 — VERDICT r4 §wrong
+    # 1-3), so >2^53 exact integers must leave the engine as digits,
+    # never as decimal128. The raw moments stay BIGINT.
     dec = "decimal(38,0)"
     return long.select(
         F.col("p.col_x").alias("col_x"),
@@ -1561,7 +1564,7 @@ def q237_correlation_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("n").cast(dec) * sum_xy.cast(dec)
             - sum_of("col_x").cast(dec) * sum_of("col_y").cast(dec)
-        ).cast(dec).alias("cov_num"),
+        ).cast(dec).cast("string").alias("cov_num"),
     ).orderBy("col_x", "col_y")
 
 

@@ -446,9 +446,9 @@ g AS (
 SELECT brand, rev0_cc, rev1_cc, qty0, qty1,
        CAST(rev1_cc - rev0_cc AS BIGINT) AS delta_cc,
        CAST(CAST(rev1_cc AS HUGEINT) * qty0
-            - CAST(rev0_cc AS HUGEINT) * qty1 AS DECIMAL(38,0))
+            - CAST(rev0_cc AS HUGEINT) * qty1 AS VARCHAR)
          AS price_effect_num,
-       CAST(CAST(rev0_cc AS HUGEINT) * (qty1 - qty0) AS DECIMAL(38,0))
+       CAST(CAST(rev0_cc AS HUGEINT) * (qty1 - qty0) AS VARCHAR)
          AS volume_effect_num,
        (CAST(rev1_cc AS HUGEINT) * qty0 - CAST(rev0_cc AS HUGEINT) * qty1)
          + CAST(rev0_cc AS HUGEINT) * (qty1 - qty0)
@@ -466,8 +466,11 @@ def q279_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume effect = R0*(Q1 - Q0), whose sum is identically
     (R1 - R0)*Q0 — emitted as the cross-engine conservation boolean.
     The products exceed int64 one decade above sf1, so both engines
-    compute them in DECIMAL(38,0)/HUGEINT (the q237 symmetric-decimal
-    pattern). Plan: one broadcast join (part is the small dim), one
+    compute them in DECIMAL(38,0)/HUGEINT but emit them as STRINGS:
+    round-4 driver verification showed scale-0 decimal outputs hash
+    differently across engines (float64 render drops bits above 2^53),
+    so exact >2^53 integers leave the engine as digit strings.
+    Plan: one broadcast join (part is the small dim), one
     brand-keyed combiner aggregate with conditional sums (no second
     scan per period), then pure 25-row arithmetic — at 100 TB the
     bridge costs exactly the dim join plus one map-side-combinable
@@ -501,8 +504,8 @@ def q279_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qty0",
         "qty1",
         (F.col("rev1_cc") - F.col("rev0_cc")).cast("bigint").alias("delta_cc"),
-        price_num.cast("decimal(38,0)").alias("price_effect_num"),
-        vol_num.cast("decimal(38,0)").alias("volume_effect_num"),
+        price_num.cast("decimal(38,0)").cast("string").alias("price_effect_num"),
+        vol_num.cast("decimal(38,0)").cast("string").alias("volume_effect_num"),
         (price_num + vol_num == delta_dec).alias("bridge_conserved"),
     ).orderBy("brand")
 

@@ -100,17 +100,14 @@ def test_no_hugeint_leaks_in_oracle_schemas():
 
     from tools.compare_oracle import duck_conn
 
-    # intentional symmetric decimal-exact outputs: BOTH engines emit
-    # DECIMAL(38,0) (Spark .cast + oracle CAST), so there is no
-    # int64-vs-decimal asymmetry to mismatch on. q237.cov_num exceeds
-    # int64 a decade above sf0.1 (BENCH_SF1 finding).
-    symmetric_decimal = {
-        ("q237_correlation_moments", "cov_num"),
-        # q279: rev*qty products exceed int64 a decade above sf1, so
-        # both engines carry them in DECIMAL(38,0)/HUGEINT by design
-        ("q279_revenue_bridge", "price_effect_num"),
-        ("q279_revenue_bridge", "volume_effect_num"),
-    }
+    # NO exemptions. Round 4 falsified the "symmetric DECIMAL(38,0)"
+    # theory (q237/q279 red driver rows): even when BOTH engines emit
+    # scale-0 decimals, the driver's canonicalization renders them
+    # through a float64 path that drops bits above 2^53, so the hash
+    # mismatches despite identical values. The absolute contract is:
+    # no OUTPUT column is a scale-0 decimal on either engine — exact
+    # >2^53 integers leave as digit strings (internal decimal(38,0)
+    # accumulators are fine; they never reach the driver's hash).
     con = duck_conn("/root/testdata/sf0.001")
     leaks = []
     for name, spec in REGISTRY.items():
@@ -118,11 +115,7 @@ def test_no_hugeint_leaks_in_oracle_schemas():
             continue
         schema = con.execute(spec.oracle).arrow().schema
         for f in schema:
-            if (
-                pa.types.is_decimal(f.type)
-                and f.type.scale == 0
-                and (name, f.name) not in symmetric_decimal
-            ):
+            if pa.types.is_decimal(f.type) and f.type.scale == 0:
                 leaks.append((name, f.name, str(f.type)))
     con.close()
     assert not leaks, f"HUGEINT/decimal-scale-0 leaked into oracle output: {leaks}"
@@ -191,3 +184,42 @@ def test_fractional_epoch_guard_catches_seeded_mutant():
     assert _window_order_epoch_violations(mutant)
     fixed = mutant.replace("epoch(ts)", "CAST(floor(epoch(ts)) AS BIGINT)")
     assert not _window_order_epoch_violations(fixed)
+
+def test_fragile_rendering_guard_catches_seeded_mutant():
+    """Round-4 bug class (q237/q279 red driver rows): an exact integer
+    above 2^53 — whether Python int or Decimal — renders differently
+    under a float64-routing canonicalization, so the local gate must
+    flag it even when both engines agree exactly. Seed the mutant the
+    driver caught: a Decimal(38,0) value just above 2^53."""
+    import decimal
+
+    from tools.compare_oracle import fragile_cells
+
+    big = decimal.Decimal(2**53 + 1)
+    assert fragile_cells([(big,)], ["cov_num"]) == [("cov_num", big)]
+    assert fragile_cells([(2**53 + 1,)], ["n"]) == [("n", 2**53 + 1)]
+    # exact-in-float64 values, strings, floats, bools, None all pass
+    assert not fragile_cells(
+        [(2**53, decimal.Decimal(42), "9007199254740993", 1.5, True, None)],
+        list("abcdef"),
+    )
+
+
+def test_no_scale0_decimal_in_spark_output_schemas(spark):
+    """Spark side of the absolute no-scale-0-decimal-output rule: the
+    oracle-side Arrow sweep (above) cannot see Spark's schema, and a
+    .cast('decimal(38,0)') without the trailing .cast('string') would
+    ship the exact bug class round 4 proved fatal. Schema analysis
+    only — no job runs, so sweeping all registered queries is cheap."""
+    from pyspark.sql.types import DecimalType
+
+    leaks = []
+    for name, spec in REGISTRY.items():
+        try:
+            schema = spec.spark(spark, "/root/testdata/sf0.001").schema
+        except Exception:
+            continue  # streaming/stateful entries that execute eagerly
+        for f in schema.fields:
+            if isinstance(f.dataType, DecimalType) and f.dataType.scale == 0:
+                leaks.append((name, f.name, str(f.dataType)))
+    assert not leaks, f"scale-0 decimal in Spark output schema: {leaks}"

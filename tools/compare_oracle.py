@@ -46,6 +46,32 @@ def canon(rows: list[tuple], cols: list[str]) -> str:
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
+def fragile_cells(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    """Hostile-rendering guard (round-4 lesson, q237/q279): any exact
+    integer-typed value (int or Decimal) that does NOT survive a
+    float64 round-trip would render differently under a renderer that
+    routes numbers through float64 (drops bits above 2^53) — exactly
+    how the driver's canonicalization broke two symmetric-decimal
+    queries that this module's canon() accepted locally. Returns
+    (col, value) pairs whose exact rendering the repo cannot rely on;
+    any hit means that column must be emitted as a digit STRING on
+    both engines."""
+    import decimal
+
+    out = []
+    for r in rows:
+        for c, v in zip(cols, r):
+            if isinstance(v, bool) or v is None:
+                continue
+            if isinstance(v, (int, decimal.Decimal)):
+                try:
+                    if int(float(v)) != int(v):
+                        out.append((c, v))
+                except (OverflowError, ValueError, decimal.InvalidOperation):
+                    out.append((c, v))
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -91,6 +117,13 @@ def main() -> int:
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if not problems:
+            frag = fragile_cells(s_rows, s_cols) + fragile_cells(d_rows, d_cols)
+            if frag:
+                problems.append(
+                    f"FRAGILE >2^53 exact integer in output (would break under "
+                    f"a float64-rendering driver): {frag[:3]}"
+                )
         if not problems:
             hs, hd = canon(s_rows, s_cols), canon(d_rows, d_cols)
             if hs != hd:
