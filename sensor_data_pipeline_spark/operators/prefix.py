@@ -107,3 +107,49 @@ def stable_global_ids(
         num_partitions=num_partitions,
     )
     return counted.drop("_one")
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list,
+    n_tiles: int,
+    out_col: str,
+    total: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY order_cols)`` without a
+    single-partition window.
+
+    ``Window.orderBy(...).ntile`` collapses the whole frame into one
+    task (round-4 ADVICE flagged exactly this in the RFM quintiles,
+    where the windowed mass is unbounded user cardinality). ntile is
+    a pure function of the global rank, so it decomposes into the
+    ``stable_global_ids`` two-pass scan (range partition + local
+    row_number + O(partitions) offsets) followed by closed-form bucket
+    arithmetic: with N rows and n tiles, q = N div n and rem = N mod n,
+    the first ``rem`` buckets hold q+1 rows — rank r maps to
+    ``(r-1) div (q+1) + 1`` inside that head and
+    ``rem + (r - head - 1) div q + 1`` past it. Bit-identical to the
+    built-in (both engines implement this same SQL-standard rule).
+
+    ``order_cols`` must be globally unique as a tuple (append a key
+    column); for DESC dimensions pass the negated column. ``total``
+    is the exact row count of ``df`` — the caller supplies it so one
+    count serves many dimensions.
+    """
+    keyed = df.withColumn("_ntile_k", F.struct(*order_cols))
+    ranked = stable_global_ids(
+        keyed, "_ntile_k", out_col="_ntile_r", num_partitions=num_partitions
+    ).drop("_ntile_k")
+    q, rem = divmod(int(total), int(n_tiles))
+    head = rem * (q + 1)
+    if q == 0:
+        tile_expr = "_ntile_r"
+    else:
+        tile_expr = (
+            f"CASE WHEN _ntile_r <= {head} THEN (_ntile_r - 1) DIV {q + 1} + 1 "
+            f"ELSE {rem} + (_ntile_r - {head} - 1) DIV {q} + 1 END"
+        )
+    return ranked.withColumn(out_col, F.expr(tile_expr).cast("bigint")).drop(
+        "_ntile_r"
+    )

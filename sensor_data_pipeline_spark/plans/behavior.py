@@ -1153,11 +1153,18 @@ def q318_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintiles (ntile over a deterministic (metric, user_id) order, with
     R ascending and F/M descending so quintile 1 is always "best"),
     then the 5x5x5 cell census with exact monetary sums. Plan: one
-    scan reduced per-user (map-side combinable), three global ntile
-    windows over the USER rows (not events; at 100 TB user cardinality
-    is the windowed mass — a rank-vs-ntile tradeoff documented in
-    q306's ABC classification, which shares the shape), and a final
-    125-cell reduce. The anchor is a 1-row broadcast."""
+    scan reduced per-user (map-side combinable), then three
+    DISTRIBUTED ntiles via ``operators.prefix.global_ntile`` — the
+    range-partition + offset two-pass scan, never a single-partition
+    ``Window.orderBy`` (round-4 ADVICE: user cardinality is unbounded
+    at 100 TB, unlike the 15-25-row global windows in q312/q315) —
+    three user-keyed joins to recombine the dimensions, and a final
+    125-cell reduce. ntile's bucket rule is closed-form in the global
+    rank, so the arithmetic twin is bit-identical to both engines'
+    built-in. The anchor is a 1-row broadcast; the per-user frame is
+    localCheckpoint-pinned (consumed by count + three rank passes)."""
+    from sensor_data_pipeline_spark.operators.prefix import global_ntile
+
     ev = load_table(spark, "events", sf_dir)
     anchor = ev.agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))).cast("bigint").alias("max_us"))
     u = (
@@ -1172,14 +1179,22 @@ def q318_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("monetary"),
         )
-    )
-    q = u.select(
-        "monetary",
-        F.ntile(5).over(Window.orderBy("recency_us", "user_id")).alias("r_q"),
-        F.ntile(5).over(Window.orderBy(F.col("freq").desc(), "user_id")).alias("f_q"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
-        .alias("m_q"),
+    ).localCheckpoint(eager=True)
+    n_users = u.count()
+    r_t = global_ntile(
+        u, [F.col("recency_us"), F.col("user_id")], 5, "r_q", n_users
+    ).select("user_id", "r_q")
+    f_t = global_ntile(
+        u, [(-F.col("freq")).alias("_negf"), F.col("user_id")], 5, "f_q", n_users
+    ).select("user_id", "f_q")
+    m_t = global_ntile(
+        u, [(-F.col("monetary")).alias("_negm"), F.col("user_id")], 5, "m_q", n_users
+    ).select("user_id", "m_q")
+    q = (
+        u.select("user_id", "monetary")
+        .join(r_t, "user_id")
+        .join(f_t, "user_id")
+        .join(m_t, "user_id")
     )
     return (
         q.groupBy("r_q", "f_q", "m_q")

@@ -603,7 +603,12 @@ def q314_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail; the streaming twin of this attribution is how dataset
     decontamination pipelines cap memorization). Shingling is
     codegen-side (arrays_zip of k shifted slices) and grams shuffle as
-    64-bit struct hashes, not strings; attribution is one groupBy
+    16-byte md5 binaries, not strings — 128 bits because at corpus
+    scale (billions of distinct grams) a 64-bit key collides by the
+    birthday bound and would silently merge two grams' attribution
+    (round-4 ADVICE finding); md5 keeps the collision probability
+    ~n^2/2^129 while still shrinking a ~25-byte gram string to a
+    fixed 16-byte key. Attribution is one groupBy
     gram taking min(doc_id) (map-side combinable), joined back to the
     distinct (doc, gram) pairs and re-reduced per doc. novelty_ppm is
     exact integer ppm (x*1e6 DIV n) — no float in the output. Plan:
@@ -621,10 +626,10 @@ def q314_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # codegen-side shingling via arrays_zip of k shifted slices (the
     # transform(sequence(...)) form runs on the interpreted expression
-    # path); grams are keyed by a 64-bit hash of the 3-token struct —
-    # a collision would mis-attribute a gram and the differential
-    # oracle (which compares per-doc counts against real strings)
-    # would catch it (q236 precedent)
+    # path); grams are keyed by the 128-bit md5 of the rebuilt gram
+    # string (tokens are whitespace-split, so ' ' joins unambiguously)
+    # — a 64-bit key is collision-probable at 100 TB gram cardinality
+    # and the sf0.01 oracle could never exercise that
     zips = ", ".join(
         f"slice(a, {j + 1}, greatest(size(a) - {_NOV_K - 1}, 0))"
         for j in range(_NOV_K)
@@ -633,7 +638,10 @@ def q314_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", tokenize(F.col("text")).alias("a"))
         .select("doc_id", F.expr(f"arrays_zip({zips})").alias("z"))
         .select("doc_id", F.explode("z").alias("p"))
-        .select("doc_id", F.xxhash64("p").alias("gram"))
+        .select(
+            "doc_id",
+            F.unhex(F.md5(F.expr("concat_ws(' ', p.*)"))).alias("gram"),
+        )
         .distinct()
     )
     first_seen = g.groupBy("gram").agg(F.min("doc_id").cast("bigint").alias("first_doc"))

@@ -29,9 +29,10 @@ bit-exact DuckDB oracle.
   medians on integer cents, 3-sigma-equivalent MAD fence, one
   aggregation pass + one broadcast-back scoring pass.
 
-Reference basis: the reference validates each reading against fixed
-plausibility fences before display (src/modules/dd/consumer.c range
-checks); q228 is the learned-fence version of that gate. The
+Reference basis: the reference guards each reading with fixed
+fallbacks before display (src/modules/dd/consumer.cpp:125-131
+sentinel 888.8 for missing keys; :251-263 staleness reset fence);
+q228 is the learned-fence version of that gate. The
 retrieval trio (q223-q225) and SemDeDup extend the corpus layer the
 reference lacks but a 100 TB training pipeline requires.
 """
@@ -715,9 +716,9 @@ def q228_mad_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-stream anomaly gate: median + MAD (median absolute
     deviation) fences instead of mean/stddev, so the fence itself is
     not dragged by the outliers it is meant to catch. The learned
-    version of the reference's fixed plausibility ranges
-    (src/modules/dd/consumer.c validates each reading against
-    hard-coded bounds before display).
+    version of the reference's fixed per-reading guards
+    (src/modules/dd/consumer.cpp:125-131 substitutes the 888.8
+    sentinel for missing keys; :251-263 resets a stale display).
 
     Exactness: readings become integer cents; both medians are exact
     (`percentile`, not approx) over integers or integer-diff doubles,
@@ -3035,8 +3036,9 @@ def q256_hysteresis_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     every physical-sensor monitor uses (arm at >= hi, clear only at
     <= lo, hold in between) so a reading jittering around one
     threshold cannot flap the alarm. The reference hard-codes this
-    shape around its display refresh (src/modules/dd/consumer.c
-    bounds + sticky display); here it is the declarative form: the
+    shape around its display refresh (src/modules/dd/consumer.cpp
+    :251-263 sticky display with staleness reset); here it is the
+    declarative form: the
     alarm state at any event is simply the LAST crossing marker
     before it, so `last_value(... IGNORE NULLS)` over the keyed
     event order IS the state machine — no UDF, no iteration, and at

@@ -12,7 +12,8 @@ only under round(x, 6).
 
 Reference analog: the reference computes per-reading derived statistics
 one record at a time (src/modules/dd/consumer.cpp:241-268,
-src/modules/rs/main.c:101-133); these are the set-level statistical
+src/modules/module_rpi_ups_hat.c:200-219 — battery drain rate and
+time-to-depletion derived per sample); these are the set-level statistical
 generalizations a 100 TB corpus needs.
 """
 

@@ -359,3 +359,31 @@ def test_token_bucket_refill_and_burst():
     assert list(out["tokens_after"])[:6] == [4, 3, 2, 1, 0, 0]
     # 10 min of event time refills min(cap, 0 + 10) -> full bucket, spend 1
     assert out["tokens_after"].iloc[-1] == BUCKET_CAP - 1
+
+
+def test_global_ntile_matches_builtin(spark):
+    """global_ntile's closed-form bucket arithmetic must be
+    bit-identical to the SQL-standard ntile for every (N, n_tiles)
+    shape class: N < n, N divisible, N with remainder — including the
+    exact head/tail boundary ranks."""
+    from pyspark.sql.window import Window as W
+
+    from sensor_data_pipeline_spark.operators.prefix import global_ntile
+
+    for n_rows in (1, 3, 5, 10, 13, 32):
+        df = spark.range(n_rows).select(
+            F.col("id").alias("k"), (F.col("id") * 7 % 13).alias("v")
+        )
+        got = {
+            r["k"]: r["t"]
+            for r in global_ntile(
+                df, [F.col("v"), F.col("k")], 5, "t", n_rows
+            ).collect()
+        }
+        want = {
+            r["k"]: r["t"]
+            for r in df.select(
+                "k", F.ntile(5).over(W.orderBy("v", "k")).cast("bigint").alias("t")
+            ).collect()
+        }
+        assert got == want, (n_rows, got, want)

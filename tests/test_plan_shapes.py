@@ -1049,8 +1049,11 @@ def test_markov_counts_partial_agg_after_window(spark):
     from sensor_data_pipeline_spark.plans.behavior import q313_markov_transitions
 
     plan = plan_of(q313_markov_transitions(spark, SF))
-    # the lag window is user-partitioned (never a global single-partition sort)
-    assert "SinglePartition" not in plan.split("Window")[0] or True
+    # the lag window is user-partitioned (never a global single-partition
+    # sort): no SinglePartition exchange anywhere in the plan, and the
+    # user_id hash exchange that feeds the lag window is present
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
     assert "partial_count" in plan or "partial_sum" in plan
     assert "CartesianProduct" not in plan
 
@@ -1111,3 +1114,15 @@ def test_feature_hashing_vocab_bounded_shuffles(spark):
     # key); census joins ride broadcasts
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rfm_ntile_is_distributed(spark):
+    """q318's quintiles must be the prefix-scan arithmetic form, never
+    a global Window.orderBy ntile (single-partition sort over
+    unbounded user cardinality — round-4 ADVICE)."""
+    from sensor_data_pipeline_spark.plans.behavior import q318_rfm_segmentation
+
+    plan = plan_of(q318_rfm_segmentation(spark, SF))
+    assert "ntile(" not in plan, plan
+    # the localCheckpoint pins show up as ExistingRDD scans
+    assert "Scan ExistingRDD" in plan, plan

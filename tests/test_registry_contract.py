@@ -223,3 +223,27 @@ def test_no_scale0_decimal_in_spark_output_schemas(spark):
             if isinstance(f.dataType, DecimalType) and f.dataType.scale == 0:
                 leaks.append((name, f.name, str(f.dataType)))
     assert not leaks, f"scale-0 decimal in Spark output schema: {leaks}"
+
+
+def test_reference_citations_resolve():
+    """Every `src/...` file cited in a docstring must exist under
+    /root/reference — round 4 shipped a fabricated module path
+    (src/modules/rs/main.c) and two misspelled extensions
+    (consumer.c for consumer.cpp); SURVEY discipline is that every
+    parity claim carries a REAL file:line."""
+    import re
+    from pathlib import Path
+
+    ref = Path("/root/reference")
+    if not ref.exists():
+        pytest.skip("reference checkout not present")
+    pkg = Path(__file__).resolve().parents[1]
+    # longest-first alternation + boundary: `c` before `cpp` would
+    # truncate consumer.cpp -> consumer.c and flag a valid citation
+    pat = re.compile(r"src/[A-Za-z0-9_/.\-]+\.(?:cpp|json|py|rs|go|c|h)(?![A-Za-z])")
+    missing = set()
+    for py in (pkg / "sensor_data_pipeline_spark").rglob("*.py"):
+        for m in pat.findall(py.read_text()):
+            if not (ref / m).exists():
+                missing.add((py.name, m))
+    assert not missing, f"citations to nonexistent reference files: {sorted(missing)}"
