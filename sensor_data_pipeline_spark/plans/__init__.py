@@ -27,87 +27,75 @@ from sensor_data_pipeline_spark.plans import inference  # noqa: F401,E402
 # representatives each — rather than whatever import order produced.
 # Everything else follows in original registration order.
 _DRIVER_WINDOW = [
-    # ROUND-4 ROTATION (revised in-round, twice): 46/50 (92%) never
-    # driver-checked in rounds 1-3. Eight stable never-checked slots
-    # (q227/q230/q231/q249/q197, then q245/q247/q248 — all plain
-    # integer-algebra shapes) were swapped for the eight riskiest
-    # round-4 additions (q270/q271/q272/q275/q277, then q279 symmetric
-    # decimal, q281 mapInArrow, q287 streaming band join) so the
-    # newest code and newest PATTERNS get hard verification first —
-    # fresh-for-fresh, cumulative coverage unchanged.
-    # prioritizing the newest, least-verified work (q236-q260 curation/
-    # streaming additions, q213-q222 layout/multimodal/iterative,
-    # q196-q198/q205-q206-adjacent scale ops). The 4 previously-green
-    # slots are canaries for code that CHANGED this round: q229
-    # (degree-ordered wedge join), q233 (chunk-concat + refill clamp),
-    # q235 (prefix-scan localCheckpoint pin), and q114 as the source-
-    # family canary. Cumulative driver-verified target: >=171/252.
-    # --- changed this round (previously checked — canaries) ---
-    "q229_triangle_count",  # degree-ordered orientation landed r4
-    "q233_stream_token_bucket",  # cross-chunk sort + refill clamp r4
-    "q235_equidepth_histogram",  # prefix scan now localCheckpoint-pinned
-    "q114_custom_source",  # source-family canary (r2 red -> r3 green)
-    # --- changed this round (never checked) ---
-    "q224_phrase_search",  # one-tokenization fix r4
-    "q236_span_dedup_audit",  # one-tokenization fix r4
-    "q225_lm_fluency_gate",
-    # --- declared this round ---
-    "q260_stream_tws_delta",  # transformWithStateInPandas w/ E3 fallback
-    # --- never checked: newest curation/streaming (q237-q259) ---
-    "q237_correlation_moments",
-    "q238_ann_eval_metrics",
-    "q242_sql_pipe_syntax",
-    "q243_disorder_profile",  # time-family representative
-    # (q240/q246 — posting-list and integer-algebra shapes whose
-    # families are already driver-green — swapped for the two riskiest
-    # remaining inference patterns, fresh-for-fresh)
-    "q297_sorted_neighborhood_dedup",  # block-keyed lead windows, list ops
-    "q298_holt_linear",  # JVM fold vs recursive-CTE oracle, raw doubles
-    # --- declared this round: the riskiest inference-family patterns
-    # (swapped in for q239/q241/q244/q250 — plain integer-algebra
-    # shapes — fresh-for-fresh, same rationale as the earlier swaps) ---
-    "q290_kaplan_meier",  # absorbing-zero ln/exp product, domain window
-    "q291_fd_violation_audit",  # three-way union of two-level aggs
-    "q293_grid_nn_join",  # 9-cell explode equi-join, min-struct argmin
-    "q294_association_rules",  # Apriori broadcast prune + ppm ranking
-    "q251_refpoint_pruned_search",
-    "q252_incremental_topk",
-    "q253_cdc_changelog_deletes",
-    "q254_bitmap_distinct",
-    "q255_peak_downsample",
-    "q256_hysteresis_alarm",
-    "q257_ks_distribution_drift",
-    "q258_pit_feature_audit",
-    "q259_stream_learned_fences",
-    # --- never checked: quality gates / sampling (q227-q234) ---
-    "q234_domain_quota_sample",
-    # (q228 — integer-fence gate, quality family still covered by q225 —
-    # swapped for the state-reader pattern, the round's riskiest API)
-    "q303_stream_state_audit",  # statestore source reads checkpoint state
-    # --- never checked: newest round-4 additions (q270-q277) ---
-    "q270_hll_rollup",  # DataSketches HLL union-of-cell-sketches
-    "q271_fuzzy_join_deletion_blocking",  # FastSS candidate completeness
-    "q272_fifo_matching",  # cumulative-interval-overlap identity
-    "q275_sliding_distinct_actors",  # interval set-difference expansion
-    "q277_kmv_intersection",  # KMV union/intersection estimator
-    "q279_revenue_bridge",  # symmetric DECIMAL(38,0)/HUGEINT products
-    "q281_gram_matrix",  # mapInArrow numpy partials
-    "q287_stream_nearest_match",  # two-sided-band stream-stream join
-    # --- never checked: layout / multimodal / iterative (q213-q222) ---
-    "q213_zorder_layout",
-    "q214_bloom_semijoin",
-    "q215_media_phash_neardup",
-    "q216_pagerank_integer",
-    "q217_kmeans_quantized",
-    "q218_multimodal_manifest",
-    "q219_video_scene_segments",
-    "q220_retrieve_rerank",
-    "q221_bpe_merge_learning",
-    "q222_ts_subsequence_search",
-    # --- never checked: scale ops / family representatives ---
-    "q195_ewma_smoothing",  # window family
-    "q212_wire_key_census",  # json family
-    "q122_arrow_python_udf",  # udf family
+    # ROUND-5 ROTATION: 43/50 fresh (never driver-checked in r1-r4) —
+    # the maximum reachable: 4 slots are the VERDICT-mandated canaries
+    # for the scale-0-decimal fix (q237/q279 changed, q281/q287 nearby
+    # hashing-sensitive patterns), and 3 families (source, multimodal,
+    # time) have no never-checked members left, so q114/q215/q243
+    # repeat as their representatives. The 43 fresh rows prioritize
+    # the r4 additions (q261-q323) plus the r1-era relational/window
+    # mid-range, per VERDICT r4 item 3. Cumulative driver-verified
+    # target: >=214/315.
+    # --- canaries: changed by the r5 decimal fix or hashing-adjacent ---
+    "q237_correlation_moments",  # cov_num now a digit string
+    "q279_revenue_bridge",  # price/volume_effect_num now strings
+    "q281_gram_matrix",  # mapInArrow numpy partials (r4 green)
+    "q287_stream_nearest_match",  # two-sided-band join (r4 green)
+    # --- forced family repeats (no never-checked members remain) ---
+    "q114_custom_source",  # source-family representative
+    "q215_media_phash_neardup",  # multimodal representative (r4 green)
+    "q243_disorder_profile",  # time-family representative (r4 green)
+    # --- changed this round (never checked): md5 gram keys / global_ntile ---
+    "q314_ngram_novelty",
+    "q318_rfm_segmentation",
+    # --- fresh: streaming / stateful / cdc ---
+    "q301_stream_hopping_distinct",
+    "q171_stream_complete_topk",
+    "q180_stream_dlq_routing",
+    "q283_bounded_inventory",
+    "q274_bitemporal_snapshot",
+    "q268_join_view_maintenance",
+    # --- fresh: dedup / similarity / text / corpus ---
+    "q205_canonical_selection",
+    "q267_random_projection",
+    "q295_rrf_fusion",
+    "q240_conjunctive_search",
+    "q308_normalize_idempotent",
+    "q182_zipf_slope",
+    "q186_char_trigram_profile",
+    "q321_feature_hashing_census",
+    # --- fresh: quality / analytics / aggregation ---
+    "q244_k_anonymity_audit",
+    "q323_data_contract_validation",
+    "q317_centile_normalization",
+    "q311_grouped_ols_trend",
+    "q292_weighted_quantiles",
+    "q306_abc_classification",
+    "q309_winsorized_mean",
+    # --- fresh: join / window / udf / functions / json / sql ---
+    "q261_bloom_semijoin",
+    "q284_asof_nearest",
+    "q116_lateral_topk",
+    "q63_gap_islands",
+    "q117_group_zscore",
+    "q65_array_map_funcs",
+    "q154_jsonl_roundtrip",
+    "q210_parameterized_sql",
+    # --- fresh: profile / inference family (r4 additions) ---
+    "q288_benford_digit_audit",
+    "q312_chi2_independence",
+    "q315_bh_fdr_control",
+    "q319_psi_drift_audit",
+    # --- fresh: timeseries / graph / sampling ---
+    "q320_event_path_mining",
+    "q278_sax_motifs",
+    "q302_bellman_ford",
+    "q316_poisson_bootstrap_ci",
+    # --- fresh: storage / reshape / layout / audit ---
+    "q322_erasure_cascade_audit",
+    "q304_transpose_metrics",
+    "q310_zonemap_prune_audit",
+    "q250_referential_integrity",
 ]
 
 
