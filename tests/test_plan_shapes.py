@@ -1126,3 +1126,45 @@ def test_rfm_ntile_is_distributed(spark):
     assert "ntile(" not in plan, plan
     # the localCheckpoint pins show up as ExistingRDD scans
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_prefix_filter_join_no_cartesian(spark):
+    """q326: candidates come from the prefix-token equi-join — never a
+    cross join — and the multiply-consumed token frame is pinned."""
+    from sensor_data_pipeline_spark.plans.frontier import q326_prefix_filter_simjoin
+
+    plan = plan_of(q326_prefix_filter_simjoin(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan  # localCheckpoint pin of tok
+
+
+def test_snapshot_dedup_single_fp_join(spark):
+    """q330: classification is ONE fingerprint equi-join (left) against
+    the deduplicated old index — nothing pairwise."""
+    from sensor_data_pipeline_spark.plans.frontier import (
+        q330_incremental_snapshot_dedup,
+    )
+
+    plan = plan_of(q330_incremental_snapshot_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fellegi_sunter_blocked_join(spark):
+    """q327: candidate pairs ride the nation-block equi-join; the score
+    is pure codegen CASE algebra (no UDF, no python)."""
+    from sensor_data_pipeline_spark.plans.frontier import q327_fellegi_sunter_linkage
+
+    plan = plan_of(q327_fellegi_sunter_linkage(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+
+
+def test_variant_shredding_partial_agg(spark):
+    """q324: the VARIANT blob dies at the shredding projection; only
+    (type, band, k) integers reach the exchange (partial agg present)."""
+    from sensor_data_pipeline_spark.plans.frontier import q324_variant_shredding
+
+    plan = plan_of(q324_variant_shredding(spark, SF))
+    assert "partial_sum" in plan or "partial_count" in plan
