@@ -88,7 +88,7 @@ _DRIVER_WINDOW = [
     "q315_bh_fdr_control",
     "q319_psi_drift_audit",
     # --- fresh: timeseries / graph / sampling ---
-    "q320_event_path_mining",
+    "q282_time_weighted_average",  # r5 fragile_cells fix: area -> string
     "q278_sax_motifs",
     "q302_bellman_ford",
     "q316_poisson_bootstrap_ci",

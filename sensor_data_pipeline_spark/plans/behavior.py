@@ -875,7 +875,7 @@ seg AS (
   FROM ser WHERE next_us IS NOT NULL
 )
 SELECT user_id,
-       CAST(sum(area) AS BIGINT) AS area_cents_us,
+       CAST(CAST(sum(area) AS BIGINT) AS VARCHAR) AS area_cents_us,
        CAST(sum(dur) AS BIGINT) AS span_us,
        CAST(count(*) AS BIGINT) AS n_segments,
        CAST(sum(area) AS DOUBLE) / sum(dur) AS twap_cents
@@ -896,7 +896,14 @@ def q282_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     on exact integers — both engines emit the identical double. At
     100 TB: one user-keyed shuffle, map-side-combinable aggregate;
     emitting numerator/denominator keeps the result mergeable across
-    partitions and re-aggregable to any coarser grouping."""
+    partitions and re-aggregable to any coarser grouping. The
+    numerator EXCEEDS 2^53 (observed 1.7e16 at sf0.01), so it leaves
+    the engine as a digit STRING on both sides — the round-4 driver
+    lesson (q237/q279): any exact integer above 2^53 renders
+    differently under a float64-routing canonicalization, int64 or
+    not; tools/compare_oracle.py's fragile_cells guard caught this
+    one locally in round 5. twap_cents divides the exact numeric sums
+    BEFORE stringification."""
     ev = load_table(spark, "events", sf_dir).filter(F.col("event_type") == "view")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t_us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -920,7 +927,7 @@ def q282_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            "area_cents_us",
+            F.col("area_cents_us").cast("string").alias("area_cents_us"),
             "span_us",
             "n_segments",
             (F.col("area_cents_us").cast("double") / F.col("span_us")).alias("twap_cents"),

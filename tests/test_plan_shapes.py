@@ -1168,3 +1168,25 @@ def test_variant_shredding_partial_agg(spark):
 
     plan = plan_of(q324_variant_shredding(spark, SF))
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_weighted_jaccard_posting_join(spark):
+    """q331: pairs from the fingerprint posting join, never all-pairs;
+    the bag frame is pinned (3 consumers)."""
+    from sensor_data_pipeline_spark.plans.frontier import q331_weighted_jaccard
+
+    plan = plan_of(q331_weighted_jaccard(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_weighted_minhash_verifies_candidates_only(spark):
+    """q332: the exact-verify join is keyed on (sh, doc_b) AFTER the
+    candidate join — no corpus-wide posting-pair generation — and only
+    banded signatures feed candidate generation."""
+    from sensor_data_pipeline_spark.plans.frontier import q332_weighted_minhash_lsh
+
+    plan = plan_of(q332_weighted_minhash_lsh(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
