@@ -722,8 +722,14 @@ def q321_feature_hashing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is the documented scale swap). Plan: distinct tokens (one
     gram-keyed shuffle), bucket census (4096-group combine), then
     constant-size histogram — vocabulary-bounded beyond the scan.
-    At 100 TB the distinct-token reduce dominates and salts
-    naturally; nothing downstream sees document mass."""
+    vocab/used derive FROM the census (sum of degrees / row count),
+    never from a second pass over the token frame — the r4 form
+    re-executed the whole explode+distinct upstream once per
+    consumer (the multiply-consumed-frame gotcha), measured 4.55 s
+    -> 2.0 s in-round; the 4096-row census is localCheckpoint-pinned
+    so hist and tot read materialized rows. At 100 TB the
+    distinct-token reduce dominates and salts naturally; nothing
+    downstream sees document mass."""
     from sensor_data_pipeline_spark.functions.text import tokenize, word_hash32
 
     # single-file fixture -> repartition before the gram explosion so the
@@ -750,13 +756,19 @@ def q321_feature_hashing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket"
         ),
     )
-    census = b.groupBy("bucket").agg(F.count("*").cast("bigint").alias("degree"))
+    census = (
+        b.groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+        .localCheckpoint(eager=True)  # <=4096 rows; consumed by hist AND tot
+    )
     hist = census.groupBy("degree").agg(
         F.count("*").cast("bigint").alias("n_buckets")
     )
-    tot = b.agg(
-        F.count("*").cast("bigint").alias("vocab"),
-        F.countDistinct("bucket").cast("bigint").alias("used"),
+    # vocab = sum of bucket degrees, used = bucket count: both are pure
+    # functions of the census — no second pass over the token frame
+    tot = census.agg(
+        F.sum("degree").cast("bigint").alias("vocab"),
+        F.count("*").cast("bigint").alias("used"),
     )
     return (
         hist.crossJoin(F.broadcast(tot))
