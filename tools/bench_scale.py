@@ -82,15 +82,27 @@ def main() -> int:
         ratio = round(t_big / t_small, 2) if t_small > 0 else None
         out[name] = {lbl_small: t_small, lbl_big: t_big, "ratio": ratio}
         print(f"{name}: {t_small}s -> {t_big}s ({ratio}x)", flush=True)
+        _write_artifact(out, lbl_small, lbl_big)  # incremental: a late
+        # query failure must not lose earlier measurements (a round-5
+        # q332 OOM dropped 16 finished decade-2 rows from the artifact)
 
+    _write_artifact(out, lbl_small, lbl_big)
+    print(json.dumps({k: v["ratio"] for k, v in out.items()}))
+    return 0
+
+
+def _write_artifact(out: dict, lbl_small: str, lbl_big: str) -> None:
     # merge with any prior snapshot so coverage grows incrementally —
     # re-run queries get fresh numbers, unlisted ones keep theirs
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    artifact = os.path.join(here, os.environ.get("SCALE_ARTIFACT", "BENCH_SF1.json"))
+    import json as _json
+    import os as _os
+
+    here = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    artifact = _os.path.join(here, _os.environ.get("SCALE_ARTIFACT", "BENCH_SF1.json"))
     merged: dict[str, dict] = {}
-    if os.path.exists(artifact):
+    if _os.path.exists(artifact):
         with open(artifact) as f:
-            merged = json.load(f).get("queries", {})
+            merged = _json.load(f).get("queries", {})
     merged.update(out)
     doc = {
         "metric": os.environ.get("SCALE_METRIC", "scaleup_stress_10x"),
@@ -106,9 +118,7 @@ def main() -> int:
         "max_ratio": max(v["ratio"] for v in merged.values() if v["ratio"]),
     }
     with open(artifact, "w") as f:
-        json.dump(doc, f, indent=1, sort_keys=True)
-    print(json.dumps({k: v["ratio"] for k, v in out.items()}))
-    return 0
+        _json.dump(doc, f, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":
