@@ -347,3 +347,92 @@ def test_grid_nn_join_matches_bruteforce(spark, probes, points, radius):
         ]
         expect = (None, None) if not cands else (min(cands)[1], min(cands)[0])
         assert out[i] == expect, (i, out[i], expect)
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    sets=st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=40), min_size=1, max_size=12),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_prefix_filter_is_complete(sets):
+    """q326's core guarantee, engine-independent: under ANY common total
+    order of elements, two sets with Jaccard >= t share at least one
+    element within each other's (n - ceil(t*n) + 1)-element prefix.
+    Verified directly against brute-force Jaccard on random set
+    families (t = 3/5, the q326 threshold)."""
+    import math
+
+    num, den = 3, 5
+    # global order: by (frequency, value) — the same df-rarest-first
+    # order q326 uses; any total order preserves the property
+    from collections import Counter
+
+    freq = Counter(x for s in sets for x in s)
+    order = {v: i for i, v in enumerate(sorted(freq, key=lambda v: (freq[v], v)))}
+    prefixes = []
+    for s in sets:
+        n = len(s)
+        plen = n - math.ceil(num * n / den) + 1
+        prefixes.append(set(sorted(s, key=lambda v: order[v])[:plen]))
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if den * inter >= num * union and union > 0:
+                assert prefixes[i] & prefixes[j], (
+                    f"prefix filter dropped a true pair: {sets[i]} {sets[j]}"
+                )
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    recs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # nation
+            st.integers(min_value=-1, max_value=4),  # band
+            st.integers(min_value=0, max_value=9),   # name mod (small domain)
+            st.integers(min_value=0, max_value=9),   # key tail
+        ),
+        min_size=2,
+        max_size=14,
+    )
+)
+def test_fellegi_sunter_blocking_complete_for_matches(recs):
+    """q327's blocking completeness, engine-independent: any pair whose
+    F-S score reaches the match threshold (40) MUST agree on band or
+    name-mod (max disagreeing score = 21 - 2 - 1 = 18), so the
+    multi-pass union (nation+band) | (nation+mod & band-disagree)
+    captures every match-class pair exactly once."""
+    W = {"key_tail": (21, -3), "acct_band": (18, -2), "name_mod": (25, -1)}
+    half = len(recs) // 2
+    cust, supp = recs[:half], recs[half:]
+    for c in cust:
+        for s in supp:
+            if c[0] != s[0]:
+                continue  # different nation: outside every pass AND unscored
+            score = (
+                (W["key_tail"][0] if c[3] == s[3] else W["key_tail"][1])
+                + (W["acct_band"][0] if c[1] == s[1] else W["acct_band"][1])
+                + (W["name_mod"][0] if c[2] == s[2] else W["name_mod"][1])
+            )
+            in_pass1 = c[1] == s[1]
+            in_pass2 = c[2] == s[2] and c[1] != s[1]
+            assert not (in_pass1 and in_pass2)  # disjoint by construction
+            if score >= 40:
+                assert in_pass1 or in_pass2, (c, s, score)
+
+
+def test_fragile_cells_negative_and_boundary():
+    """fragile_cells must catch NEGATIVE >2^53-magnitude exact integers
+    (q282's area can be negative for negative cents) and accept the
+    exact float64 boundaries."""
+    import decimal
+
+    from tools.compare_oracle import fragile_cells
+
+    assert fragile_cells([(-(2**53 + 1),)], ["x"]) == [("x", -(2**53 + 1))]
+    assert fragile_cells([(decimal.Decimal(-(2**53) - 1),)], ["x"])
+    assert not fragile_cells([(-(2**53), 2**53, 0, -1)], list("abcd"))
