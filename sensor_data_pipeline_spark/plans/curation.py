@@ -350,8 +350,11 @@ def q225_lm_fluency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fluency score is bit-deterministic under any partitioning. Gate:
     keep docs whose mean bigram probability clears a fixed floor.
 
-    At 100 TB: two corpus scans (train, score) with the train shuffle
-    keyed by a bounded vocabulary; scoring is map-only.
+    At 100 TB: two corpus scans (vocab candidates, token mapping) with
+    the train shuffle keyed by a bounded vocabulary; the mapped token
+    stream is materialized once (localCheckpoint — the tokenized-shard
+    artifact every KenLM pipeline persists) and train/score both read
+    it; scoring is map-only.
     """
     d = load_table(spark, "documents", sf_dir)
     pos = d.select("doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "raw"))
@@ -368,6 +371,12 @@ def q225_lm_fluency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = pos.join(F.broadcast(vocab), pos["raw"] == vocab["token"], "left").select(
         "doc_id", "pos", F.coalesce("token", F.lit("<unk>")).alias("tok")
     )
+    # the vocab-mapped token stream feeds the bigram build, the unigram
+    # counts, and (through docbg) the scorer — unpinned, every consumer
+    # re-ran scan+explode+vocab-join (10 documents scans, round-5
+    # plan_audit). Materializing the mapped stream once is exactly what
+    # a production KenLM-style pipeline does with its tokenized shards.
+    m = m.localCheckpoint(eager=True)
     nxt = m.select(F.col("doc_id").alias("doc_id2"), (F.col("pos") - 1).alias("pos2"), F.col("tok").alias("t2"))
     docbg = m.join(
         nxt, (m["doc_id"] == nxt["doc_id2"]) & (m["pos"] == nxt["pos2"])
@@ -1148,6 +1157,10 @@ def q232_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
         .select("doc_id", "token", (F.col("tf") * F.col("idf_fp")).alias("wt"))
     )
+    # w (rare-term weighted postings, bounded by the df caps) feeds the
+    # norms AND both posting-join sides — unpinned, each consumer re-ran
+    # the scan+explode+joins (12 documents scans, round-5 plan_audit)
+    w = w.localCheckpoint(eager=True)
     norms = w.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt")).cast("bigint").alias("n2"))
     wa = w.select(F.col("doc_id").alias("id_a"), "token", F.col("wt").alias("wt_a"))
     wb = w.select(F.col("doc_id").alias("id_b"), F.col("token").alias("token_b"), F.col("wt").alias("wt_b"))
@@ -2638,7 +2651,13 @@ def q251_refpoint_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"transform(slice(ss, 1, {_RP_LEN}), x -> x.cents)").alias("v"),
         )
     )
-    ids = traj.withColumn("rid", F.row_number().over(Window.orderBy("user_id")))
+    # ids is user-count-sized and feeds THREE role splits (refs, queries,
+    # candidates), each with further downstream consumers — unpinned the
+    # plan re-derived the trajectory build from the events scan 8x
+    # (round-5 plan_audit finding)
+    ids = traj.withColumn(
+        "rid", F.row_number().over(Window.orderBy("user_id"))
+    ).localCheckpoint(eager=True)
     refs = ids.filter(F.col("rid") <= _RP_NREF).select(
         F.col("user_id").alias("rid_user"), F.col("v").alias("rv")
     )

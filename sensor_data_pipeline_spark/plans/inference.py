@@ -604,9 +604,14 @@ def q294_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_pair * n_orders * 1e6 caps at ~1e9 baskets (document: switch the
     constant to 1e3 beyond that)."""
     li = load_table(spark, "lineitem", sf_dir)
-    baskets = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    # baskets feeds the order count, the item counts, AND both sides of
+    # the pair self-join through fb — unpinned, each consumer re-ran the
+    # scan+distinct (11 lineitem scans in one plan, round-5 plan_audit)
+    baskets = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nb = baskets.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
     items = baskets.groupBy("pk").agg(F.count("*").cast("bigint").alias("n_item"))
     freq = (
@@ -2210,7 +2215,10 @@ def q319_psi_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     value DOMAIN (distinct cents ~ bounded), fences from the domain,
     then a second scan binned map-only against broadcast fences —
     shuffle payload is 10 rows. At 100 TB both scans are
-    embarrassingly parallel."""
+    embarrassingly parallel. The (half, cents) domain frame is
+    localCheckpoint-pinned: it feeds the fences AND both bin-count
+    consumers, and unpinned each consumer re-derived it from the
+    parquet scan (8 scans -> 2, round-5 plan_audit)."""
     ev = load_table(spark, "events", sf_dir)
     e = ev.select(
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
@@ -2222,11 +2230,17 @@ def q319_psi_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves = e.crossJoin(F.broadcast(mid)).select(
         "cents", F.when(F.col("us") < F.col("split_us"), 0).otherwise(1).alias("half")
     )
-    dom = (
-        halves.where(F.col("half") == 0)
-        .groupBy("cents")
-        .agg(F.count("*").cast("bigint").alias("c"))
+    # ONE scan reduces events to the (half, cents) domain; everything
+    # downstream (reference-half domain, fences, bin counts) derives
+    # from this pinned frame — the unpinned form re-scanned events 8x
+    # (cnt feeds two consumers, halves feeds two, each re-deriving the
+    # midpoint cross join; round-5 plan_audit finding)
+    hc = (
+        halves.groupBy("half", "cents")
+        .agg(F.count("*").cast("bigint").alias("nn"))
+        .localCheckpoint(eager=True)
     )
+    dom = hc.where(F.col("half") == 0).select("cents", F.col("nn").alias("c"))
     wc = Window.orderBy("cents")
     wt = Window.partitionBy()
     cum = dom.select(
@@ -2248,9 +2262,6 @@ def q319_psi_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # least-fence bin id via a broadcast join on the 9 fences, computed
     # once per distinct (half, cents) domain row, then counts re-reduced
-    hc = halves.groupBy("half", "cents").agg(
-        F.count("*").cast("bigint").alias("nn")
-    )
     binned = (
         hc.join(F.broadcast(fence), F.col("cents") <= F.col("hi"), "left")
         .groupBy("half", "cents", "nn")

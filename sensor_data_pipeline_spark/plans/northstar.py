@@ -1251,7 +1251,12 @@ def q221_bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars = F.filter(F.split("word", ""), lambda c: c != "")
     spaced = words.select(
         F.concat(F.lit(" "), F.concat_ws(" ", chars), F.lit(" ")).alias("s"), "n"
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the docstring's "corpus is never rescanned after the word count"
+    # only holds if the vocabulary frame is PINNED: unpinned, every
+    # step's lineage re-derived it from the parquet scan (7 documents
+    # scans for 3 merge steps, round-5 plan_audit). The frame is
+    # distinct-word-sized — trivially materializable at any corpus size.
     bests = []
     cur = spaced
     for step in range(1, _BPE_STEPS + 1):
@@ -1284,9 +1289,13 @@ def q221_bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "support",
             )
         )
-        cur = cur.crossJoin(F.broadcast(best.select(F.col("pair").alias("_bp")))).select(
-            F.expr("replace(s, concat(' ', _bp, ' '), concat(' ', replace(_bp, ' ', ''), ' '))").alias("s"),
-            "n",
+        cur = (
+            cur.crossJoin(F.broadcast(best.select(F.col("pair").alias("_bp"))))
+            .select(
+                F.expr("replace(s, concat(' ', _bp, ' '), concat(' ', replace(_bp, ' ', ''), ' '))").alias("s"),
+                "n",
+            )
+            .localCheckpoint(eager=True)  # per-step pin: keeps lineage O(1)
         )
     out = bests[0]
     for b in bests[1:]:

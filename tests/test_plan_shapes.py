@@ -1190,3 +1190,25 @@ def test_weighted_minhash_verifies_candidates_only(spark):
     plan = plan_of(q332_weighted_minhash_lsh(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_plan_audit_no_unexplained_antipatterns(spark):
+    """Every declared query's physical plan must be free of unexplained
+    scale anti-patterns (cartesian products, global windows, Python-UDF
+    hot paths, >6x same-table rescans). tools/plan_audit.py existed
+    since round 3 but was never a gate — round 5 found 6 real rescan
+    shapes (q221/q225/q232/q251/q294/q319) plus 3 cache-print false
+    positives it had been miscounting. This test keeps it a gate."""
+    from tools.plan_audit import ALLOW, audit
+
+    findings = audit(SF)
+    unexplained = {
+        name: [
+            r
+            for r in reasons
+            if r.split(":")[0] not in {x.split(":")[0] for x in ALLOW.get(name, set())}
+        ]
+        for name, reasons in findings.items()
+    }
+    unexplained = {k: v for k, v in unexplained.items() if v}
+    assert not unexplained, f"unexplained plan anti-patterns: {unexplained}"

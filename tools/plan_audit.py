@@ -33,8 +33,13 @@ RESCAN_MAX = 6
 ALLOW: dict[str, set[str]] = {
     # deliberate API-surface exercise of the row-at-a-time Arrow UDF
     "q122_arrow_python_udf": {"python_udf"},
-    # rank-over-whole-relation demos bounded to tiny aggregate inputs
-    # (the window input is group-count-sized, not row-sized)
+    # UDTFs run on the Python worker path BY DEFINITION — these two
+    # queries exist to exercise the Spark 4 UDTF surface (SURVEY §2.8);
+    # both are bounded (q94 expands a 25-row dim, q204's analyze-time
+    # polymorphism is the feature under test), so the slow path never
+    # touches fact-table mass
+    "q94_udtf_expand": {"python_udf"},
+    "q204_polymorphic_udtf": {"python_udf"},
 }
 
 
@@ -60,10 +65,27 @@ def audit(sf_dir: str) -> dict[str, list[str]]:
             f.append("global_window")
         if "BatchEvalPython" in plan:
             f.append("python_udf")
-        scans = re.findall(r"Scan parquet[^\n]*?(\w+)\.parquet", plan)
+        # count ACTUAL scan leaves via tree traversal: a persisted
+        # frame prints its full cached lineage (with its Scan parquet)
+        # inside every InMemoryRelation reference, so regexing the
+        # toString over-counts pinned queries (q216 false-positived at
+        # "20 scans" that were 17 cache-definition prints). Leaves of
+        # the executed tree stop at InMemoryTableScan, so FileSourceScan
+        # leaves are exactly the real per-execution parquet reads.
+        jplan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan()
+        if jplan.nodeName() == "AdaptiveSparkPlan":
+            jplan = jplan.initialPlan()  # AQE root hides its children
+        leaves = jplan.collectLeaves()
         from collections import Counter
 
-        for tbl, cnt in Counter(scans).items():
+        scan_tbls = []
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            head = leaf.toString().splitlines()[0]
+            m = re.search(r"Scan parquet[^\n]*?(\w+)\.parquet|FileScan parquet[^\n]*?(\w+)\.parquet", head)
+            if m:
+                scan_tbls.append(m.group(1) or m.group(2))
+        for tbl, cnt in Counter(scan_tbls).items():
             if cnt > RESCAN_MAX:
                 f.append(f"rescan:{tbl}x{cnt}")
         if f:
