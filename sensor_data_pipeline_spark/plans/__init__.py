@@ -28,75 +28,77 @@ from sensor_data_pipeline_spark.plans import frontier  # noqa: F401,E402
 # representatives each — rather than whatever import order produced.
 # Everything else follows in original registration order.
 _DRIVER_WINDOW = [
-    # ROUND-5 ROTATION: 43/50 fresh (never driver-checked in r1-r4) —
-    # the maximum reachable: 4 slots are the VERDICT-mandated canaries
-    # for the scale-0-decimal fix (q237/q279 changed, q281/q287 nearby
-    # hashing-sensitive patterns), and 3 families (source, multimodal,
-    # time) have no never-checked members left, so q114/q215/q243
-    # repeat as their representatives. The 43 fresh rows prioritize
-    # the r4 additions (q261-q323) plus the r1-era relational/window
-    # mid-range, per VERDICT r4 item 3. Cumulative driver-verified
-    # target: >=214/315.
-    # --- canaries: changed by the r5 decimal fix or hashing-adjacent ---
-    "q237_correlation_moments",  # cov_num now a digit string
-    "q279_revenue_bridge",  # price/volume_effect_num now strings
-    "q281_gram_matrix",  # mapInArrow numpy partials (r4 green)
-    "q287_stream_nearest_match",  # two-sided-band join (r4 green)
-    # --- forced family repeats (no never-checked members remain) ---
-    "q114_custom_source",  # source-family representative
-    "q215_media_phash_neardup",  # multimodal representative (r4 green)
-    "q243_disorder_profile",  # time-family representative (r4 green)
-    # --- changed this round (never checked): md5 gram keys / global_ntile ---
-    "q314_ngram_novelty",
-    "q318_rfm_segmentation",
-    # --- fresh: streaming / stateful / cdc ---
-    "q301_stream_hopping_distinct",
-    "q171_stream_complete_topk",
-    "q180_stream_dlq_routing",
-    "q283_bounded_inventory",
-    "q274_bitemporal_snapshot",
-    "q268_join_view_maintenance",
-    # --- fresh: dedup / similarity / text / corpus ---
-    "q205_canonical_selection",
-    "q267_random_projection",
-    "q295_rrf_fusion",
-    "q240_conjunctive_search",
-    "q308_normalize_idempotent",
-    "q182_zipf_slope",
-    "q186_char_trigram_profile",
-    "q321_feature_hashing_census",
-    # --- fresh: quality / analytics / aggregation ---
-    "q244_k_anonymity_audit",
-    "q323_data_contract_validation",
-    "q317_centile_normalization",
-    "q311_grouped_ols_trend",
-    "q292_weighted_quantiles",
-    "q306_abc_classification",
-    "q309_winsorized_mean",
-    # --- fresh: join / window / udf / functions / json / sql ---
-    "q261_bloom_semijoin",
-    "q284_asof_nearest",
-    "q116_lateral_topk",
-    "q63_gap_islands",
-    "q117_group_zscore",
-    "q65_array_map_funcs",
-    "q154_jsonl_roundtrip",
-    "q210_parameterized_sql",
-    # --- fresh: profile / inference family (r4 additions) ---
-    "q288_benford_digit_audit",
-    "q312_chi2_independence",
-    "q315_bh_fdr_control",
-    "q319_psi_drift_audit",
-    # --- fresh: timeseries / graph / sampling ---
-    "q282_time_weighted_average",  # r5 fragile_cells fix: area -> string
-    "q278_sax_motifs",
-    "q302_bellman_ford",
-    "q316_poisson_bootstrap_ci",
-    # --- fresh: storage / reshape / layout / audit ---
-    "q322_erasure_cascade_audit",
-    "q304_transpose_metrics",
-    "q310_zonemap_prune_audit",
-    "q250_referential_integrity",
+    # ROUND-6 ROTATION: 41/50 fresh (never driver-checked in r1-r5),
+    # per VERDICT r5 item 1: lead with the entire round-5 frontier
+    # family q324-q332 (zero driver rows, highest portability risk:
+    # VARIANT paths, SQL UDF/session-variable inlining, PPJoin prefix
+    # completeness, F-S blocking, md5 4-slice MinHash), then the
+    # LLM-ops heavies (q77/q79/q81/q197/q330-q332) and the r1-era
+    # TPC-H mid-range. 6 repeat slots: the proven canaries (q114
+    # source-family rep held green 3 rounds; q237/q279 decimal-fix
+    # canaries) and the forced family reps (q215 multimodal, q243
+    # time, q287 streaming, q260 stateful, q117 udf, q65 functions —
+    # those families have no never-checked members left). q167 is
+    # windowed because its plan changed this
+    # round (banded-LSH edge default + persist, VERDICT item 5) and
+    # it has never had a driver row. Cumulative target: >=258/324.
+    # --- canaries / forced family repeats ---
+    "q114_custom_source",  # source-family rep (r3/r4/r5 green)
+    "q237_correlation_moments",  # decimal-fix canary (r5 green)
+    "q279_revenue_bridge",  # decimal-fix canary (r5 green)
+    "q215_media_phash_neardup",  # multimodal rep (r4/r5 green)
+    "q243_disorder_profile",  # time rep (r4/r5 green)
+    "q287_stream_nearest_match",  # streaming rep (r4/r5 green)
+    "q260_stream_tws_delta",  # stateful rep (r4 green)
+    "q117_group_zscore",  # udf rep (r3/r5 green)
+    "q65_array_map_funcs",  # functions rep (r5 green)
+    # --- fresh: the entire round-5 frontier family ---
+    "q324_variant_shredding",
+    "q325_sql_udf_variables",
+    "q326_prefix_filter_simjoin",
+    "q327_fellegi_sunter_linkage",
+    "q328_l_diversity_audit",
+    "q329_tokenizer_fertility",
+    "q330_incremental_snapshot_dedup",
+    "q331_weighted_jaccard",
+    "q332_weighted_minhash_lsh",
+    # --- fresh: plan changed this round (banded default + persist) ---
+    "q167_triangle_count",
+    # --- fresh: LLM-ops heavies (dedup / text / similarity) ---
+    "q77_string_similarity",
+    "q79_corpus_prep",
+    "q81_vocab_topk",
+    "q82_doc_top_terms",
+    "q84_contamination",
+    "q197_containment_pairs",
+    "q198_token_cooccurrence",  # pinned this round
+    "q159_ngram_importance",  # pinned this round
+    "q165_mixture_rebalance",  # pinned this round
+    "q172_bpe_token_count",
+    # --- fresh: similarity / cdc (never-checked family members) ---
+    "q124_embedding_quantization",
+    "q194_incremental_rollup",
+    # --- fresh: r1-era TPC-H mid-range (never driver-checked) ---
+    "q101_order_count_histogram",
+    "q102_large_volume_customers",
+    "q103_idle_rich_customers",
+    "q104_nation_volume_shipping",
+    "q119_min_cost_supplier",
+    "q139_priority_late_orders",
+    "q140_discount_revenue_scan",
+    "q141_product_profit",
+    "q142_returned_item_revenue",
+    "q143_important_part_value",
+    "q145_promo_revenue_share",
+    "q148_small_quantity_revenue",
+    "q149_disjunctive_predicate_join",
+    # --- fresh: relational / reshape / session / xml / estimate ---
+    "q55_range_join",
+    "q57_pivot",
+    "q59_grouping_sets",
+    "q75_session_window",
+    "q121_xml_roundtrip",
+    "q241_join_cardinality_estimate",  # pinned this round
 ]
 
 

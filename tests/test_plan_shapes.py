@@ -1199,16 +1199,8 @@ def test_plan_audit_no_unexplained_antipatterns(spark):
     since round 3 but was never a gate — round 5 found 6 real rescan
     shapes (q221/q225/q232/q251/q294/q319) plus 3 cache-print false
     positives it had been miscounting. This test keeps it a gate."""
-    from tools.plan_audit import ALLOW, audit
+    from tools.plan_audit import audit, unexplained_findings
 
     findings = audit(SF)
-    unexplained = {
-        name: [
-            r
-            for r in reasons
-            if r.split(":")[0] not in {x.split(":")[0] for x in ALLOW.get(name, set())}
-        ]
-        for name, reasons in findings.items()
-    }
-    unexplained = {k: v for k, v in unexplained.items() if v}
+    unexplained = unexplained_findings(findings)
     assert not unexplained, f"unexplained plan anti-patterns: {unexplained}"

@@ -209,8 +209,13 @@ def test_no_scale0_decimal_in_spark_output_schemas(spark):
     """Spark side of the absolute no-scale-0-decimal-output rule: the
     oracle-side Arrow sweep (above) cannot see Spark's schema, and a
     .cast('decimal(38,0)') without the trailing .cast('string') would
-    ship the exact bug class round 4 proved fatal. Schema analysis
-    only — no job runs, so sweeping all registered queries is cheap."""
+    ship the exact bug class round 4 proved fatal. Mostly schema
+    analysis, but NOT free: building the plan runs the eager
+    localCheckpoint()/count() jobs in the pinned queries (q318, q326,
+    q331, q332, q221, q225, ...), so this sweep costs a few seconds —
+    accepted, because the schema of a pinned plan can't be derived
+    without building it (ADVICE r5 corrected the old 'no job runs'
+    claim here)."""
     from pyspark.sql.types import DecimalType
 
     leaks = []

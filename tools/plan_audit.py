@@ -1,7 +1,9 @@
 """Anti-pattern audit over every declared query's PHYSICAL plan.
 
-Builds (never executes) all 213 plans and flags the shapes that do not
-survive a 100x scale-up:
+Builds (never executes, beyond the eager localCheckpoint pins some
+plans contain) every REGISTRY plan — the count is whatever
+``len(REGISTRY)`` says, never hardcoded here — and flags the shapes
+that do not survive a 100x scale-up:
 
 - ``cartesian``: CartesianProduct — an all-pairs join that isn't a
   broadcast nested loop. Always a scale killer.
@@ -15,7 +17,10 @@ survive a 100x scale-up:
 
 Known-and-justified exceptions live in ALLOW; a finding not listed
 there fails the audit (exit 1), so new anti-patterns can't land
-silently. Run: ``python tools/plan_audit.py [sf_dir]``.
+silently. ALLOW entries match the FULL reason string (``python_udf``,
+``rescan:documentsx4``) — never a bare prefix, which would whitelist
+every future rescan of any table for that query (ADVICE r5).
+Run: ``python tools/plan_audit.py [sf_dir]``.
 """
 
 from __future__ import annotations
@@ -24,12 +29,16 @@ import json
 import os
 import re
 import sys
+from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RESCAN_MAX = 6
 
-#: query -> reasons that are understood and acceptable at scale.
+#: query -> full reason strings that are understood and acceptable at
+#: scale. Rescan entries name the table AND the count
+#: (``rescan:<table>x<n>``), so a plan regression to a higher count
+#: fails the audit even for an allowed query.
 ALLOW: dict[str, set[str]] = {
     # deliberate API-surface exercise of the row-at-a-time Arrow UDF
     "q122_arrow_python_udf": {"python_udf"},
@@ -43,6 +52,58 @@ ALLOW: dict[str, set[str]] = {
 }
 
 
+def unexplained_findings(
+    findings: dict[str, list[str]], allow: dict[str, set[str]] | None = None
+) -> dict[str, list[str]]:
+    """Findings minus the ALLOW list. Shared by the CLI and the pytest
+    gate (tests/test_plan_shapes.py) so the two can't drift. Matching
+    is exact on the full reason string."""
+    allow = ALLOW if allow is None else allow
+    out = {
+        name: [r for r in reasons if r not in allow.get(name, set())]
+        for name, reasons in findings.items()
+    }
+    return {k: v for k, v in out.items() if v}
+
+
+def _digest(jplan) -> list[str]:
+    """Anti-pattern reasons for one already-built physical plan."""
+    plan = jplan.toString()
+    f: list[str] = []
+    if "CartesianProduct" in plan:
+        f.append("cartesian")
+    # global window: "Window [exprs]" physical node prints
+    # "Window [wexprs], [part], [order]" — empty partition spec
+    # shows as ", [], ["
+    if re.search(r"Window \[[^\n]*\], \[\], \[", plan):
+        f.append("global_window")
+    if "BatchEvalPython" in plan:
+        f.append("python_udf")
+    # count ACTUAL scan leaves via tree traversal: a persisted
+    # frame prints its full cached lineage (with its Scan parquet)
+    # inside every InMemoryRelation reference, so regexing the
+    # toString over-counts pinned queries (q216 false-positived at
+    # "20 scans" that were 17 cache-definition prints). Leaves of
+    # the executed tree stop at InMemoryTableScan, so FileSourceScan
+    # leaves are exactly the real per-execution parquet reads.
+    if jplan.nodeName() == "AdaptiveSparkPlan":
+        jplan = jplan.initialPlan()  # AQE root hides its children
+    leaves = jplan.collectLeaves()
+    scan_tbls = []
+    for i in range(leaves.size()):
+        head = leaves.apply(i).toString().splitlines()[0]
+        m = re.search(
+            r"Scan parquet[^\n]*?(\w+)\.parquet|FileScan parquet[^\n]*?(\w+)\.parquet",
+            head,
+        )
+        if m:
+            scan_tbls.append(m.group(1) or m.group(2))
+    for tbl, cnt in Counter(scan_tbls).items():
+        if cnt > RESCAN_MAX:
+            f.append(f"rescan:{tbl}x{cnt}")
+    return f
+
+
 def audit(sf_dir: str) -> dict[str, list[str]]:
     from sensor_data_pipeline_spark.plans import REGISTRY
     from sensor_data_pipeline_spark.session import get_spark
@@ -50,44 +111,16 @@ def audit(sf_dir: str) -> dict[str, list[str]]:
     spark = get_spark(app_name="plan-audit")
     findings: dict[str, list[str]] = {}
     for name, spec in sorted(REGISTRY.items()):
+        # ONE plan build per query (the build itself runs any eager
+        # localCheckpoint jobs, so building twice doubled audit cost —
+        # ADVICE r5), and the whole digest stays inside the try so a
+        # traversal failure records as plan_error instead of aborting.
         try:
-            plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            jplan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan()
+            f = _digest(jplan)
         except Exception as e:
             findings[name] = [f"plan_error: {str(e).splitlines()[0][:120]}"]
             continue
-        f: list[str] = []
-        if "CartesianProduct" in plan:
-            f.append("cartesian")
-        # global window: "Window [exprs]" physical node prints
-        # "Window [wexprs], [part], [order]" — empty partition spec
-        # shows as ", [], ["
-        if re.search(r"Window \[[^\n]*\], \[\], \[", plan):
-            f.append("global_window")
-        if "BatchEvalPython" in plan:
-            f.append("python_udf")
-        # count ACTUAL scan leaves via tree traversal: a persisted
-        # frame prints its full cached lineage (with its Scan parquet)
-        # inside every InMemoryRelation reference, so regexing the
-        # toString over-counts pinned queries (q216 false-positived at
-        # "20 scans" that were 17 cache-definition prints). Leaves of
-        # the executed tree stop at InMemoryTableScan, so FileSourceScan
-        # leaves are exactly the real per-execution parquet reads.
-        jplan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan()
-        if jplan.nodeName() == "AdaptiveSparkPlan":
-            jplan = jplan.initialPlan()  # AQE root hides its children
-        leaves = jplan.collectLeaves()
-        from collections import Counter
-
-        scan_tbls = []
-        for i in range(leaves.size()):
-            leaf = leaves.apply(i)
-            head = leaf.toString().splitlines()[0]
-            m = re.search(r"Scan parquet[^\n]*?(\w+)\.parquet|FileScan parquet[^\n]*?(\w+)\.parquet", head)
-            if m:
-                scan_tbls.append(m.group(1) or m.group(2))
-        for tbl, cnt in Counter(scan_tbls).items():
-            if cnt > RESCAN_MAX:
-                f.append(f"rescan:{tbl}x{cnt}")
         if f:
             findings[name] = f
     return findings
@@ -96,11 +129,7 @@ def audit(sf_dir: str) -> dict[str, list[str]]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     findings = audit(sf_dir)
-    unexplained = {
-        name: [r for r in reasons if r.split(":")[0] not in {x.split(":")[0] for x in ALLOW.get(name, set())}]
-        for name, reasons in findings.items()
-    }
-    unexplained = {k: v for k, v in unexplained.items() if v}
+    unexplained = unexplained_findings(findings)
     print(json.dumps({"findings": findings, "unexplained": unexplained}, indent=1, sort_keys=True))
     return 1 if unexplained else 0
 
