@@ -261,7 +261,16 @@ def embedding_neardup_pairs(
             ]
         )
         d = d.withColumn("bucket", F.explode(bands))
-    packed = d.groupBy("bucket", "blk").agg(F.collect_list(F.struct("id", "v")).alias("items"))
+    # the packed frame self-joins below, and an unpinned self-join
+    # duplicates the whole upstream subtree — every caller paid TWO
+    # parquet scans + two pack shuffles per invocation (q150's audit,
+    # which calls this twice, showed 4 embeddings scans). Pin it: one
+    # scan, one pack, and the self-join reads the checkpointed blocks.
+    packed = (
+        d.groupBy("bucket", "blk")
+        .agg(F.collect_list(F.struct("id", "v")).alias("items"))
+        .localCheckpoint(eager=True)
+    )
     pairs = packed.select(
         "bucket", F.col("blk").alias("blk_a"), F.col("items").alias("items_a")
     ).join(

@@ -602,10 +602,14 @@ def q77_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = part.agg(
         F.greatest(F.lit(4), F.ceil(F.count(F.lit(1)) / 500.0).cast("bigint")).alias("modulus")
     )
+    # the sampled subset feeds BOTH sides of the within-brand self-join
+    # — pinned (bounded by the adaptive modulus), so part is scanned
+    # twice (modulus probe + subset build) instead of r5's four
     p = (
         part.join(F.broadcast(m))
         .filter(F.col("p_partkey") % F.col("modulus") == 0)
         .select("p_partkey", "p_brand", "p_name")
+        .localCheckpoint(eager=True)
     )
     a = p.select(F.col("p_brand"), F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
     b = p.select(F.col("p_brand"), F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))

@@ -803,8 +803,16 @@ def q280_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("cu"), F.col("ts").alias("tc")
     )
-    purch = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("tp"), F.col("event_id").alias("pid"), cents.alias("cents")
+    # purchases feed the pair join AND the per-user totals; the pair
+    # frame feeds the credit and attribution aggregates — both pinned,
+    # so events is scanned twice (click slice + purchase slice) instead
+    # of r5's five
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.col("ts").alias("tp"), F.col("event_id").alias("pid"), cents.alias("cents")
+        )
+        .localCheckpoint(eager=True)
     )
     age_h = (
         (F.unix_micros(F.col("tp").cast("timestamp")) - F.unix_micros(F.col("tc").cast("timestamp")))
@@ -824,6 +832,7 @@ def q280_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
             F.element_at(weights, (age_h + 1).cast("int")).alias("w"),
         )
+        .localCheckpoint(eager=True)
     )
     w_p = Window.partitionBy("user_id", "pid")
     shared = pairs.withColumn("tot_w", F.sum("w").over(w_p))

@@ -1864,11 +1864,18 @@ def q315_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups, marginals from the groups, a 25-row window rank, and the
     step-up cutoff as a 1-row broadcast — O(1) beyond the scan."""
     part = load_table(spark, "part", sf_dir)
-    g = part.groupBy("p_brand").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum(F.round(F.col("p_retailprice") * 100, 0).cast("bigint"))
-        .cast("bigint")
-        .alias("s"),
+    # the 25-row brand census feeds the marginals, the p-value table
+    # and (through it) the rank/cutoff steps — pinned, so part is
+    # scanned ONCE instead of r5's four
+    g = (
+        part.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.round(F.col("p_retailprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("s"),
+        )
+        .localCheckpoint(eager=True)
     )
     t = g.agg(
         F.sum("n").cast("bigint").alias("tn"), F.sum("s").cast("bigint").alias("ts")

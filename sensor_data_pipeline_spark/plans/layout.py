@@ -152,12 +152,16 @@ def q213_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(l_partkey * 256 DIV (mpk + 1) AS BIGINT)").alias("x"),
         F.expr("CAST(l_suppkey * 256 DIV (msk + 1) AS BIGINT)").alias("y"),
     )
+    # the placement frame feeds both the per-file stats pass and the
+    # exact-truth audit — pinned (4 narrow ints per row, the file
+    # manifest a real OPTIMIZE job materializes), so lineitem is
+    # scanned twice (max probe + placement) instead of r5's four
     placed = b.select(
         "x",
         "y",
         F.expr(f"{_interleave_expr('x', 'y', 'DIV')} DIV {65536 // _ZFILES}").alias("zfile"),
         F.expr(f"x DIV {256 // _ZFILES}").alias("pfile"),
-    )
+    ).localCheckpoint(eager=True)
     tagged = placed.select(
         "x",
         "y",

@@ -255,17 +255,26 @@ def q215_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     sig = phash_signature(synthesize_media(docs))
-    bands = sig.select(
-        "media_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("band_val"))
-                    for i in range(PHASH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("media_id", "b.band_idx", "b.band_val")
+    # the band table is consumed FOUR times (both candidate sides +
+    # both verify sides) — pinned, so the blob synthesis + Arrow
+    # signature pass runs ONCE (r5's unpinned plan re-ran the
+    # MapInPandas phash 8x and re-scanned documents 4x); per media
+    # only 4 small ints persist, the blob itself dies at the signature
+    bands = (
+        sig.select(
+            "media_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("band_val"))
+                        for i in range(PHASH_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select("media_id", "b.band_idx", "b.band_val")
+        .localCheckpoint(eager=True)
+    )
     a = bands.alias("a")
     c = bands.alias("c")
     cand = (

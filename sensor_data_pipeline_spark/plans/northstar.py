@@ -1036,9 +1036,14 @@ def q198_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensor_data_pipeline_spark.operators.dedup import _posting_pairs
 
     d = load_table(spark, "documents", sf_dir)
+    # tokenize ONCE: the distinct (doc, token) frame feeds both the
+    # vocabulary census and the pair generator — unpinned, each
+    # consumer re-read + re-tokenized the corpus (4 documents scans in
+    # the r5 plan; now 1, at the cost of materializing the token frame
+    # a co-occurrence build needs anyway)
     dt = d.select(
         "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("token")
-    )
+    ).localCheckpoint(eager=True)
     top = (
         dt.groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))

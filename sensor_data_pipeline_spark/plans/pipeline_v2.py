@@ -173,7 +173,12 @@ def q159_ngram_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     table shuffles once on the token key; corpus-scale constants (N_t,
     N_b, |V|) are single-row cross joins, never collected."""
     d = load_table(spark, "documents", sf_dir)
-    tok = d.select("doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("w"))
+    # tokenize ONCE: four consumers (background LM, target LM, corpus
+    # constants, per-doc scoring join) — unpinned, each re-read and
+    # re-tokenized the corpus (4 documents scans in the r5 plan)
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("w")
+    ).localCheckpoint(eager=True)
     bg = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cb"))
     tgt = tok.filter(F.col("lang") == "en").groupBy("w").agg(F.count(F.lit(1)).alias("ct"))
     consts = tok.agg(
@@ -394,14 +399,27 @@ def q165_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     are kept on any engine or cluster size. The n_orig/n_sampled audit
     is what a mixture spec review signs off on."""
     d = load_table(spark, "documents", sf_dir)
-    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_orig"))
+    # the source census (source-cardinality rows, tiny) feeds the
+    # total, the rate table and the final report — pinned, along with
+    # the derived rate table (2 consumers), so documents is scanned
+    # exactly twice (census + sampling pass; two passes are inherent —
+    # rates depend on the counts) instead of r5's five scans.
+    c = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_orig"))
+        .localCheckpoint(eager=True)
+    )
     t = c.agg(F.sum("n_orig").alias("total"), F.count(F.lit(1)).alias("ns"))
-    r = c.crossJoin(F.broadcast(t)).select(
-        "source",
-        "n_orig",
-        F.least(
-            F.lit(1.0), (F.col("total") / F.col("ns").cast("double")) / F.col("n_orig")
-        ).alias("rate"),
+    r = (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_orig",
+            F.least(
+                F.lit(1.0), (F.col("total") / F.col("ns").cast("double")) / F.col("n_orig")
+            ).alias("rate"),
+        )
+        .localCheckpoint(eager=True)
     )
     u = word_hash32(F.col("doc_id").cast("string"), seed=13) / F.lit(4294967296.0)
     s = (
@@ -503,17 +521,33 @@ _DUCK_COSINE = (
 )
 
 
+# banded sign-LSH candidate predicate, replayed exactly in SQL (the
+# q150 pattern): a pair is a candidate iff the two raw float32 vectors
+# agree on every sign bit of at least one of the 3 disjoint 4-bit bands
+_Q167_BAND_SQL = " OR ".join(
+    "("
+    + " AND ".join(
+        f"(a.raw[{b * 4 + i + 1}] > 0) = (b.raw[{b * 4 + i + 1}] > 0)" for i in range(4)
+    )
+    + ")"
+    for b in range(3)
+)
+
+
 @register(
     "q167_triangle_count",
     category="dedup",
     oracle=f"""
 WITH emb AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         embedding AS raw
+  FROM embeddings
 ),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-  WHERE {_DUCK_COSINE.format(a="a.v", b="b.v")} >= CAST(0.4 AS DOUBLE)
+  WHERE ({_Q167_BAND_SQL})
+    AND {_DUCK_COSINE.format(a="a.v", b="b.v")} >= CAST(0.4 AS DOUBLE)
 ),
 tri AS (
   SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
@@ -530,14 +564,32 @@ def q167_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the near-dup graph — the graph-density
     audit that tells you whether near-dup clusters are cliques (true
     duplicates) or chains (drifting text; lower triangle/edge ratio).
+
+    The graph's edges are the PRODUCTION near-dup pairs: the banded
+    sign-LSH default of ``embedding_neardup_pairs`` — the same edge set
+    a 100 TB curation run would build (q150 audits its recall against
+    the exact all-pairs baseline; q50 IS that baseline). Round 5's form
+    used ``exact=True`` here, contradicting the repo's own doctrine
+    that exact all-pairs is an audit path, not a production path, and —
+    worse — re-derived the O(n²·dim) blocked product FOUR times
+    (p1/p2/p3 + the count, 6 embeddings scans, no pin). Now the edge
+    list is banded AND ``localCheckpoint(eager=True)``-pinned: one
+    candidate-generation pass total, and the triangle join reads the
+    pinned ~edge-sized frame. The oracle replays the band-agreement
+    predicate as a pure boolean over the raw float32 signs (the q150
+    pattern), so the approximate graph is still exactly checkable.
     Edges enumerate a < b < c once via two ordered self-joins on the
-    (already tiny relative to the corpus) edge list; at scale this is
-    the standard two-shuffle sort-merge triangle join, never touching
-    the documents themselves."""
+    (tiny relative to the corpus) edge list; at scale this is the
+    standard two-shuffle sort-merge triangle join, never touching the
+    documents themselves."""
     from sensor_data_pipeline_spark.operators.similarity import embedding_neardup_pairs
 
     emb = load_table(spark, "embeddings", sf_dir)
-    pairs = embedding_neardup_pairs(emb, threshold=0.4, exact=True).select("id_a", "id_b")
+    pairs = (
+        embedding_neardup_pairs(emb, threshold=0.4)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     p1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     p2 = pairs.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
     p3 = pairs.select(F.col("id_a").alias("a3"), F.col("id_b").alias("c3"))

@@ -468,8 +468,18 @@ ORDER BY tag, custkey
 def q15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT / UNION ALL in one query."""
     o = load_table(spark, "orders", sf_dir)
-    big = o.filter(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("custkey"))
-    fbuy = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    # each side is consumed by BOTH set ops — pinned, so orders is
+    # scanned twice (once per predicate) instead of four times
+    big = (
+        o.filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .localCheckpoint(eager=True)
+    )
+    fbuy = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+        .localCheckpoint(eager=True)
+    )
     both = big.intersect(fbuy).withColumn("tag", F.lit("both"))
     big_only = big.subtract(fbuy).withColumn("tag", F.lit("big_only"))
     return both.unionAll(big_only).select("custkey", "tag").orderBy("tag", "custkey")

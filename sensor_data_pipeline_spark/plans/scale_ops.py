@@ -1146,27 +1146,25 @@ def q268_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/modules/dd/consumer.cpp:241-268)."""
     orders = load_table(spark, "orders", sf_dir)
     cust = load_table(spark, "customer", sf_dir)
-    a0 = orders.filter(F.col("o_orderkey") % 10 != 0)
-    da = orders.filter(F.col("o_orderkey") % 10 == 0)
-    b0 = cust.filter(F.col("c_custkey") % 7 != 0)
-    db = cust.filter(F.col("c_custkey") % 7 == 0)
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
-
-    def cell(a: DataFrame, b: DataFrame, part: int) -> DataFrame:
-        return (
-            a.join(b, a.o_custkey == b.c_custkey)
-            .select(
-                F.col("c_nationkey").alias("nk"),
-                cents.alias("cents"),
-                F.lit(part).alias("part"),
-            )
-        )
-
-    cells = (
-        cell(a0, b0, 0)
-        .unionAll(cell(da, b0, 1))
-        .unionAll(cell(a0, db, 2))
-        .unionAll(cell(da, db, 3))
+    # the four delta-join cells PARTITION the single orders⋈customer
+    # join by (ΔA?, ΔB?) — so run ONE flagged join and label each row
+    # with its cell, instead of r5's four separate joins that scanned
+    # orders and customer 5x each. (A real IVM system joins only the
+    # delta slices, but the cell algebra — and therefore this audit —
+    # is identical; the flags simulate the slice boundaries.) The full
+    # recompute below stays an INDEPENDENT second join on purpose:
+    # deriving it from the same cells would make ivm_exact a tautology.
+    ao = orders.withColumn("_da", F.col("o_orderkey") % 10 == 0)
+    bo = cust.withColumn("_db", F.col("c_custkey") % 7 == 0)
+    cells = ao.join(bo, ao.o_custkey == bo.c_custkey).select(
+        F.col("c_nationkey").alias("nk"),
+        cents.alias("cents"),
+        F.when(~F.col("_da") & ~F.col("_db"), 0)
+        .when(F.col("_da") & ~F.col("_db"), 1)
+        .when(~F.col("_da") & F.col("_db"), 2)
+        .otherwise(3)
+        .alias("part"),
     )
     incr = cells.groupBy("nk").agg(
         F.sum("cents").cast("bigint").alias("incr_cents"),
@@ -1334,6 +1332,10 @@ def q277_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000)).cast(
         "bigint"
     )
+    # the distinct (set, key) base feeds the sketch build AND the two
+    # exact audits — pinned, so events is scanned once (the r5 plan
+    # re-read it 6x and re-ran the distinct per consumer); the 128-row
+    # sketch frame is pinned too (3 consumers: union-K, A-side, B-side)
     pairs = (
         ev.filter(F.col("event_type").isin("click", "purchase"))
         .select(
@@ -1341,13 +1343,17 @@ def q277_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("user_id") * 100000 + day).alias("e"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     hashed = pairs.select(
         "s", (((F.col("e") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(2147483648)).alias("h")
     ).distinct()
     wg = Window.partitionBy("s").orderBy("h")
     sketches = (
-        hashed.withColumn("rn", F.row_number().over(wg)).filter(F.col("rn") <= 64).select("s", "h")
+        hashed.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= 64)
+        .select("s", "h")
+        .localCheckpoint(eager=True)
     )
     wu = Window.orderBy("h")
     kset = (

@@ -222,10 +222,16 @@ def q92_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter pushed to parquet. The final counts are three tiny aggs
     cross-joined (1-row frames, broadcast)."""
     e = load_table(spark, "events", sf_dir)
+    # each stage frame is consumed TWICE (the next stage's join + its
+    # own funnel count) — pinned (per-user first-completion times, the
+    # standard funnel materialization), so events is scanned exactly
+    # once per stage filter (3 scans, each with the event_type
+    # predicate pushed) instead of r5's six
     s1 = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=True)
     )
     s2 = (
         e.filter(F.col("event_type") == "view")
@@ -233,6 +239,7 @@ def q92_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=True)
     )
     s3 = (
         e.filter(F.col("event_type") == "purchase")
@@ -569,51 +576,72 @@ def q322_erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders.o_custkey, and lineitem through its order) — the dry-run
     every compliance pipeline executes before the actual anti-join
     rewrite (q253's changelog-delete machinery applies the erasure;
-    this query prices it). Each per-table count is a LEFT SEMI
-    membership probe against the erased-key set: Spark plans these as
-    broadcast semi joins when the cohort is small and shuffled
-    semi joins beyond, never an IN-subquery re-execution; the
-    lineitem leg chains through orders semi-first so the order-key
-    probe set is already erasure-filtered. Output is 4 rows of exact
-    counts with integer-ppm shares. At 100 TB the only data-sized
-    exchanges are the two semi joins on (custkey, orderkey)."""
+    this query prices it). Each per-table count is ONE scan: a marked
+    LEFT join against the pinned, distinct erased-key set (broadcast
+    when the cohort is small, shuffled beyond — never an IN-subquery
+    re-execution, and no fan-out since the cohort is distinct) feeding
+    a fused total+hit conditional aggregate; the lineitem leg chains
+    through orders semi-first so the order-key probe set is already
+    erasure-filtered. The r5 shape re-derived the cohort per probe and
+    scanned each table twice (semi count + total count) — 6 events
+    scans; now events is scanned twice total (cohort pin + own probe)
+    and every other table once. Output is 4 rows of exact counts with
+    integer-ppm shares. At 100 TB the only data-sized exchanges are
+    the membership joins on (custkey, orderkey)."""
     ev = load_table(spark, "events", sf_dir)
     cu = load_table(spark, "customer", sf_dir)
     o = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
+    # the erasure cohort is consumed by every probe — pinned, so events
+    # is scanned once for it instead of re-deriving the distinct per
+    # consumer (6 events scans in the r5 plan). Cohort-sized, tiny.
     erased = (
         ev.where(F.col("user_id") % _ERASE_MOD == 0)
         .select("user_id")
         .distinct()
+        .withColumn("_hit", F.lit(1))
+        .localCheckpoint(eager=True)
     )
+
+    # hit + total fuse into ONE scan per table: a marked LEFT join
+    # against the distinct cohort (no fan-out possible) feeds a single
+    # conditional aggregate — the r5 shape scanned each table twice
+    # (semi-join count + separate total count).
     def probe(df: DataFrame, key: str, label: str) -> DataFrame:
-        hit = (
-            df.join(erased, df[key] == erased["user_id"], "left_semi")
-            .agg(F.count("*").cast("bigint").alias("hit"))
+        joined = df.select(F.col(key).alias("_k")).join(
+            erased, F.col("_k") == erased["user_id"], "left"
         )
-        total = df.agg(F.count("*").cast("bigint").alias("total"))
-        return (
-            total.crossJoin(hit)
-            .select(
-                F.lit(label).alias("tbl"),
-                "total",
-                "hit",
-                F.expr("hit * 1000000 DIV total").alias("erased_ppm"),
-            )
+        return joined.agg(
+            F.count("*").cast("bigint").alias("total"),
+            F.count("_hit").cast("bigint").alias("hit"),
+        ).select(
+            F.lit(label).alias("tbl"),
+            "total",
+            "hit",
+            F.expr("hit * 1000000 DIV total").alias("erased_ppm"),
         )
-    erased_orders = o.join(
-        erased, o["o_custkey"] == erased["user_id"], "left_semi"
-    ).select(F.col("o_orderkey").alias("user_id"))
-    li_probe = (
-        li.join(erased_orders, li["l_orderkey"] == erased_orders["user_id"], "left_semi")
-        .agg(F.count("*").cast("bigint").alias("hit"))
+
+    # lineitem cascades through orders: erasure-filter the order keys
+    # first (semi join), pin the resulting key set, probe once.
+    erased_orders = (
+        o.join(erased, o["o_custkey"] == erased["user_id"], "left_semi")
+        .select(F.col("o_orderkey").alias("user_id"))
+        .withColumn("_hit", F.lit(1))
+        .localCheckpoint(eager=True)
     )
-    li_total = li.agg(F.count("*").cast("bigint").alias("total"))
-    li_row = li_total.crossJoin(li_probe).select(
-        F.lit("lineitem").alias("tbl"),
-        "total",
-        "hit",
-        F.expr("hit * 1000000 DIV total").alias("erased_ppm"),
+    li_row = (
+        li.select(F.col("l_orderkey").alias("_k"))
+        .join(erased_orders, F.col("_k") == erased_orders["user_id"], "left")
+        .agg(
+            F.count("*").cast("bigint").alias("total"),
+            F.count("_hit").cast("bigint").alias("hit"),
+        )
+        .select(
+            F.lit("lineitem").alias("tbl"),
+            "total",
+            "hit",
+            F.expr("hit * 1000000 DIV total").alias("erased_ppm"),
+        )
     )
     return (
         probe(ev, "user_id", "events")

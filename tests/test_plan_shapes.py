@@ -455,8 +455,11 @@ def test_phash_neardup_banded_not_allpairs(spark):
     # candidate generation is an equi-join on (band_idx, band_val)
     # posting lists — never an all-pairs cross product
     assert "CartesianProduct" not in plan
-    # signatures come from one Arrow pass over the blobs
-    assert "MapInPandas" in plan
+    # signatures come from ONE Arrow pass over the blobs, pinned: the
+    # final plan reads the checkpointed band table (the MapInPandas ran
+    # inside the pin), so four consumers cost one signature pass
+    assert "Scan ExistingRDD" in plan
+    assert "MapInPandas" not in plan
 
 
 def test_pagerank_single_dag_no_cartesian(spark):
@@ -1084,13 +1087,17 @@ def test_psi_fences_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_erasure_semi_join_chain(spark):
+def test_erasure_fused_probe_chain(spark):
     from sensor_data_pipeline_spark.plans.warehouse import q322_erasure_cascade_audit
 
     plan = plan_of(q322_erasure_cascade_audit(spark, SF))
-    # every membership probe is a semi join, never an IN re-execution
-    assert "LeftSemi" in plan
+    # the cohort and the cascaded order-key set are pinned (ExistingRDD
+    # scans); each probe is ONE marked left join + fused total/hit
+    # aggregate — never an IN re-execution or a second per-table scan
+    assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+    # table scans: events + customer + orders + lineitem, once each
+    assert plan.count("Scan parquet") <= 4, plan
 
 
 def test_contract_scalar_rules_single_scan(spark):
@@ -1192,15 +1199,29 @@ def test_weighted_minhash_verifies_candidates_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_plan_audit_no_unexplained_antipatterns(spark):
-    """Every declared query's physical plan must be free of unexplained
-    scale anti-patterns (cartesian products, global windows, Python-UDF
-    hot paths, >6x same-table rescans). tools/plan_audit.py existed
-    since round 3 but was never a gate — round 5 found 6 real rescan
-    shapes (q221/q225/q232/q251/q294/q319) plus 3 cache-print false
-    positives it had been miscounting. This test keeps it a gate."""
-    from tools.plan_audit import audit, unexplained_findings
+def test_plan_audit_and_digest_regressions(spark):
+    """ONE plan build per query feeds two gates:
 
-    findings = audit(SF)
-    unexplained = unexplained_findings(findings)
+    1. Absolute anti-patterns (tools/plan_audit.py): cartesian
+       products, global windows, row-wise Python UDFs, >RESCAN_MAX
+       same-table rescans. Round 5 made this a gate and found 6 real
+       rescan shapes; round 6 pinned the whole >3-scan cluster and
+       dropped RESCAN_MAX 6 -> 3.
+    2. Regressions vs the COMMITTED PLAN_SUMMARY.json digest: any
+       query whose plan got worse than the committed baseline (a table
+       scanned more often, more python ops, more exchanges, a
+       cartesian appearing) fails even if it stays under the absolute
+       thresholds — so a deleted localCheckpoint can't land silently.
+       Seeded-mutant check: removing q167's pairs pin flips its
+       embeddings scans 1 -> >1 and this test fails. After an
+       intentional plan improvement, regenerate the baseline with
+       `python tools/plan_summary.py`.
+    """
+    from tools.plan_audit import audit_digests, unexplained_findings
+    from tools.plan_summary import load_baseline, regressions, summarize
+
+    digests = summarize(SF)
+    unexplained = unexplained_findings(audit_digests(digests))
     assert not unexplained, f"unexplained plan anti-patterns: {unexplained}"
+    regr = regressions(digests, load_baseline())
+    assert not regr, f"plan digests regressed vs committed PLAN_SUMMARY.json: {regr}"

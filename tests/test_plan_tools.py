@@ -1,0 +1,75 @@
+"""Pure-Python unit tests for the plan-audit/plan-summary tooling —
+no Spark session, so the gate semantics themselves are guarded cheaply:
+
+- the regression gate must catch a seeded mutant (a removed
+  localCheckpoint shows up as a scan-count increase vs the committed
+  baseline),
+- ALLOW matching must be exact on the full reason string (round-5
+  ADVICE: prefix matching would let `rescan:documentsx8` ride an
+  allowance written for `rescan:documentsx4`),
+- findings derive from digests deterministically.
+"""
+
+from __future__ import annotations
+
+from tools.plan_audit import RESCAN_MAX, findings_from_digest, unexplained_findings
+from tools.plan_summary import regressions
+
+
+def _digest(**kw):
+    base = {
+        "scans": {},
+        "exchanges": 0,
+        "broadcasts": 0,
+        "pins": 0,
+        "codegen_spans": 1,
+        "python": 0,
+        "python_rowwise": 0,
+        "cartesian": False,
+        "global_window": False,
+    }
+    base.update(kw)
+    return base
+
+
+def test_seeded_mutant_scan_increase_fails_regression_gate():
+    # the q167 mutant: deleting the pairs localCheckpoint turns 1
+    # embeddings scan into 6 — must be flagged even though other
+    # counters improve
+    baseline = {"q167": _digest(scans={"embeddings": 1}, pins=3)}
+    mutated = {"q167": _digest(scans={"embeddings": 6}, pins=0)}
+    regr = regressions(mutated, baseline)
+    assert "q167" in regr and any(r.startswith("scans:embeddings") for r in regr["q167"])
+
+
+def test_regression_gate_ignores_improvements_and_new_queries():
+    baseline = {"q1": _digest(scans={"orders": 4}, exchanges=5)}
+    current = {
+        "q1": _digest(scans={"orders": 1}, exchanges=2),  # improved
+        "q999": _digest(scans={"orders": 9}),  # new: absolute audit covers it
+    }
+    assert regressions(current, baseline) == {}
+
+
+def test_regression_gate_flags_python_and_cartesian_appearing():
+    baseline = {"q1": _digest()}
+    current = {"q1": _digest(python=2, cartesian=True)}
+    regr = regressions(current, baseline)
+    assert set(regr) == {"q1"}
+    assert any("python" in r for r in regr["q1"])
+    assert any("cartesian" in r for r in regr["q1"])
+
+
+def test_findings_from_digest_thresholds():
+    ok = _digest(scans={"documents": RESCAN_MAX})
+    assert findings_from_digest(ok) == []
+    over = _digest(scans={"documents": RESCAN_MAX + 1}, python_rowwise=1, global_window=True)
+    f = findings_from_digest(over)
+    assert f == ["global_window", "python_udf", f"rescan:documentsx{RESCAN_MAX + 1}"]
+
+
+def test_allow_matching_is_exact_not_prefix():
+    findings = {"q": ["rescan:documentsx8"]}
+    # an allowance for x4 must NOT whitelist an x8 regression
+    assert unexplained_findings(findings, {"q": {"rescan:documentsx4"}}) == findings
+    assert unexplained_findings(findings, {"q": {"rescan:documentsx8"}}) == {}

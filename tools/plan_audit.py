@@ -13,7 +13,13 @@ that do not survive a 100x scale-up:
   Python path where an Arrow variant exists.
 - ``rescan``: the same parquet table scanned more than RESCAN_MAX
   times in one plan — loop lineage re-derivation (persist the
-  invariant instead).
+  invariant instead). Round 6 dropped RESCAN_MAX 6 -> 3 after pinning
+  the whole >3-scan cluster; the only remaining >3 shapes are the
+  ALLOW-listed exact-vs-approx audit double-reads.
+
+Findings derive from the tools/plan_summary.py digest, so one plan
+build per query serves this audit, the committed PLAN_SUMMARY.json
+artifact, and the pytest regression gate.
 
 Known-and-justified exceptions live in ALLOW; a finding not listed
 there fails the audit (exit 1), so new anti-patterns can't land
@@ -27,13 +33,11 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
-from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-RESCAN_MAX = 6
+RESCAN_MAX = 3
 
 #: query -> full reason strings that are understood and acceptable at
 #: scale. Rescan entries name the table AND the count
@@ -49,7 +53,31 @@ ALLOW: dict[str, set[str]] = {
     # touches fact-table mass
     "q94_udtf_expand": {"python_udf"},
     "q204_polymorphic_udtf": {"python_udf"},
+    # true exact-vs-approx audit double-read: q93 runs the brute-force
+    # baseline AND the IVF probe against the same corpus to measure
+    # recall — each path legitimately reads embeddings twice (query
+    # panel + corpus side), and collapsing them would audit the index
+    # against itself
+    "q93_ann_recall": {"rescan:embeddingsx4"},
 }
+
+
+def findings_from_digest(digest: dict) -> list[str]:
+    """Anti-pattern reasons for one plan digest (tools/plan_summary
+    schema). Shared by the CLI and the pytest gate."""
+    if "error" in digest:
+        return [f"plan_error: {digest['error']}"]
+    f: list[str] = []
+    if digest.get("cartesian"):
+        f.append("cartesian")
+    if digest.get("global_window"):
+        f.append("global_window")
+    if digest.get("python_rowwise", 0) > 0:
+        f.append("python_udf")
+    for tbl, cnt in sorted(digest.get("scans", {}).items()):
+        if cnt > RESCAN_MAX:
+            f.append(f"rescan:{tbl}x{cnt}")
+    return f
 
 
 def unexplained_findings(
@@ -66,64 +94,15 @@ def unexplained_findings(
     return {k: v for k, v in out.items() if v}
 
 
-def _digest(jplan) -> list[str]:
-    """Anti-pattern reasons for one already-built physical plan."""
-    plan = jplan.toString()
-    f: list[str] = []
-    if "CartesianProduct" in plan:
-        f.append("cartesian")
-    # global window: "Window [exprs]" physical node prints
-    # "Window [wexprs], [part], [order]" — empty partition spec
-    # shows as ", [], ["
-    if re.search(r"Window \[[^\n]*\], \[\], \[", plan):
-        f.append("global_window")
-    if "BatchEvalPython" in plan:
-        f.append("python_udf")
-    # count ACTUAL scan leaves via tree traversal: a persisted
-    # frame prints its full cached lineage (with its Scan parquet)
-    # inside every InMemoryRelation reference, so regexing the
-    # toString over-counts pinned queries (q216 false-positived at
-    # "20 scans" that were 17 cache-definition prints). Leaves of
-    # the executed tree stop at InMemoryTableScan, so FileSourceScan
-    # leaves are exactly the real per-execution parquet reads.
-    if jplan.nodeName() == "AdaptiveSparkPlan":
-        jplan = jplan.initialPlan()  # AQE root hides its children
-    leaves = jplan.collectLeaves()
-    scan_tbls = []
-    for i in range(leaves.size()):
-        head = leaves.apply(i).toString().splitlines()[0]
-        m = re.search(
-            r"Scan parquet[^\n]*?(\w+)\.parquet|FileScan parquet[^\n]*?(\w+)\.parquet",
-            head,
-        )
-        if m:
-            scan_tbls.append(m.group(1) or m.group(2))
-    for tbl, cnt in Counter(scan_tbls).items():
-        if cnt > RESCAN_MAX:
-            f.append(f"rescan:{tbl}x{cnt}")
-    return f
+def audit_digests(digests: dict[str, dict]) -> dict[str, list[str]]:
+    findings = {name: findings_from_digest(d) for name, d in digests.items()}
+    return {k: v for k, v in findings.items() if v}
 
 
 def audit(sf_dir: str) -> dict[str, list[str]]:
-    from sensor_data_pipeline_spark.plans import REGISTRY
-    from sensor_data_pipeline_spark.session import get_spark
+    from tools.plan_summary import summarize
 
-    spark = get_spark(app_name="plan-audit")
-    findings: dict[str, list[str]] = {}
-    for name, spec in sorted(REGISTRY.items()):
-        # ONE plan build per query (the build itself runs any eager
-        # localCheckpoint jobs, so building twice doubled audit cost —
-        # ADVICE r5), and the whole digest stays inside the try so a
-        # traversal failure records as plan_error instead of aborting.
-        try:
-            jplan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan()
-            f = _digest(jplan)
-        except Exception as e:
-            findings[name] = [f"plan_error: {str(e).splitlines()[0][:120]}"]
-            continue
-        if f:
-            findings[name] = f
-    return findings
+    return audit_digests(summarize(sf_dir))
 
 
 def main() -> int:

@@ -13,7 +13,18 @@ every declared query's executed plan into the counters that matter at
   localCheckpoint reuse points),
 - ``codegen_spans``: WholeStageCodegen regions (JVM-side coverage),
 - ``python``: BatchEvalPython / ArrowEvalPython / FlatMapGroupsInPandas
-  etc. (the deliberate Python-path surface).
+  etc. (the deliberate Python-path surface),
+- ``python_rowwise``: BatchEvalPython only — the row-at-a-time slow
+  path the plan audit gates on,
+- ``cartesian`` / ``global_window``: anti-pattern booleans, so the
+  audit (tools/plan_audit.py) and the pytest regression gate can run
+  off ONE plan build per query.
+
+The committed PLAN_SUMMARY.json doubles as the plan-shape BASELINE:
+tests/test_plan_shapes.py fails if any query's digest gets worse than
+the committed one (more scans of a table, more python, a cartesian
+appearing) — so a removed localCheckpoint or a new rescan can't land
+silently even when it stays under the audit's absolute thresholds.
 
 Run: ``python tools/plan_summary.py [sf_dir]`` — writes
 PLAN_SUMMARY.json at the repo root.
@@ -28,6 +39,46 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SUMMARY_PATH = os.path.join(ROOT, "PLAN_SUMMARY.json")
+
+
+def digest_jplan(jplan) -> dict:
+    """Digest one already-built executed plan (py4j handle)."""
+    if jplan.nodeName() == "AdaptiveSparkPlan":
+        jplan = jplan.initialPlan()  # AQE root hides its children
+    txt = jplan.toString()
+    leaves = jplan.collectLeaves()
+    scans: dict[str, int] = {}
+    pins = 0
+    for i in range(leaves.size()):
+        head = leaves.apply(i).toString().splitlines()[0]
+        m = re.search(r"parquet[^\n]*?(\w+)\.parquet", head)
+        if m:
+            scans[m.group(1)] = scans.get(m.group(1), 0) + 1
+        if "InMemoryTableScan" in head or "Scan ExistingRDD" in head:
+            pins += 1
+    return {
+        "scans": scans,
+        "exchanges": len(re.findall(r"Exchange (hash|range|Single)", txt)),
+        "broadcasts": txt.count("BroadcastExchange"),
+        "pins": pins,
+        "codegen_spans": txt.count("WholeStageCodegen"),
+        "python": len(
+            re.findall(
+                r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas"
+                r"|MapInPandas|PythonMapInArrow|FlatMapCoGroupsInPandas"
+                r"|AggregateInPandas",
+                txt,
+            )
+        ),
+        "python_rowwise": txt.count("BatchEvalPython"),
+        "cartesian": "CartesianProduct" in txt,
+        # physical Window node printing an empty partition spec:
+        # "Window [wexprs], [], [order]"
+        "global_window": bool(re.search(r"Window \[[^\n]*\], \[\], \[", txt)),
+    }
+
 
 def summarize(sf_dir: str) -> dict[str, dict]:
     from sensor_data_pipeline_spark.plans import REGISTRY
@@ -38,45 +89,48 @@ def summarize(sf_dir: str) -> dict[str, dict]:
     for name, spec in sorted(REGISTRY.items()):
         try:
             jplan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan()
+            out[name] = digest_jplan(jplan)
         except Exception as e:
             out[name] = {"error": str(e).splitlines()[0][:120]}
-            continue
-        if jplan.nodeName() == "AdaptiveSparkPlan":
-            jplan = jplan.initialPlan()
-        txt = jplan.toString()
-        leaves = jplan.collectLeaves()
-        scans: dict[str, int] = {}
-        pins = 0
-        for i in range(leaves.size()):
-            head = leaves.apply(i).toString().splitlines()[0]
-            m = re.search(r"parquet[^\n]*?(\w+)\.parquet", head)
-            if m:
-                scans[m.group(1)] = scans.get(m.group(1), 0) + 1
-            if "InMemoryTableScan" in head or "Scan ExistingRDD" in head:
-                pins += 1
-        out[name] = {
-            "scans": scans,
-            "exchanges": len(re.findall(r"Exchange (hash|range|Single)", txt)),
-            "broadcasts": txt.count("BroadcastExchange"),
-            "pins": pins,
-            "codegen_spans": txt.count("WholeStageCodegen"),
-            "python": len(
-                re.findall(
-                    r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas"
-                    r"|MapInPandas|PythonMapInArrow|FlatMapCoGroupsInPandas"
-                    r"|AggregateInPandas",
-                    txt,
-                )
-            ),
-        }
     return out
+
+
+def regressions(current: dict[str, dict], baseline: dict[str, dict]) -> dict[str, list[str]]:
+    """Per-query plan-shape regressions of `current` vs the committed
+    `baseline` digest. A query regresses when any scale-relevant
+    counter gets WORSE: a table scanned more often, more Python
+    operators, more shuffles, or a cartesian/global-window appearing
+    that the baseline did not have. Queries absent from the baseline
+    (new this round) are skipped — the absolute audit still covers
+    them. Improvements (fewer scans, fewer exchanges) never fail."""
+    out: dict[str, list[str]] = {}
+    for name, cur in current.items():
+        base = baseline.get(name)
+        if base is None or "error" in base or "error" in cur:
+            continue
+        probs: list[str] = []
+        for tbl, cnt in cur.get("scans", {}).items():
+            if cnt > base.get("scans", {}).get(tbl, 0):
+                probs.append(f"scans:{tbl} {base.get('scans', {}).get(tbl, 0)}->{cnt}")
+        for key in ("python", "python_rowwise", "exchanges"):
+            if cur.get(key, 0) > base.get(key, 0):
+                probs.append(f"{key} {base.get(key, 0)}->{cur.get(key, 0)}")
+        for key in ("cartesian", "global_window"):
+            if cur.get(key, False) and not base.get(key, False):
+                probs.append(f"{key} appeared")
+        if probs:
+            out[name] = probs
+    return out
+
+
+def load_baseline() -> dict[str, dict]:
+    with open(SUMMARY_PATH) as f:
+        return json.load(f)["queries"]
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = summarize(sf_dir)
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(here, "PLAN_SUMMARY.json")
     doc = {
         "definition": (
             "per-query physical-plan digest at sf0.001 (plan shape is "
@@ -84,11 +138,14 @@ def main() -> int:
             "table (cache-aware), exchanges = shuffle boundaries, "
             "broadcasts = BroadcastExchange nodes, pins = cached/"
             "checkpointed reuse leaves, codegen_spans = WholeStageCodegen "
-            "regions, python = deliberate Python-path operators"
+            "regions, python = deliberate Python-path operators, "
+            "python_rowwise = BatchEvalPython only, cartesian/"
+            "global_window = anti-pattern booleans; the committed file "
+            "is also the regression baseline for tests/test_plan_shapes.py"
         ),
         "queries": out,
     }
-    with open(path, "w") as f:
+    with open(SUMMARY_PATH, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
     n_err = sum(1 for v in out.values() if "error" in v)
     print(f"wrote PLAN_SUMMARY.json: {len(out)} queries, {n_err} errors")
