@@ -51,6 +51,15 @@ def test_regression_gate_ignores_improvements_and_new_queries():
     assert regressions(current, baseline) == {}
 
 
+def test_regression_gate_ignores_exchange_wobble():
+    # exchange counts are session-history-sensitive for cached plans
+    # (CacheManager reuse changes how a rebuilt plan prints), so they
+    # are artifact-only — never a regression trigger
+    baseline = {"q1": _digest(exchanges=23)}
+    current = {"q1": _digest(exchanges=54)}
+    assert regressions(current, baseline) == {}
+
+
 def test_regression_gate_flags_python_and_cartesian_appearing():
     baseline = {"q1": _digest()}
     current = {"q1": _digest(python=2, cartesian=True)}

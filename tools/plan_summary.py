@@ -112,7 +112,17 @@ def regressions(current: dict[str, dict], baseline: dict[str, dict]) -> dict[str
         for tbl, cnt in cur.get("scans", {}).items():
             if cnt > base.get("scans", {}).get(tbl, 0):
                 probs.append(f"scans:{tbl} {base.get('scans', {}).get(tbl, 0)}->{cnt}")
-        for key in ("python", "python_rowwise", "exchanges"):
+        # `exchanges` is deliberately NOT compared: for queries with
+        # persist()/cache(), Spark's CacheManager matches a re-built
+        # plan by canonicalized logical plan, so whether an earlier
+        # query in the SAME session already materialized the cache
+        # changes how the rebuilt plan prints its exchange nodes
+        # (observed in-suite: q216 23->54, q86 14->23 purely from
+        # test_oracle_diff having executed them first). Scan leaves,
+        # python ops and the anti-pattern booleans are leaf-/node-based
+        # and stable across session history; exchanges stay in the
+        # artifact for human review only.
+        for key in ("python", "python_rowwise"):
             if cur.get(key, 0) > base.get(key, 0):
                 probs.append(f"{key} {base.get(key, 0)}->{cur.get(key, 0)}")
         for key in ("cartesian", "global_window"):
