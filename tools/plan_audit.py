@@ -59,6 +59,26 @@ ALLOW: dict[str, set[str]] = {
     # panel + corpus side), and collapsing them would audit the index
     # against itself
     "q93_ann_recall": {"rescan:embeddingsx4"},
+    # ------------------------------------------------------------------
+    # Bounded global windows. Round 6 found the global-window detector
+    # had been DEAD since round 3 (Spark 4 prints a Window node's
+    # partition spec only when non-empty, so the empty-bracket regex
+    # never matched); the rebuilt tree-walk detector flags these ten.
+    # Each windows a frame whose row count is bounded by CONSTRUCTION
+    # (an aggregate/domain table, never corpus rows), so the one-task
+    # sort is O(bound), not O(data). Windows above a global limit
+    # (the ranked-top-k idiom) are auto-exempted by the digest itself.
+    # ------------------------------------------------------------------
+    "q239_mixture_allocation": {"global_window"},  # source census (|sources| rows)
+    "q249_vocab_growth": {"global_window"},  # 10-row decile grid cumulative
+    "q257_ks_distribution_drift": {"global_window"},  # distinct-length CDF (value domain)
+    "q263_supplier_skyline": {"global_window"},  # post-agg lag-domain table
+    "q290_kaplan_meier": {"global_window"},  # distinct event days (time domain)
+    "q300_largest_remainder_alloc": {"global_window"},  # 25-row nation frame
+    "q312_chi2_independence": {"global_window"},  # contingency cells (category product)
+    "q315_bh_fdr_control": {"global_window"},  # 25-brand p-value ranking
+    "q319_psi_drift_audit": {"global_window"},  # decile fences (10 bins)
+    "q337_curriculum_interleave": {"global_window"},  # source census index
 }
 
 

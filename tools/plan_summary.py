@@ -43,6 +43,16 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SUMMARY_PATH = os.path.join(ROOT, "PLAN_SUMMARY.json")
 
 
+_BOUNDED_NODES = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+
+
+def _walk(node, visit) -> None:
+    visit(node)
+    it = node.children().iterator()
+    while it.hasNext():
+        _walk(it.next(), visit)
+
+
 def digest_jplan(jplan) -> dict:
     """Digest one already-built executed plan (py4j handle)."""
     if jplan.nodeName() == "AdaptiveSparkPlan":
@@ -58,6 +68,35 @@ def digest_jplan(jplan) -> dict:
             scans[m.group(1)] = scans.get(m.group(1), 0) + 1
         if "InMemoryTableScan" in head or "Scan ExistingRDD" in head:
             pins += 1
+    # Global windows need a TREE walk: Spark 4 prints a Window node's
+    # partition spec only when NON-empty ("Window [exprs], [order]" vs
+    # "Window [exprs], [part], [order]"), so the old empty-bracket
+    # regex matched nothing — the detector was dead (round-6 finding;
+    # every round-3..5 audit silently had zero global-window coverage).
+    # A Window with an empty partitionSpec whose input subtree is
+    # bounded by a global limit (TakeOrderedAndProject / GlobalLimit /
+    # CollectLimit — the ranked-top-k idiom: limit(k) then rank the k
+    # survivors) sorts a provably tiny frame and is NOT flagged; an
+    # unbounded one sorts the world in one task and is.
+    global_windows = 0
+    bounded_global_windows = 0
+
+    def visit(n):
+        nonlocal global_windows, bounded_global_windows
+        if n.nodeName() == "Window":
+            try:
+                empty = n.partitionSpec().isEmpty()
+            except Exception:
+                empty = False
+            if empty:
+                sub: list[str] = []
+                _walk(n, lambda c: sub.append(c.nodeName()))
+                if any(b in sub for b in _BOUNDED_NODES):
+                    bounded_global_windows += 1
+                else:
+                    global_windows += 1
+
+    _walk(jplan, visit)
     return {
         "scans": scans,
         "exchanges": len(re.findall(r"Exchange (hash|range|Single)", txt)),
@@ -74,9 +113,8 @@ def digest_jplan(jplan) -> dict:
         ),
         "python_rowwise": txt.count("BatchEvalPython"),
         "cartesian": "CartesianProduct" in txt,
-        # physical Window node printing an empty partition spec:
-        # "Window [wexprs], [], [order]"
-        "global_window": bool(re.search(r"Window \[[^\n]*\], \[\], \[", txt)),
+        "global_window": global_windows > 0,
+        "bounded_global_windows": bounded_global_windows,
     }
 
 
