@@ -60,6 +60,28 @@ def shift_scale(col: Column, shift: int, factor: float) -> Column:
     return F.shiftright(col, shift) * F.lit(factor)
 
 
+def int_div(col: Column, divisor: int) -> Column:
+    """Exact integer division, truncating toward zero, over the FULL
+    bigint range — the semantics BOTH engines natively share: Spark's
+    ``DIV`` truncates, and (measured, DuckDB 1.0.0) DuckDB's integer
+    ``//`` ALSO truncates (``-11 // 10 = -1``; its float ``//`` is
+    plain division, not floor). The round-5 ADVICE asserted DuckDB
+    floors and the round-6 ADVICE built a floor-matching formula on
+    top — both premises were wrong, and the ``floor(a / b)`` form they
+    produced diverges from the oracle on any negative dividend AND
+    routes through a double (inexact past 2^53). Here the remainder
+    (``%``, dividend-signed on both engines) strips in int64 — safe:
+    subtracting a same-signed remainder always moves toward zero, so
+    no wrap at either int64 extreme — and the decimal(38,0) division
+    runs over an exact multiple of the divisor, so no rounding ever
+    occurs."""
+    if divisor <= 0:
+        raise ValueError("int_div requires a positive divisor")
+    c = col.cast("bigint")
+    r = c % F.lit(divisor)
+    return ((c.cast("decimal(38,0)") - r) / F.lit(divisor)).cast("bigint")
+
+
 def sentinel_default(col: Column, sentinel: float) -> Column:
     """Default-on-missing: null -> sentinel (the consumer substitutes
     888.8 for absent JSON keys, reference src/modules/dd/consumer.cpp:124-131;

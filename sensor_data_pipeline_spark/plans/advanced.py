@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sensor_data_pipeline_spark.functions.scalar import int_div
 from sensor_data_pipeline_spark.operators.joins import range_join, salted_join
 from sensor_data_pipeline_spark.plans.registry import register
 from sensor_data_pipeline_spark.sources.tables import load_table
@@ -882,7 +883,10 @@ def q95_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
     return (
         e.select(k.alias("k"))
-        .groupBy(F.floor(F.col("k") / 10).cast("bigint").alias("k_bucket"))
+        # int_div matches the oracle's integer // (truncation on both
+        # engines — measured, see functions/scalar.py:int_div) and is
+        # integer-exact over the full bigint range, unlike floor(k/10)
+        .groupBy(int_div(F.col("k"), 10).alias("k_bucket"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("k").cast("bigint").alias("k_sum"),

@@ -787,10 +787,14 @@ def q173_corrupt_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the real corpus plus a corrupt member (truncated bytes posing as
     parquet — the shard a flaky writer leaves behind in any 100 TB
     estate) must still serve the query. ignoreCorruptFiles is scoped to
-    this read (set/restore around the action) so the engine default
-    stays strict — silently skipping corrupt data is an OPT-IN per
-    scan, and the oracle proves the skip dropped only the corrupt file:
-    the aggregate equals the clean table's."""
+    this read as a DataFrameReader OPTION (file-source options override
+    the session conf per scan, so the engine default stays strict and
+    no session state is ever mutated) — silently skipping corrupt data
+    is an OPT-IN per scan, and the oracle proves the skip dropped only
+    the corrupt file: the aggregate equals the clean table's. The
+    returned frame is fully lazy (the r6 set/restore form had to
+    collect() inside the conf scope and re-wrap the rows, hiding the
+    scan from the plan digest — VERDICT r6 item 5)."""
     import os
     import re as _re
 
@@ -802,23 +806,17 @@ def q173_corrupt_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.write.mode("overwrite").parquet(path)
     with open(os.path.join(path, "part-corrupt.parquet"), "wb") as fh:
         fh.write(b"PAR1 this is not a parquet file")
-    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
-    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
-    try:
-        back = (
-            spark.read.schema("doc_id long, text string, lang string, source string, n_chars long")
-            .parquet(path)
-            .groupBy("lang")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                F.sum("n_chars").cast("bigint").alias("sum_chars"),
-            )
-            .orderBy("lang")
+    return (
+        spark.read.schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("ignoreCorruptFiles", "true")
+        .parquet(path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
-        rows = back.collect()
-    finally:
-        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
-    return spark.createDataFrame(rows, schema=back.schema)
+        .orderBy("lang")
+    )
 
 
 @register(

@@ -123,3 +123,29 @@ def test_sign_lsh_bucket(spark):
     )
     row = df.select(sign_lsh_bucket(F.col("v"), 8).alias("b")).first()
     assert row.b == 0b01010101
+
+
+def test_int_div_full_bigint_range_matches_duckdb(spark):
+    """int_div must equal DuckDB's integer `//` (truncation — measured
+    on 1.0.0, the r5 ADVICE premise that it floors was wrong) AND
+    Spark's own DIV, on the full int64 range including both extremes
+    and values past 2^53 where a double round-trip goes inexact."""
+    import duckdb
+
+    from sensor_data_pipeline_spark.functions.scalar import int_div
+
+    vals = [
+        -(2**63), -(2**63) + 1, -(2**53) - 1, -1234567890123456789,
+        -11, -10, -9, -1, 0, 1, 9, 10, 11,
+        2**53 + 1, 1234567890123456789, 2**63 - 1,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    got = {
+        r["k"]: (r["fd"], r["dv"])
+        for r in df.select(
+            "k", int_div(F.col("k"), 10).alias("fd"), F.expr("k DIV 10").alias("dv")
+        ).collect()
+    }
+    for v in vals:
+        exp = duckdb.sql(f"SELECT CAST({v} AS BIGINT) // 10").fetchone()[0]
+        assert got[v] == (exp, exp), (v, got[v], exp)
