@@ -196,9 +196,27 @@ def q266_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash check is sensitive to sweep order, not just the max."""
     ev = load_table(spark, "events", sf_dir)
     em = F.unix_micros(F.col("ts").cast("timestamp"))
-    starts = ev.select((em * 2 + 1).alias("k"), F.lit(1).alias("delta"))
-    ends = ev.select(((em + _SESSION_US) * 2).alias("k"), F.lit(-1).alias("delta"))
-    g = starts.unionAll(ends).groupBy("k").agg(F.sum("delta").alias("d"))
+    # both boundaries of each session come from ONE scan (an inline
+    # 2-element explode, executor-side) — the union-of-two-selects form
+    # read events twice, and the unpinned boundary aggregate was then
+    # rebuilt by the n_boundaries census for 4 physical events scans
+    # per run, all hidden inside the prefix-scan pin until the round-7
+    # pin_scans digest surfaced them (ADVICE r6). Pinned: the aggregate
+    # is bounded by DISTINCT boundary instants, and it feeds the
+    # running-sum pin build AND the census.
+    boundaries = ev.select(
+        F.explode(
+            F.array(
+                F.struct((em * 2 + 1).alias("k"), F.lit(1).alias("delta")),
+                F.struct(((em + _SESSION_US) * 2).alias("k"), F.lit(-1).alias("delta")),
+            )
+        ).alias("b")
+    ).select("b.k", "b.delta")
+    g = (
+        boundaries.groupBy("k")
+        .agg(F.sum("delta").alias("d"))
+        .localCheckpoint(eager=True)
+    )
     r = global_running_sum(g, "k", "d", out_col="occ")
     peak = r.agg(F.max("occ").alias("peak"))
     first = (

@@ -449,9 +449,16 @@ def q302_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a real cluster would switch to delta-frontier joins once the
     active set shrinks."""
     li = load_table(spark, "lineitem", sf_dir)
-    pairs = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    # pinned: the (order, supplier) incidence list feeds BOTH sides of
+    # the co-supply self-join, and the symmetric edge union duplicates
+    # that subtree again — unpinned, the edges pin build scanned
+    # lineitem 4x per run (invisible to the round-6 audit, surfaced by
+    # the round-7 pin_scans digest, ADVICE r6); pinned it scans once
+    pairs = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     a = pairs.select("ok", F.col("s").alias("src"))
     b = pairs.select("ok", F.col("s").alias("dst"))
     e0 = (

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -1225,3 +1227,65 @@ def test_plan_audit_and_digest_regressions(spark):
     assert not unexplained, f"unexplained plan anti-patterns: {unexplained}"
     regr = regressions(digests, load_baseline())
     assert not regr, f"plan digests regressed vs committed PLAN_SUMMARY.json: {regr}"
+
+
+def test_global_window_bound_is_machine_checked(spark):
+    """The ALLOW contract for `global_window` entries (round-6 VERDICT
+    item 6): the digest itself must verify that every empty-partition
+    window's input path is dominated by an aggregate/limit/pin — prose
+    comments are not a bound. Seeded mutant: q337's census window
+    swapped onto raw documents rows (the distinct() removed) must
+    classify `global_windows_unbounded`, which plan_audit emits as a
+    reason no ALLOW entry may name."""
+    from pyspark.sql.window import Window as W
+
+    from sensor_data_pipeline_spark.plans.frontier import q337_curriculum_interleave
+    from sensor_data_pipeline_spark.sources.tables import load_table
+    from tools.plan_audit import findings_from_digest
+    from tools.plan_summary import digest_jplan
+
+    # the real q337: both global windows run over the distinct-source
+    # census (aggregate-dominated) -> flagged but bounded
+    real = digest_jplan(
+        q337_curriculum_interleave(spark, SF)._jdf.queryExecution().executedPlan()
+    )
+    assert real["global_window"] is True
+    assert real["global_windows_unbounded"] == 0
+    assert "global_window" in findings_from_digest(real)
+
+    # the mutant: same window, corpus rows (no distinct) -> unbounded
+    d = load_table(spark, "documents", SF)
+    mutant_df = d.select("source").withColumn(
+        "src_idx", F.row_number().over(W.orderBy("source"))
+    )
+    mutant = digest_jplan(mutant_df._jdf.queryExecution().executedPlan())
+    assert mutant["global_windows_unbounded"] > 0
+    assert findings_from_digest(mutant) == ["global_window_unbounded"]
+
+
+def test_limit_exemption_requires_every_path_bounded(spark):
+    """Round-6 ADVICE: a global limit on the SMALL side of a join must
+    not exempt a window sorting the corpus-sized other side; the
+    ranked-top-k idiom (limit below the window on the row path) still
+    auto-exempts."""
+    from pyspark.sql.window import Window as W
+
+    from sensor_data_pipeline_spark.sources.tables import load_table
+    from tools.plan_summary import digest_jplan
+
+    d = load_table(spark, "documents", SF).select("doc_id", "source", "n_chars")
+    # ranked-top-k: limit(5) bounds the only input path -> auto-exempt
+    topk = d.orderBy(F.col("n_chars").desc()).limit(5).withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("n_chars").desc()))
+    )
+    dt = digest_jplan(topk._jdf.queryExecution().executedPlan())
+    assert dt["global_window"] is False and dt["bounded_global_windows"] >= 1
+
+    # limit on the small side of a join, corpus on the other: the old
+    # any-node-in-subtree rule exempted this; the every-path rule flags
+    small = d.limit(3).select(F.col("source").alias("s2"))
+    joined = d.join(small, d["source"] == small["s2"]).withColumn(
+        "rk", F.row_number().over(W.orderBy("doc_id"))
+    )
+    dj = digest_jplan(joined._jdf.queryExecution().executedPlan())
+    assert dj["global_windows_unbounded"] > 0

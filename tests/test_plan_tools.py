@@ -82,3 +82,42 @@ def test_allow_matching_is_exact_not_prefix():
     # an allowance for x4 must NOT whitelist an x8 regression
     assert unexplained_findings(findings, {"q": {"rescan:documentsx4"}}) == findings
     assert unexplained_findings(findings, {"q": {"rescan:documentsx8"}}) == {}
+
+
+def test_rescan_gate_sums_final_and_pin_scans():
+    # round-6 ADVICE: pins collapsed lineage, so a query whose pin
+    # build scanned embeddings 4x committed scans={} and the rescan
+    # audit was blind (q339's real shape before the round-7 fix)
+    hidden = _digest(scans={}, pin_scans={"embeddings": RESCAN_MAX + 1})
+    assert findings_from_digest(hidden) == [f"rescan:embeddingsx{RESCAN_MAX + 1}"]
+    split = _digest(scans={"events": 2}, pin_scans={"events": 2})
+    assert findings_from_digest(split) == ["rescan:eventsx4"]
+
+
+def test_regression_gate_sees_pin_hidden_scan_increase():
+    # deleting a pin moves scans from pin_scans to scans (or vice
+    # versa); only the COMBINED total may not grow
+    baseline = {"q": _digest(scans={}, pin_scans={"embeddings": 2})}
+    moved = {"q": _digest(scans={"embeddings": 2}, pin_scans={})}
+    assert regressions(moved, baseline) == {}
+    grown = {"q": _digest(scans={"embeddings": 1}, pin_scans={"embeddings": 2})}
+    regr = regressions(grown, baseline)
+    assert "q" in regr and any(r.startswith("scans:embeddings 2->3") for r in regr["q"])
+
+
+def test_unbounded_global_window_is_its_own_reason():
+    # an empty-partition window with no limit/aggregate/pin dominating
+    # every input path is a distinct finding that outranks (replaces)
+    # the allow-able `global_window` reason
+    d = _digest(global_window=True, global_windows_unbounded=1)
+    assert findings_from_digest(d) == ["global_window_unbounded"]
+
+
+def test_allow_list_never_admits_unbounded_global_windows():
+    # the ALLOW contract: `global_window` entries are admissible ONLY
+    # because the digest machine-checked a bound on every input path;
+    # nothing in the committed ALLOW may name the unbounded reason
+    from tools.plan_audit import ALLOW
+
+    for name, reasons in ALLOW.items():
+        assert "global_window_unbounded" not in reasons, name

@@ -84,17 +84,30 @@ ALLOW: dict[str, set[str]] = {
 
 def findings_from_digest(digest: dict) -> list[str]:
     """Anti-pattern reasons for one plan digest (tools/plan_summary
-    schema). Shared by the CLI and the pytest gate."""
+    schema). Shared by the CLI and the pytest gate. The rescan count
+    sums final-plan scans AND scans executed inside pin builds
+    (localCheckpoint / persist) — the total physical reads per run, so
+    a pin cannot hide a rescan regression (round-6 ADVICE).
+    ``global_window_unbounded`` (an empty-partition window with no
+    limit/aggregate/pin dominating every input path) is emitted as its
+    own reason and MUST NOT ever be ALLOW-listed — the ALLOW contract
+    for ``global_window`` is that the digest machine-verified a bound
+    on every input path; tests/test_plan_tools.py enforces that no
+    ALLOW entry names it."""
     if "error" in digest:
         return [f"plan_error: {digest['error']}"]
+    from tools.plan_summary import combined_scans
+
     f: list[str] = []
     if digest.get("cartesian"):
         f.append("cartesian")
-    if digest.get("global_window"):
+    if digest.get("global_windows_unbounded", 0) > 0:
+        f.append("global_window_unbounded")
+    elif digest.get("global_window"):
         f.append("global_window")
     if digest.get("python_rowwise", 0) > 0:
         f.append("python_udf")
-    for tbl, cnt in sorted(digest.get("scans", {}).items()):
+    for tbl, cnt in sorted(combined_scans(digest).items()):
         if cnt > RESCAN_MAX:
             f.append(f"rescan:{tbl}x{cnt}")
     return f
