@@ -61,3 +61,102 @@ def test_approx_aggs_error_bounds(spark):
         # (self-audit booleans hash-checked by the oracle)
         assert ap.hll_within_10pct  # HLL rsd=0.02, wide margin
         assert ap.gk_within_rank_tol
+
+
+# --- round-7 frontier family invariants -----------------------------------
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_waterfill_allocation_exhausts_budget(spark):
+    """q346: sum(alloc) == budget exactly (budget < corpus here), no
+    source exceeds its size, and capped flags match alloc < n."""
+    from sensor_data_pipeline_spark.plans.frontier2 import q346_waterfill_source_caps
+    from sensor_data_pipeline_spark.sources.tables import load_table
+
+    rows = q346_waterfill_source_caps(spark, SF001).collect()
+    total = load_table(spark, "documents", SF001).count()
+    budget = total * 3 // 5
+    assert sum(r.alloc for r in rows) == budget
+    for r in rows:
+        assert 0 <= r.alloc <= r.n_docs
+        assert r.capped == (r.alloc < r.n_docs)
+
+
+def test_token_budget_selection_respects_budget(spark):
+    """q341: the selected token mass never exceeds the 40% budget and
+    is within one document of it (greedy tightness)."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline_spark.plans.frontier2 import q341_token_budget_selection
+
+    rows = q341_token_budget_selection(spark, SF001).collect()
+    tok_total = sum(r.tok_total for r in rows)
+    budget = tok_total * 2 // 5
+    picked = sum(r.tok_selected for r in rows)
+    assert picked <= budget
+    # greedy fills to within the largest single document of the budget
+    assert budget - picked <= max(r.tok_total for r in rows)
+
+
+def test_migration_matrix_covers_every_vector(spark):
+    """q342: the (cell_a, cell_b) matrix partitions the corpus — row
+    counts sum to the vector count, cells are in range."""
+    from sensor_data_pipeline_spark.plans.frontier2 import q342_centroid_migration
+    from sensor_data_pipeline_spark.sources.tables import load_table
+
+    rows = q342_centroid_migration(spark, SF001).collect()
+    n = load_table(spark, "embeddings", SF001).count()
+    assert sum(r.n_vectors for r in rows) == n
+    assert all(0 <= r.cell_a < 8 and 0 <= r.cell_b < 8 for r in rows)
+
+
+def test_cluster_keyed_split_never_leaks(spark):
+    """q343: the cluster_hash strategy has zero straddling clusters and
+    zero leaked pairs BY CONSTRUCTION; the doc_hash row reports the
+    same duplicate-cluster census."""
+    from sensor_data_pipeline_spark.plans.frontier2 import q343_split_leakage_audit
+
+    rows = {r.strategy: r for r in q343_split_leakage_audit(spark, SF001).collect()}
+    assert rows["cluster_hash"].n_straddling == 0
+    assert rows["cluster_hash"].leaked_pairs == 0
+    assert rows["cluster_hash"].n_dup_clusters == rows["doc_hash"].n_dup_clusters
+    assert rows["cluster_hash"].dup_docs == rows["doc_hash"].dup_docs
+
+
+def test_decontamination_curve_monotone(spark):
+    """q344: widening the n-gram can only shrink the flagged set."""
+    from sensor_data_pipeline_spark.plans.frontier2 import q344_decontamination_curve
+
+    rows = sorted(q344_decontamination_curve(spark, SF001).collect(), key=lambda r: r.width)
+    flagged = [r.n_flagged for r in rows]
+    assert flagged == sorted(flagged, reverse=True)
+
+
+def test_ivf_probe_recall_monotone(spark):
+    """q347: recall is non-decreasing in the probe count, per query,
+    and n_hits never exceeds k."""
+    from collections import defaultdict
+
+    from sensor_data_pipeline_spark.plans.frontier2 import q347_ivf_probe_recall_curve
+
+    per_q = defaultdict(list)
+    for r in q347_ivf_probe_recall_curve(spark, SF001).collect():
+        per_q[r.query_id].append((r.probes, r.n_hits))
+        assert 0 <= r.n_hits <= 5
+        assert abs(r.recall - r.n_hits / 5.0) < 1e-15
+    for q, pts in per_q.items():
+        hits = [h for _, h in sorted(pts)]
+        assert hits == sorted(hits), (q, pts)
+
+
+def test_padding_waste_mult64_alignment(spark):
+    """q345: the mult64 strategy's padded mass is 64-aligned, every
+    strategy's padded mass >= token mass, and ppm stays in [0, 1e6)."""
+    from sensor_data_pipeline_spark.plans.frontier2 import q345_padding_waste_audit
+
+    rows = {r.strategy: r for r in q345_padding_waste_audit(spark, SF001).collect()}
+    assert rows["mult64"].padded_mass % 64 == 0
+    for r in rows.values():
+        assert r.padded_mass >= r.token_mass
+        assert 0 <= r.waste_ppm < 1_000_000

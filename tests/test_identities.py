@@ -499,3 +499,57 @@ def test_pooled_mean_is_weighted_mix(segs):
         for seg in segs
     )
     assert abs(pooled - mix) < 1e-9 * max(1.0, abs(pooled))
+
+
+# --- q346: water-filling closed-form bracket ------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    sizes=st.lists(st.integers(0, 500), min_size=1, max_size=30),
+    budget_num=st.integers(0, 100),
+)
+def test_waterfill_bracket_identity(sizes, budget_num):
+    """The closed-form level bracket (exactly one sorted-census row j
+    satisfies t_cand < n_j and n_{j-1} <= t_cand) reproduces the naive
+    iterative water-filling, and the remainder distribution makes
+    sum(alloc) == budget exactly whenever budget <= total."""
+    total = sum(sizes)
+    budget = total * budget_num // 100
+    # naive reference: raise the level until the budget is exhausted
+    # (only meaningful below the corpus size — at or above it the level
+    # is unbounded and everyone is fully allocated)
+    ref_level = None
+    if budget < total:
+        t = 0
+        while sum(min(n, t + 1) for n in sizes) <= budget:
+            t += 1
+        ref_level = t
+    # closed form over the sorted census
+    ordered = sorted(range(len(sizes)), key=lambda i: (sizes[i], i))
+    S = len(sizes)
+    p = 0
+    found = None
+    for rank, i in enumerate(ordered, start=1):
+        n = sizes[i]
+        excl = p
+        p += n
+        t_cand = (budget - excl) // (S - rank + 1)
+        prev_n = sizes[ordered[rank - 2]] if rank > 1 else None
+        if t_cand < n and (rank == 1 or prev_n <= t_cand):
+            found = (rank, t_cand, budget - excl - (S - rank + 1) * t_cand)
+            break
+    if budget >= total:
+        assert found is None  # everyone fully allocated
+        return
+    assert found is not None, (sizes, budget)
+    rank, lvl, leftover = found
+    assert lvl == ref_level
+    # allocation: min(n, lvl) with +1 to the first `leftover` capped
+    capped = [i for i in sorted(range(S)) if sizes[i] > lvl]
+    assert 0 <= leftover < len(capped) + 1
+    alloc = {i: min(sizes[i], lvl) for i in range(S)}
+    for i in capped[:leftover]:
+        alloc[i] += 1
+        assert alloc[i] <= sizes[i]
+    assert sum(alloc.values()) == budget

@@ -1289,3 +1289,106 @@ def test_limit_exemption_requires_every_path_bounded(spark):
     )
     dj = digest_jplan(joined._jdf.queryExecution().executedPlan())
     assert dj["global_windows_unbounded"] > 0
+
+
+# --- round-7 frontier family plan shapes ----------------------------------
+
+
+def test_repetition_gate_is_pure_map(spark):
+    """q340: no join, no Python, one tiny lang-keyed aggregation — the
+    n-gram statistics are per-row array expressions."""
+    from sensor_data_pipeline_spark.plans.frontier2 import q340_repetition_signals
+
+    plan = plan_of(q340_repetition_signals(spark, SF))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_token_budget_selection_uses_prefix_scan(spark):
+    """q341: the cumulative token spend is the distributed two-pass
+    prefix scan (frozen _pid in the checkpointed frame), budget rides
+    a broadcast, never a single-partition window over the corpus."""
+    from sensor_data_pipeline_spark.plans.frontier2 import q341_token_budget_selection
+
+    plan = plan_of(q341_token_budget_selection(spark, SF))
+    assert "Scan ExistingRDD" in plan and "_pid" in plan
+    assert "BroadcastExchange" in plan
+    assert not re.search(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Window", plan
+    ), plan
+
+
+def test_centroid_migration_broadcast_panel_no_selfjoin(spark):
+    """q342: the centroid panel rides a broadcast; the two epochs fold
+    in ONE conditional aggregation (no self-join of the scored frame,
+    which would re-scan embeddings per side)."""
+    from sensor_data_pipeline_spark.plans.frontier2 import q342_centroid_migration
+
+    plan = plan_of(q342_centroid_migration(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # the 16-row panel cross
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # no assign-assign self join
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_split_leakage_one_scan_one_cluster_shuffle(spark):
+    """q343: one documents scan (both strategies explode executor-side)
+    and the cluster census is the only data-sized shuffle."""
+    from sensor_data_pipeline_spark.plans.frontier2 import q343_split_leakage_audit
+
+    plan = plan_of(q343_split_leakage_audit(spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert "Generate" in plan  # the 2-strategy explode
+    assert "CartesianProduct" not in plan
+
+
+def test_decontamination_bench_broadcast_semi(spark):
+    """q344: the benchmark gram set is pinned and rides a broadcast
+    LEFT SEMI — the corpus side never shuffles for the flagging."""
+    from sensor_data_pipeline_spark.plans.frontier2 import q344_decontamination_curve
+
+    plan = plan_of(q344_decontamination_curve(spark, SF))
+    assert "Scan ExistingRDD" in plan  # pinned bench set
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_padding_waste_stack_is_downstream(spark):
+    """q345: all four sufficient statistics combine map-side in one
+    aggregate; the 3-strategy unpivot runs on the 1-row result (tree
+    prints output-first, so Generate appears before partial_)."""
+    from sensor_data_pipeline_spark.plans.frontier2 import q345_padding_waste_audit
+
+    plan = plan_of(q345_padding_waste_audit(spark, SF))
+    assert "partial_sum" in plan
+    assert "Generate" in plan
+    assert plan.index("Generate") < plan.index("partial_sum"), plan
+
+
+def test_waterfill_census_pinned_windows_bounded(spark):
+    """q346: the census is pinned (three consumers) and its global
+    windows are machine-classified as bounded (agg/pin-dominated)."""
+    from sensor_data_pipeline_spark.plans.frontier2 import q346_waterfill_source_caps
+    from tools.plan_summary import digest_jplan
+
+    df = q346_waterfill_source_caps(spark, SF)
+    plan = plan_of(df)
+    assert "Scan ExistingRDD" in plan
+    d = digest_jplan(df._jdf.queryExecution().executedPlan())
+    assert d["global_window"] is True and d["global_windows_unbounded"] == 0
+
+
+def test_ivf_curve_single_pinned_scan(spark):
+    """q347: embeddings is physically read once (the pin); panels ride
+    broadcasts; no cartesian; all ranking windows are keyed."""
+    from sensor_data_pipeline_spark.plans.frontier2 import q347_ivf_probe_recall_curve
+    from tools.plan_summary import digest_jplan
+
+    df = q347_ivf_probe_recall_curve(spark, SF)
+    plan = plan_of(df)
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    d = digest_jplan(df._jdf.queryExecution().executedPlan())
+    assert d["scans"] == {}, d["scans"]  # everything reads the pin
+    assert d["global_windows_unbounded"] == 0

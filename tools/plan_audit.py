@@ -79,6 +79,7 @@ ALLOW: dict[str, set[str]] = {
     "q315_bh_fdr_control": {"global_window"},  # 25-brand p-value ranking
     "q319_psi_drift_audit": {"global_window"},  # decile fences (10 bins)
     "q337_curriculum_interleave": {"global_window"},  # source census index
+    "q346_waterfill_source_caps": {"global_window"},  # |sources|-row census (level bracket + remainder rank)
 }
 
 
