@@ -25,6 +25,21 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def seg_dot(a: Column, b: Column, start: int, length: int) -> Column:
+    """JVM-side dot product over a dimension slice (1-based start),
+    folding strictly in index order, so the bits match DuckDB's
+    list_dot_product over the same slice — the engine-exactness
+    contract every cosine in the suite relies on. Interpreted (not
+    codegen) per the higher-order-function rule, which is fine over
+    array data: the per-row cost is the multiplies themselves. Shared
+    by the frontier similarity queries (q333/q336/q339/q342/q347);
+    multi-width metrics derive every width from these segment partials
+    (the q336 Matryoshka rule — the oracle must then use the SAME
+    partial grouping, since (s1+s2)+s3 is not bit-equal to a flat
+    64-dim fold)."""
+    return dot(F.slice(a, start, length), F.slice(b, start, length))
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 

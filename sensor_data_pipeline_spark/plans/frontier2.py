@@ -116,11 +116,18 @@ def q340_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("g2", g2)
         .select(
             "lang",
+            # the occurrence counts are CAST TO BIGINT before the *2e6
+            # multiplies: size() is int32 and Spark 4 runs ANSI-on, so
+            # a repetitive ~2200+ token document — exactly what this
+            # gate exists to reject — would overflow int32 and crash
+            # (or, ANSI-off, wrap negative and ESCAPE the gate) while
+            # the DuckDB oracle's len() is already BIGINT (round-7
+            # review finding, verified against PySpark 4.1)
             F.when(
                 F.size("g2") > 0,
                 F.expr(
-                    "array_max(transform(array_distinct(g2), "
-                    "d -> size(filter(g2, x -> x = d)))) * 2 * 1000000 DIV n"
+                    "CAST(array_max(transform(array_distinct(g2), "
+                    "d -> size(filter(g2, x -> x = d)))) AS BIGINT) * 2 * 1000000 DIV n"
                 ),
             )
             .otherwise(F.lit(0))
@@ -128,7 +135,10 @@ def q340_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("top2_ppm"),
             F.when(
                 F.size("g2") > 0,
-                F.expr("(size(g2) - size(array_distinct(g2))) * 1000000 DIV size(g2)"),
+                F.expr(
+                    "CAST(size(g2) - size(array_distinct(g2)) AS BIGINT)"
+                    " * 1000000 DIV size(g2)"
+                ),
             )
             .otherwise(F.lit(0))
             .cast("bigint")
@@ -532,7 +542,7 @@ def q342_centroid_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold JVM-side in strict index order, bit-matching DuckDB's
     list_dot_product; ties break on centroid id, so the matrix is
     exactly reproducible."""
-    from sensor_data_pipeline_spark.plans.frontier import _seg_dot
+    from sensor_data_pipeline_spark.functions.vector import seg_dot as _seg_dot
 
     emb = load_table(spark, "embeddings", sf_dir)
     cents = (
@@ -919,7 +929,7 @@ def q347_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q339's pin_scans discipline). Scores fold JVM-side in strict
     index order; all ties break on vector/centroid id, so the curve
     is exactly reproducible."""
-    from sensor_data_pipeline_spark.plans.frontier import _seg_dot
+    from sensor_data_pipeline_spark.functions.vector import seg_dot as _seg_dot
 
     emb = (
         load_table(spark, "embeddings", sf_dir)

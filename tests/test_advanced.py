@@ -90,13 +90,24 @@ def test_token_budget_selection_respects_budget(spark):
 
     from sensor_data_pipeline_spark.plans.frontier2 import q341_token_budget_selection
 
+    from sensor_data_pipeline_spark.sources.tables import load_table
+
     rows = q341_token_budget_selection(spark, SF001).collect()
     tok_total = sum(r.tok_total for r in rows)
     budget = tok_total * 2 // 5
     picked = sum(r.tok_selected for r in rows)
     assert picked <= budget
-    # greedy fills to within the largest single document of the budget
-    assert budget - picked <= max(r.tok_total for r in rows)
+    # greedy fills to within ONE document of the budget — the bound
+    # must be the largest single document's token count, not a source
+    # total (round-7 review: the source-total bound was so loose that
+    # dropping a whole partition of selected docs would still pass)
+    max_doc_ntok = (
+        load_table(spark, "documents", SF001)
+        .select(F.size(F.split(F.col("text"), r"\s+")).alias("ntok"))
+        .agg(F.max("ntok"))
+        .first()[0]
+    )
+    assert budget - picked <= max_doc_ntok, (budget, picked, max_doc_ntok)
 
 
 def test_migration_matrix_covers_every_vector(spark):

@@ -263,23 +263,37 @@ def summarize(sf_dir: str) -> dict[str, dict]:
     # Pin-time capture: every localCheckpoint() executes (eager) or
     # will execute (lazy) its upstream plan exactly once — digest that
     # plan at the call site, because the final plan only shows the
-    # resulting ExistingRDD leaf (round-6 ADVICE blindness fix).
+    # resulting ExistingRDD leaf (round-6 ADVICE blindness fix). Each
+    # pin plan is ALSO walked for InMemoryRelation builds (a persist
+    # consumed only inside a pin build never appears in the final
+    # plan either — round-7 review finding); `cache_seen` is shared
+    # with the final plan's fold so a cache referenced from both is
+    # counted once, matching the CacheManager's one materialization.
     pin_digests: list[dict] = []
+    cache_seen: set[int] = set()
     orig_lcp = _dfmod.DataFrame.localCheckpoint
 
-    def capturing_lcp(self, eager=True):
+    def capturing_lcp(self, *args, **kwargs):
         try:
-            pin_digests.append(
-                digest_jplan(self._jdf.queryExecution().executedPlan())
-            )
+            jplan = self._jdf.queryExecution().executedPlan()
+            if jplan.nodeName() == "AdaptiveSparkPlan":
+                jroot = jplan.initialPlan()
+            else:
+                jroot = jplan
+            d = digest_jplan(jplan)
+            cache_scans: dict[str, int] = {}
+            d["pin_python"] = _fold_cache_builds(jroot, cache_scans, cache_seen)
+            d["pin_scans"] = cache_scans
+            pin_digests.append(d)
         except Exception:
             pass
-        return orig_lcp(self, eager=eager)
+        return orig_lcp(self, *args, **kwargs)
 
     _dfmod.DataFrame.localCheckpoint = capturing_lcp
     try:
         for name, spec in sorted(REGISTRY.items()):
             pin_digests.clear()
+            cache_seen.clear()
             try:
                 jplan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan()
                 d = digest_jplan(jplan)
@@ -298,7 +312,7 @@ def summarize(sf_dir: str) -> dict[str, dict]:
                     jroot = jplan.initialPlan()
                 else:
                     jroot = jplan
-                pin_python += _fold_cache_builds(jroot, pin_scans, set())
+                pin_python += _fold_cache_builds(jroot, pin_scans, cache_seen)
                 d["pin_scans"] = pin_scans
                 d["pin_python"] = pin_python
                 out[name] = d
