@@ -1392,3 +1392,53 @@ def test_ivf_curve_single_pinned_scan(spark):
     d = digest_jplan(df._jdf.queryExecution().executedPlan())
     assert d["scans"] == {}, d["scans"]  # everything reads the pin
     assert d["global_windows_unbounded"] == 0
+
+
+def test_pin_capture_counts_persist_inside_pin(spark):
+    """Round-7 review finding: a persist() consumed only INSIDE a
+    localCheckpoint build appears in neither the final plan (whose
+    leaf is the pin's ExistingRDD) nor the pin plan's parquet leaves
+    (whose leaf is the InMemoryTableScan) — the capture must walk the
+    cached relation's build plan too, or a 2x rescan hidden behind
+    persist-then-pin commits scans={} and dodges the audit."""
+    from pyspark.sql import functions as F2
+
+    from sensor_data_pipeline_spark.sources.tables import load_table
+    from tools.plan_summary import _PinCapture, combined_scans
+
+    def build():
+        cached = load_table(spark, "nation", SF).select("n_nationkey", "n_name").persist()
+        pinned = (
+            cached.join(
+                cached.select(F2.col("n_nationkey").alias("k2")),
+                F2.col("n_nationkey") == F2.col("k2"),
+            )
+            .select("n_nationkey", "n_name")
+            .localCheckpoint(eager=True)
+        )
+        return pinned.groupBy("n_name").count()
+
+    with _PinCapture() as cap:
+        d = cap.digest_full(build)
+    # the final plan reads only the pin; the persist's parquet scan is
+    # visible ONLY through the cache walk inside the pin capture
+    assert d["scans"] == {}, d["scans"]
+    assert combined_scans(d).get("nation", 0) >= 1, d
+    # cleanup: drop the cached relation so later tests see a cold cache
+    spark.catalog.clearCache()
+
+
+def test_q335_builds_candidates_not_corpus(spark):
+    """Round-7 review finding, gated: with one side hinted Spark
+    builds the hash map on the HINTED relation — q335's shuffle_hash
+    hints must ride the candidate-derived LEFT sides, so every
+    ShuffledHashJoin in the plan is BuildLeft (candidates build, the
+    corpus-sized bigram/doc frames stream) and nothing corpus-sized is
+    ever broadcast."""
+    from sensor_data_pipeline_spark.plans.frontier import q335_rouge_candidate_f1
+
+    plan = plan_of(q335_rouge_candidate_f1(spark, SF))
+    shj = re.findall(r"ShuffledHashJoin [^\n]*", plan)
+    assert len(shj) >= 4, plan[:500]
+    for line in shj:
+        assert "BuildLeft" in line, line

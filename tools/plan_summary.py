@@ -244,82 +244,96 @@ def combined_scans(digest: dict) -> dict[str, int]:
     return out
 
 
-def summarize(sf_dir: str) -> dict[str, dict]:
-    # Spark 4 splits DataFrame into an abstract base
-    # (pyspark.sql.dataframe) and the concrete classic implementation —
-    # the OVERRIDE is what query code dispatches to, so that is the
-    # class to instrument.
-    try:
-        import pyspark.sql.classic.dataframe as _dfmod
-    except ImportError:  # pre-4.0 layout
-        import pyspark.sql.dataframe as _dfmod
+class _PinCapture:
+    """Instruments DataFrame.localCheckpoint (the Spark-4 classic
+    override — the base-class method is never dispatched) so every
+    pin's build plan is digested at the call site: the final plan only
+    shows the resulting ExistingRDD leaf (round-6 ADVICE blindness
+    fix). Each pin plan is ALSO walked for InMemoryRelation builds (a
+    persist consumed only inside a pin build never appears in the
+    final plan either — round-7 review finding); ``cache_seen`` is
+    shared between all pin captures and the final plan's fold so a
+    cache referenced from several places is counted once, matching the
+    CacheManager's one materialization. Use as a context manager; call
+    ``reset()`` between queries and ``digest_full(builder)`` to build
+    one query's combined digest (shared with tests, which seed mutants
+    through the same path the artifact uses)."""
 
+    def __init__(self):
+        try:
+            import pyspark.sql.classic.dataframe as dfmod
+        except ImportError:  # pre-4.0 layout
+            import pyspark.sql.dataframe as dfmod
+        self._dfmod = dfmod
+        self._orig = dfmod.DataFrame.localCheckpoint
+        self.pin_digests: list[dict] = []
+        self.cache_seen: set[int] = set()
+
+    def __enter__(self):
+        capture = self
+
+        def capturing_lcp(df_self, *args, **kwargs):
+            try:
+                jplan = df_self._jdf.queryExecution().executedPlan()
+                jroot = jplan.initialPlan() if jplan.nodeName() == "AdaptiveSparkPlan" else jplan
+                d = digest_jplan(jplan)
+                cache_scans: dict[str, int] = {}
+                d["pin_python"] = _fold_cache_builds(jroot, cache_scans, capture.cache_seen)
+                d["pin_scans"] = cache_scans
+                capture.pin_digests.append(d)
+            except Exception:
+                pass
+            return capture._orig(df_self, *args, **kwargs)
+
+        self._dfmod.DataFrame.localCheckpoint = capturing_lcp
+        return self
+
+    def __exit__(self, *exc):
+        self._dfmod.DataFrame.localCheckpoint = self._orig
+        return False
+
+    def reset(self) -> None:
+        self.pin_digests.clear()
+        self.cache_seen.clear()
+
+    def digest_full(self, build) -> dict:
+        """Digest one query: ``build()`` returns the final DataFrame
+        (running any localCheckpoint pins under this capture); the
+        result folds pin-build scans/python and cache builds into the
+        final plan's digest."""
+        self.reset()
+        jplan = build()._jdf.queryExecution().executedPlan()
+        d = digest_jplan(jplan)
+        pin_scans: dict[str, int] = {}
+        pin_python = 0
+        for pd in self.pin_digests:
+            for tbl, cnt in combined_scans(pd).items():
+                pin_scans[tbl] = pin_scans.get(tbl, 0) + cnt
+            pin_python += pd.get("python", 0) + pd.get("pin_python", 0)
+            # a pin over an unbounded global window or cartesian is
+            # just as fatal as one in the final plan
+            d["global_windows_unbounded"] += pd.get("global_windows_unbounded", 0)
+            d["cartesian"] = d["cartesian"] or pd.get("cartesian", False)
+        # cached (persist()) builds referenced by the final plan
+        jroot = jplan.initialPlan() if jplan.nodeName() == "AdaptiveSparkPlan" else jplan
+        pin_python += _fold_cache_builds(jroot, pin_scans, self.cache_seen)
+        d["pin_scans"] = pin_scans
+        d["pin_python"] = pin_python
+        return d
+
+
+def summarize(sf_dir: str) -> dict[str, dict]:
     from sensor_data_pipeline_spark.plans import REGISTRY
     from sensor_data_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="plan-summary")
     out: dict[str, dict] = {}
-
-    # Pin-time capture: every localCheckpoint() executes (eager) or
-    # will execute (lazy) its upstream plan exactly once — digest that
-    # plan at the call site, because the final plan only shows the
-    # resulting ExistingRDD leaf (round-6 ADVICE blindness fix). Each
-    # pin plan is ALSO walked for InMemoryRelation builds (a persist
-    # consumed only inside a pin build never appears in the final
-    # plan either — round-7 review finding); `cache_seen` is shared
-    # with the final plan's fold so a cache referenced from both is
-    # counted once, matching the CacheManager's one materialization.
-    pin_digests: list[dict] = []
-    cache_seen: set[int] = set()
-    orig_lcp = _dfmod.DataFrame.localCheckpoint
-
-    def capturing_lcp(self, *args, **kwargs):
-        try:
-            jplan = self._jdf.queryExecution().executedPlan()
-            if jplan.nodeName() == "AdaptiveSparkPlan":
-                jroot = jplan.initialPlan()
-            else:
-                jroot = jplan
-            d = digest_jplan(jplan)
-            cache_scans: dict[str, int] = {}
-            d["pin_python"] = _fold_cache_builds(jroot, cache_scans, cache_seen)
-            d["pin_scans"] = cache_scans
-            pin_digests.append(d)
-        except Exception:
-            pass
-        return orig_lcp(self, *args, **kwargs)
-
-    _dfmod.DataFrame.localCheckpoint = capturing_lcp
-    try:
+    with _PinCapture() as cap:
         for name, spec in sorted(REGISTRY.items()):
-            pin_digests.clear()
-            cache_seen.clear()
             try:
-                jplan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan()
-                d = digest_jplan(jplan)
-                pin_scans: dict[str, int] = {}
-                pin_python = 0
-                for pd in pin_digests:
-                    for tbl, cnt in combined_scans(pd).items():
-                        pin_scans[tbl] = pin_scans.get(tbl, 0) + cnt
-                    pin_python += pd.get("python", 0) + pd.get("pin_python", 0)
-                    # a pin over an unbounded global window is just as
-                    # fatal as one in the final plan
-                    d["global_windows_unbounded"] += pd.get("global_windows_unbounded", 0)
-                    d["cartesian"] = d["cartesian"] or pd.get("cartesian", False)
-                # cached (persist()) builds referenced by the final plan
-                if jplan.nodeName() == "AdaptiveSparkPlan":
-                    jroot = jplan.initialPlan()
-                else:
-                    jroot = jplan
-                pin_python += _fold_cache_builds(jroot, pin_scans, cache_seen)
-                d["pin_scans"] = pin_scans
-                d["pin_python"] = pin_python
-                out[name] = d
+                out[name] = cap.digest_full(lambda: spec.spark(spark, sf_dir))
             except Exception as e:
                 out[name] = {"error": str(e).splitlines()[0][:120]}
-    finally:
-        _dfmod.DataFrame.localCheckpoint = orig_lcp
     return out
 
 
