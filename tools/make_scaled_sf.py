@@ -88,10 +88,21 @@ def _replica(df: DataFrame, table: str, i: int, strides: dict[str, int]) -> Data
 def _write_single_file(df: DataFrame, dst: str, table: str) -> None:
     """Match the testdata layout exactly: {dst}/{table}.parquet is a
     single parquet FILE, not a directory — _events_stream and the
-    DuckDB views both glob for the literal filename. Parquet row
-    groups keep a single big file splittable for the scan."""
+    DuckDB views both glob for the literal filename.
+
+    parquet.block.size is capped at 4 MB so the single file holds
+    MANY row groups and stays splittable: the round-7 stress found the
+    sf10 documents replica had ONE 500k-row row group (parquet cannot
+    split inside a row group), so every text scan ran as a single task
+    and serialized downstream pins — q335 measured 21.5x per decade
+    from that alone. NOTE: the committed .scratch/sf1 and .scratch/sf10
+    replicas predate this fix; regenerating them changes every
+    BENCH_SF1/BENCH_SF10 number, so do it only together with a full
+    decade re-baseline (planned round 8)."""
     tmp = os.path.join(dst, f"_{table}_tmp")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    df.coalesce(1).write.mode("overwrite").option(
+        "parquet.block.size", 4 * 1024 * 1024
+    ).parquet(tmp)
     part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
     final = os.path.join(dst, f"{table}.parquet")
     if os.path.isdir(final):
