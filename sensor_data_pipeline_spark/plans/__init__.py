@@ -29,83 +29,78 @@ from sensor_data_pipeline_spark.plans import frontier2  # noqa: F401,E402
 # representatives each — rather than whatever import order produced.
 # Everything else follows in original registration order.
 _DRIVER_WINDOW = [
-    # ROUND-7 ROTATION: 42/50 fresh (never driver-checked in r1-r6),
-    # per VERDICT r6 items 1 and 4. Lead with the round-6 frontier
-    # family q333-q339 (zero driver rows, newest portability surface:
-    # adaptive-width bin() arithmetic, 63-bits/word signed packing,
-    # segment-partial cosine) and the brand-new round-7 family
-    # q340-q347 (repetition gate, budget selection, migration matrix,
-    # split leakage, decontamination curve, padding audit,
-    # water-filling caps, IVF probe curve), then the r1-era TPC-H
-    # stragglers and the analytics/aggregation mass. 8 repeat slots
-    # are forced family reps (streaming/multimodal/cdc/source/
-    # stateful/time/udf/functions have no never-checked members).
+    # ROUND-8 ROTATION: the COVERAGE-CLOSING window. 42/50 fresh =
+    # exactly the 42 rows never driver-checked in r1-r7 (the set the
+    # round-7 window comment enumerated, verified against the union of
+    # CORRECTNESS_r01..r07 green rows), + the same 8 forced family reps
+    # (streaming/multimodal/cdc/source/stateful/time/udf/functions have
+    # no never-checked members). When this window lands green,
+    # cumulative driver coverage is 339/339 — every declared query
+    # driver-verified at least once (VERDICT r7 item 1).
     #
-    # TWO-ROUND PLAN TO 339/339 (VERDICT r6 item 4): after this
-    # window lands green, cumulative driver coverage is 297/339 and
-    # EXACTLY 42 never-checked rows remain (q58 q60 q61 q64 q78 q85
-    # q87 q108 q115 q120 q123 q129 q132 q135 q157 q160 q169
-    # q177 q179 q184 q185 q187 q188 q189 q190 q193 q196 q201 q202
-    # q206 q209 q227 q228 q230 q231 q239 q245 q249 q264 q280 q286
-    # q320) —
-    # the round-8 window is those 42 fresh + the same 8 family reps,
-    # closing cumulative coverage at 339/339.
+    # ROUND-9+ ROTATION POLICY (VERDICT r7 item 5): with coverage
+    # closed, the window becomes a STALENESS-ORDERED regression
+    # rotation. Each round, the 42 fresh slots re-verify the queries
+    # whose most recent green driver row is OLDEST (primary key: round
+    # of last green row ascending; tie-break: registration order), so
+    # r1/r2-vintage evidence — checked before ANSI mode and the exact
+    # integer-division discipline existed — is refreshed first. New
+    # frontier queries added in round N enter the window in round N+1
+    # ahead of the staleness queue (never-checked beats stale). The 8
+    # family-rep slots stay forced so every SURVEY §2.9 family keeps a
+    # same-round canary.
     # --- forced family repeats (proven canaries) ---
-    "q114_custom_source",  # source rep (r3/r4/r5/r6 green)
-    "q215_media_phash_neardup",  # multimodal rep (r4/r5/r6 green)
-    "q243_disorder_profile",  # time rep (r4/r5/r6 green)
-    "q287_stream_nearest_match",  # streaming rep (r4/r6 green)
-    "q260_stream_tws_delta",  # stateful rep (r4/r6 green)
-    "q117_group_zscore",  # udf rep (r3/r5/r6 green)
-    "q65_array_map_funcs",  # functions rep (r5/r6 green)
-    "q194_incremental_rollup",  # cdc rep (r6 green)
-    # --- fresh: round-6 frontier family (never driver-checked) ---
-    "q333_hard_negative_mining",
-    "q334_packing_efficiency_curve",
-    "q335_rouge_candidate_f1",
-    "q336_matryoshka_recall",
-    "q337_curriculum_interleave",
-    "q338_bloom_dedup_fpr_audit",
-    "q339_reciprocal_nn_pairs",
-    # --- fresh: round-7 frontier family (new this round) ---
-    "q340_repetition_signals",
-    "q341_token_budget_selection",
-    "q342_centroid_migration",
-    "q343_split_leakage_audit",
-    "q344_decontamination_curve",
-    "q345_padding_waste_audit",
-    "q346_waterfill_source_caps",
-    "q347_ivf_probe_recall_curve",
-    # --- fresh: r1-era TPC-H stragglers ---
-    "q105_dominant_part_suppliers",
-    "q106_market_share",
-    "q118_sole_late_supplier",
-    "q146_top_revenue_supplier",
-    "q147_part_supplier_breadth",
-    # --- fresh: analytics / aggregation / timeseries mass ---
-    "q88_stats_exact",
-    "q156_kmv_distinct_sketch",
-    "q178_median_twopass",
-    "q246_ols_moments_by_key",
-    "q247_transition_matrix",
-    "q248_frequency_drift",
-    "q262_decayed_engagement",
-    "q263_supplier_skyline",
-    "q265_funnel_conversion",
-    "q266_peak_concurrency",  # re-shaped this round (single-scan explode + pinned boundaries)
-    "q269_bfs_khop",
-    "q273_linear_interp_resample",
-    "q276_cusum_shift_detector",
-    "q285_exact_auc",
-    "q289_welch_ttest",
-    "q296_mutual_information",
-    "q299_autocorrelation",
-    "q300_largest_remainder_alloc",
-    "q305_seasonal_dow_index",
-    "q307_join_skew_report",
-    "q313_markov_transitions",
-    # --- fresh: json family (q155 is its only never-checked member) ---
-    "q155_csv_roundtrip",
+    "q114_custom_source",  # source rep (r3-r7 green)
+    "q215_media_phash_neardup",  # multimodal rep (r4-r7 green)
+    "q243_disorder_profile",  # time rep (r4-r7 green)
+    "q287_stream_nearest_match",  # streaming rep (r4/r6/r7 green)
+    "q260_stream_tws_delta",  # stateful rep (r4/r6/r7 green)
+    "q117_group_zscore",  # udf rep (r3/r5/r6/r7 green)
+    "q65_array_map_funcs",  # functions rep (r5/r6/r7 green)
+    "q194_incremental_rollup",  # cdc rep (r6/r7 green)
+    # --- fresh: the final 42 never-checked rows (r1-era shapes) ---
+    "q58_unpivot",
+    "q60_percentiles",
+    "q61_histogram",
+    "q64_hierarchical_rollup",
+    "q78_hash_sample",
+    "q85_stratified_sample",
+    "q87_rank_suite",
+    "q108_pattern_scan",
+    "q115_arrow_norms",
+    "q120_file_provenance",
+    "q123_source_capped_sample",
+    "q129_user_event_sequences",
+    "q132_robust_outlier_stats",
+    "q135_nested_schema_surgery",
+    "q157_token_chunking",
+    "q160_weighted_sample",
+    "q169_compaction_audit",
+    "q177_embedding_drift",
+    "q179_table_checksum",
+    "q184_argmax_single_pass",
+    "q185_dup_provenance_matrix",
+    "q187_wilson_quality_gate",
+    "q188_schema_drift_audit",
+    "q189_log2_histogram",
+    "q190_group_quantiles_by_counting",
+    "q193_replica_bucket_diff",
+    "q196_first_touch_attribution",
+    "q201_sql_scripting",
+    "q202_dynamic_partition_overwrite",
+    "q206_skew_gini",
+    "q209_collated_grouping",
+    "q227_negative_sampling",
+    "q228_mad_anomaly_gate",
+    "q230_simpson_diversity_gate",
+    "q231_gopher_rules_gate",
+    "q239_mixture_allocation",
+    "q245_rank_normalize",
+    "q249_vocab_growth",
+    "q264_rendezvous_shards",
+    "q280_decay_attribution",
+    "q286_calibration_bins",
+    "q320_event_path_mining",
 ]
 
 

@@ -70,21 +70,52 @@ def test_driver_adapter_exposes_registry():
 
 
 def test_driver_window_spans_all_families():
-    """The driver verifies only the FIRST 50 registered queries, so the
-    first 50 must include a representative of every operator family
-    (round-1 lesson: import order left streaming/dedup/similarity/
-    multimodal/warehouse entirely unverified by the driver)."""
+    """The driver verifies only the FIRST 50 registered queries, and no
+    operator family may go driver-unverified (round-1 lesson: import
+    order left streaming/dedup/similarity/multimodal/warehouse entirely
+    unverified by the driver). The invariant, per required family:
+    EITHER a representative sits in the current window, OR every member
+    of the family is already cumulative-green in the committed
+    CORRECTNESS_r*.json artifacts (checked from the artifacts, not
+    asserted in prose). The second arm exists for the round-8 closure
+    window: 42 never-checked rows + 8 rep families with zero checked
+    alternates is already 50 slots, and json — whose 11 members are all
+    driver-green, the last (q155) in r7 — is exactly the family with no
+    claim to a closure-round slot. The r9+ staleness rotation
+    (plans/__init__.py window comment) cycles fully-green families back
+    through the window, so this arm never lets evidence go stale by
+    more than the rotation period."""
+    import glob
+    import json
+    import os
+
     from sensor_data_pipeline_spark.plans import _DRIVER_WINDOW
 
     first50 = list(REGISTRY)[:50]
     assert first50 == _DRIVER_WINDOW
     cats = {REGISTRY[n].category for n in first50}
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            for q, row in json.load(f).items():
+                if row.get("rows_match") and row.get("schema_match"):
+                    checked.add(q)
+    assert checked, "no committed CORRECTNESS artifacts found"
+
     for family in (
         "streaming", "dedup", "similarity", "text", "multimodal",
         "quality", "cdc", "analytics", "source", "stateful", "json",
         "time", "join", "window", "aggregation", "udf", "functions",
     ):
-        assert family in cats, f"driver window misses family {family!r}"
+        members = [n for n, s in REGISTRY.items() if s.category == family]
+        assert members, f"required family {family!r} has no queries"
+        fully_green = all(n in checked for n in members)
+        assert family in cats or fully_green, (
+            f"driver window misses family {family!r} and it has "
+            f"never-checked members: {[n for n in members if n not in checked]}"
+        )
 
 
 def test_no_hugeint_leaks_in_oracle_schemas():
