@@ -637,12 +637,21 @@ def q344_decontamination_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for all widths via a 3-element executor-side explode.
 
     Scale shape: the benchmark gram set (held-out docs, q84's doc_id %
-    97 rule) is orders smaller than the corpus — it is PINNED (two
-    consumers: the flagging join and the per-width census) and rides a
-    broadcast semi-equi-join on (width, gram); the corpus side streams
-    from parquet and never shuffles for the flagging. Flag rates are
-    integer ppm. Guard rule: gram lists branch on size(w) >= width
-    (sequence(1, n) REVERSES for n < 1 — the q335 lesson)."""
+    97 rule) is PINNED (two consumers: the flagging join and the
+    per-width census) and is the BUILD side of a shuffle-hash LEFT
+    SEMI on (width, gram) — for a left-semi Spark can only build on
+    the right, so the hint rides bench and the corpus postings stream
+    through the probe without ever being sorted or broadcast. The
+    round-7 ADVICE is why this is NOT a forced broadcast: the fixture
+    rule makes bench proportional to the corpus (~1/97 of its grams),
+    and 1% of a 100 TB corpus is far past broadcastable — the same
+    driver-OOM class the q335/q332 fixes removed. With AQE on, runtime
+    stats still upgrade the exchange to a broadcast whenever the real
+    benchmark panel IS small (the production case: a fixed eval set),
+    so the plan degrades gracefully instead of OOMing the driver. Flag
+    rates are integer ppm. Guard rule: gram lists branch on
+    size(w) >= width (sequence(1, n) REVERSES for n < 1 — the q335
+    lesson)."""
     d = load_table(spark, "documents", sf_dir)
     w = tokenize(F.col("text"))
 
@@ -678,7 +687,7 @@ def q344_decontamination_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = (
         postings.filter(F.col("doc_id") % _DECON_MOD != 0)
-        .join(F.broadcast(bench), ["wd", "gram"], "left_semi")
+        .join(bench.hint("shuffle_hash"), ["wd", "gram"], "left_semi")
         .select("wd", "doc_id")
         .distinct()
         .groupBy("wd")

@@ -1343,14 +1343,24 @@ def test_split_leakage_one_scan_one_cluster_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_decontamination_bench_broadcast_semi(spark):
-    """q344: the benchmark gram set is pinned and rides a broadcast
-    LEFT SEMI — the corpus side never shuffles for the flagging."""
+def test_decontamination_bench_builds_shuffle_hash_semi(spark):
+    """q344 (round-7 ADVICE): the benchmark gram set is pinned and is
+    the BUILD side of a shuffle-hash LEFT SEMI — NOT a forced
+    broadcast, because the fixture's bench rule scales with the corpus
+    and 1% of 100 TB of grams is far past broadcastable (the q335/q332
+    driver-OOM class). For a left-semi the build side is the right
+    (bench) by construction; the corpus postings stream through the
+    probe unsorted. AQE may still upgrade to broadcast at runtime when
+    the panel is genuinely small."""
     from sensor_data_pipeline_spark.plans.frontier2 import q344_decontamination_curve
 
     plan = plan_of(q344_decontamination_curve(spark, SF))
     assert "Scan ExistingRDD" in plan  # pinned bench set
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    shj = re.findall(r"ShuffledHashJoin [^\n]*LeftSemi[^\n]*", plan)
+    assert shj, plan[:800]
+    assert all("BuildRight" in line for line in shj), shj
+    # the corpus probe side is never sorted for the flagging join
+    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
 

@@ -121,3 +121,78 @@ def test_allow_list_never_admits_unbounded_global_windows():
 
     for name, reasons in ALLOW.items():
         assert "global_window_unbounded" not in reasons, name
+
+
+def test_pin_hidden_rowwise_python_triggers_absolute_python_udf():
+    # round-7 ADVICE: a BatchEvalPython inside a pin build used to fold
+    # into the undifferentiated pin_python counter, so the ABSOLUTE
+    # python_udf finding never fired for it (only the baseline-relative
+    # regression gate could catch growth). pin_python alone (Arrow
+    # batch ops inside a pin) must NOT trigger; pin_python_rowwise must.
+    arrow_in_pin = _digest(pin_python=2, pin_python_rowwise=0)
+    assert "python_udf" not in findings_from_digest(arrow_in_pin)
+    rowwise_in_pin = _digest(pin_python=2, pin_python_rowwise=1)
+    assert "python_udf" in findings_from_digest(rowwise_in_pin)
+
+
+def test_regression_gate_flags_pin_rowwise_growth():
+    baseline = {"q": _digest(pin_python=1, pin_python_rowwise=0)}
+    grown = {"q": _digest(pin_python=1, pin_python_rowwise=1)}
+    regr = regressions(grown, baseline)
+    assert "q" in regr and any("pin_python_rowwise" in r for r in regr["q"])
+
+
+def test_live_mutant_rescan_hidden_inside_pin_fails_gate(spark):
+    """Round-7 VERDICT item 7: the pin-capture tests proved capture
+    WORKS; this mutant proves the gate FAILS when it matters. The
+    mutant hides a (RESCAN_MAX+1)-way self-union of nation inside a
+    localCheckpoint build — the final plan's only leaf is the pin's
+    ExistingRDD, so a capture-blind audit would commit scans={} and
+    pass. The combined digest must produce an unexplained rescan
+    finding."""
+    from sensor_data_pipeline_spark.sources.tables import load_table
+    from tools.plan_summary import _PinCapture
+
+    sf = "/root/testdata/sf0.001"
+
+    def build():
+        n = load_table(spark, "nation", sf).select("n_nationkey", "n_name")
+        u = n
+        for _ in range(RESCAN_MAX):  # RESCAN_MAX+1 parquet scans total
+            u = u.unionByName(load_table(spark, "nation", sf).select("n_nationkey", "n_name"))
+        pinned = u.localCheckpoint(eager=True)
+        return pinned.groupBy("n_name").count()
+
+    with _PinCapture() as cap:
+        d = cap.digest_full(build)
+    assert d["scans"] == {}, d["scans"]  # the blindness being seeded
+    findings = findings_from_digest(d)
+    assert f"rescan:nationx{RESCAN_MAX + 1}" in findings, (findings, d)
+    # and nothing in the committed ALLOW list excuses the mutant
+    assert unexplained_findings({"mutant": findings})["mutant"]
+
+
+def test_live_mutant_rowwise_udf_hidden_inside_pin_fails_gate(spark):
+    """Round-7 ADVICE, end-to-end: a row-at-a-time Python UDF executed
+    only INSIDE a localCheckpoint build never appears in the final plan
+    (whose leaf is the pin). digest_full must surface it as
+    pin_python_rowwise and the absolute audit must emit python_udf."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from sensor_data_pipeline_spark.sources.tables import load_table
+    from tools.plan_summary import _PinCapture
+
+    sf = "/root/testdata/sf0.001"
+    slow = F.udf(lambda x: int(x) * 2, LongType(), useArrow=False)
+
+    def build():
+        n = load_table(spark, "nation", sf).select("n_nationkey")
+        pinned = n.withColumn("d", slow("n_nationkey")).localCheckpoint(eager=True)
+        return pinned.groupBy().sum("d")
+
+    with _PinCapture() as cap:
+        d = cap.digest_full(build)
+    assert d["python_rowwise"] == 0, d  # final plan is clean: that is the trap
+    assert d["pin_python_rowwise"] >= 1, d
+    assert "python_udf" in findings_from_digest(d)

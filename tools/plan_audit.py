@@ -106,7 +106,13 @@ def findings_from_digest(digest: dict) -> list[str]:
         f.append("global_window_unbounded")
     elif digest.get("global_window"):
         f.append("global_window")
-    if digest.get("python_rowwise", 0) > 0:
+    # pin_python_rowwise counts BatchEvalPython executed INSIDE
+    # localCheckpoint/persist pin builds — without it a pin-hidden
+    # row-wise UDF only ever reached the undifferentiated pin_python
+    # counter and the absolute python_udf gate was blind to it
+    # (round-7 ADVICE; only the baseline-relative regression gate
+    # could catch growth)
+    if digest.get("python_rowwise", 0) + digest.get("pin_python_rowwise", 0) > 0:
         f.append("python_udf")
     for tbl, cnt in sorted(combined_scans(digest).items()):
         if cnt > RESCAN_MAX:

@@ -147,15 +147,29 @@ def _python_count(txt: str) -> int:
     )
 
 
-def _fold_cache_builds(jplan, acc_scans: dict[str, int], seen: set[int]) -> int:
+def _rowwise_count(txt: str) -> int:
+    """Row-at-a-time BatchEvalPython only — the 10-100x slow path the
+    absolute python_udf audit gates on. Counted identically in final
+    plans, pin-build plans and cache-build plans so no pin can reclass
+    the slow path as undifferentiated pin_python (round-7 ADVICE)."""
+    return txt.count("BatchEvalPython")
+
+
+def _fold_cache_builds(
+    jplan, acc_scans: dict[str, int], seen: set[int]
+) -> tuple[int, int]:
     """Fold the BUILD plans of every InMemoryRelation reachable from
     ``jplan`` into ``acc_scans`` (recursively — a cached frame may read
     another cache). Deduped by the cached plan's structural hashCode:
     the CacheManager shares one materialization across all
     InMemoryTableScan consumers of the same canonicalized plan, so the
     build's parquet scans happen ONCE regardless of consumer count.
-    Returns the python-op count inside the builds."""
+    Returns (python-op count, row-wise BatchEvalPython count) inside
+    the builds — the row-wise split kept separate so a pin cannot
+    blur the slow path into the undifferentiated counter (round-7
+    ADVICE)."""
     py = 0
+    py_rowwise = 0
     stack = [jplan]
     while stack:
         p = stack.pop()
@@ -175,9 +189,11 @@ def _fold_cache_builds(jplan, acc_scans: dict[str, int], seen: set[int]) -> int:
             s, _ = _scan_leaves(cached)
             for tbl, cnt in s.items():
                 acc_scans[tbl] = acc_scans.get(tbl, 0) + cnt
-            py += _python_count(cached.toString())
+            ctxt = cached.toString()
+            py += _python_count(ctxt)
+            py_rowwise += _rowwise_count(ctxt)
             stack.append(cached)
-    return py
+    return py, py_rowwise
 
 
 def digest_jplan(jplan) -> dict:
@@ -225,7 +241,7 @@ def digest_jplan(jplan) -> dict:
         "pins": pins,
         "codegen_spans": txt.count("WholeStageCodegen"),
         "python": _python_count(txt),
-        "python_rowwise": txt.count("BatchEvalPython"),
+        "python_rowwise": _rowwise_count(txt),
         "cartesian": "CartesianProduct" in txt,
         "global_window": global_windows > 0,
         "bounded_global_windows": bounded_global_windows,
@@ -278,7 +294,9 @@ class _PinCapture:
                 jroot = jplan.initialPlan() if jplan.nodeName() == "AdaptiveSparkPlan" else jplan
                 d = digest_jplan(jplan)
                 cache_scans: dict[str, int] = {}
-                d["pin_python"] = _fold_cache_builds(jroot, cache_scans, capture.cache_seen)
+                d["pin_python"], d["pin_python_rowwise"] = _fold_cache_builds(
+                    jroot, cache_scans, capture.cache_seen
+                )
                 d["pin_scans"] = cache_scans
                 capture.pin_digests.append(d)
             except Exception:
@@ -306,19 +324,24 @@ class _PinCapture:
         d = digest_jplan(jplan)
         pin_scans: dict[str, int] = {}
         pin_python = 0
+        pin_rowwise = 0
         for pd in self.pin_digests:
             for tbl, cnt in combined_scans(pd).items():
                 pin_scans[tbl] = pin_scans.get(tbl, 0) + cnt
             pin_python += pd.get("python", 0) + pd.get("pin_python", 0)
+            pin_rowwise += pd.get("python_rowwise", 0) + pd.get("pin_python_rowwise", 0)
             # a pin over an unbounded global window or cartesian is
             # just as fatal as one in the final plan
             d["global_windows_unbounded"] += pd.get("global_windows_unbounded", 0)
             d["cartesian"] = d["cartesian"] or pd.get("cartesian", False)
         # cached (persist()) builds referenced by the final plan
         jroot = jplan.initialPlan() if jplan.nodeName() == "AdaptiveSparkPlan" else jplan
-        pin_python += _fold_cache_builds(jroot, pin_scans, self.cache_seen)
+        fold_py, fold_rowwise = _fold_cache_builds(jroot, pin_scans, self.cache_seen)
+        pin_python += fold_py
+        pin_rowwise += fold_rowwise
         d["pin_scans"] = pin_scans
         d["pin_python"] = pin_python
+        d["pin_python_rowwise"] = pin_rowwise
         return d
 
 
@@ -366,7 +389,13 @@ def regressions(current: dict[str, dict], baseline: dict[str, dict]) -> dict[str
         # python ops and the anti-pattern booleans are leaf-/node-based
         # and stable across session history; exchanges stay in the
         # artifact for human review only.
-        for key in ("python", "python_rowwise", "pin_python", "global_windows_unbounded"):
+        for key in (
+            "python",
+            "python_rowwise",
+            "pin_python",
+            "pin_python_rowwise",
+            "global_windows_unbounded",
+        ):
             if cur.get(key, 0) > base.get(key, 0):
                 probs.append(f"{key} {base.get(key, 0)}->{cur.get(key, 0)}")
         for key in ("cartesian", "global_window"):
@@ -392,7 +421,9 @@ def main() -> int:
             "table in the final plan (cache-aware), pin_scans = parquet "
             "scans executed inside localCheckpoint/persist pin builds "
             "(the audit's rescan gate sums both), pin_python = python "
-            "ops inside pin builds, exchanges = shuffle boundaries, "
+            "ops inside pin builds, pin_python_rowwise = BatchEvalPython "
+            "inside pin builds (gated by the absolute python_udf audit "
+            "alongside python_rowwise), exchanges = shuffle boundaries, "
             "broadcasts = BroadcastExchange nodes, pins = cached/"
             "checkpointed reuse leaves, codegen_spans = WholeStageCodegen "
             "regions, python = deliberate Python-path operators, "
