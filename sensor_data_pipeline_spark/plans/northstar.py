@@ -842,7 +842,13 @@ def q86_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doubles hash-match bit-for-bit. This is the query that tells
     you whether K=16 signatures are enough before you commit a 100 TB
     dedup run to them. Exact counting happens only on LSH candidates
-    (the tiny surviving pair set), never all pairs."""
+    (the tiny surviving pair set), never all pairs.
+
+    Measured run wobble: BENCH_r07's 4.08s (vs 1.76s r6) was in-suite
+    interference — r8 solo-wobble protocol (tools/solo_wobble.py):
+    solo warm best-of 2.06s at sf0.1 with a byte-identical plan digest,
+    on a host the same-session controls measured ~1.4-1.7x slower than
+    the committed battery hour (where this query ran 1.50s, 0a9ae17)."""
     from sensor_data_pipeline_spark.operators.dedup import _shingled
 
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")

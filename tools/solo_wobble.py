@@ -1,0 +1,106 @@
+"""Solo-wobble protocol: exonerate (or confirm) a per-query bench
+regression by running the query ALONE, outside the 339-query suite.
+
+The shared host runs the driver's bench suite back-to-back in one JVM;
+GC pauses, CPU steal, and cache-eviction storms land on random queries
+each run (observed swings: 2.5s <-> 27s with identical plans). When a
+round's BENCH_r{N} shows a query slower than the previous round, this
+protocol decides "host weather vs real regression" (the caea762
+precedent):
+
+1. fresh session, bench.py's exact warmup + base-table pins,
+2. one cold pass (per-query codegen), then 3 warm passes -> best-of-3,
+3. plan-digest diff against the committed PLAN_SUMMARY.json baseline
+   (shape is scale-invariant; built at sf0.001 like the baseline).
+
+Verdict rule: solo warm best-of at/below the prior round's level AND
+an unchanged digest => interference, document in the query docstring.
+A digest diff, or a solo time that reproduces the regression, is a
+real regression — fix it. When the host itself is degraded (the
+0a9ae17 control-experiment case), add a same-session control: solo-run
+2-3 stable never-regressed queries and compare against their committed
+BENCH_FULL values to measure the host factor.
+
+Usage: python tools/solo_wobble.py <query_name> [sf_dir]
+Prints one JSON line: cold, warm_runs, warm_best_of_3,
+plan_digest_unchanged, digest_diff.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    name = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
+    from sensor_data_pipeline_spark.plans import REGISTRY
+    from sensor_data_pipeline_spark.session import get_spark
+
+    spec = REGISTRY[name]
+    spark = get_spark(app_name=f"solo-{name}")
+
+    # bench.py's warmup, verbatim: codegen compiler, shuffle machinery,
+    # Arrow/Python worker pool, then the ten pinned base tables.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    warm = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    warm.groupBy("l_returnflag").agg(F.sum("l_quantity")).collect()
+
+    @pandas_udf("double")
+    def _warm_udf(x):
+        return x * 1.0
+
+    spark.range(1000).select(_warm_udf(F.col("id").cast("double"))).collect()
+
+    from sensor_data_pipeline_spark.sources.tables import load_table
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        df = load_table(spark, t, sf_dir)
+        df.cache()
+        df.count()
+
+    def materialize(df) -> int:
+        try:
+            return len(df.toPandas())
+        except Exception:
+            return len(df.collect())
+
+    runs = []
+    for _ in range(4):  # pass 0 = cold (codegen); 1-3 = warm best-of-3
+        t0 = time.perf_counter()
+        materialize(spec.spark(spark, sf_dir))
+        runs.append(round(time.perf_counter() - t0, 3))
+
+    import plan_summary as ps
+
+    cap = ps._PinCapture()
+    with cap:
+        digest = cap.digest_full(
+            lambda: spec.spark(spark, "/root/testdata/sf0.001")
+        )
+    base = json.load(open(os.path.join(ROOT, "PLAN_SUMMARY.json")))["queries"][name]
+    diff = {k: (base.get(k), digest.get(k)) for k in set(base) | set(digest)
+            if base.get(k) != digest.get(k)}
+
+    print(json.dumps({
+        "query": name, "sf_dir": sf_dir, "cold": runs[0],
+        "warm_runs": runs[1:], "warm_best_of_3": min(runs[1:]),
+        "plan_digest_unchanged": not diff, "digest_diff": diff,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
