@@ -553,3 +553,96 @@ def test_waterfill_bracket_identity(sizes, budget_num):
         alloc[i] += 1
         assert alloc[i] <= sizes[i]
     assert sum(alloc.values()) == budget
+
+
+# --- q351: Cohen's kappa single-division reduction -------------------------
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncating integer division — the measured Spark DIV / DuckDB //
+    semantics (toward zero, not floor)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    a=st.integers(0, 10_000),
+    b=st.integers(0, 10_000),
+    c=st.integers(0, 10_000),
+    d=st.integers(1, 10_000),
+)
+def test_kappa_integer_reduction_matches_float(a, b, c, d):
+    """q351: (n*(a+d) - pe_num) * 1e6 DIV (n*n - pe_num) equals the
+    textbook kappa = (po - pe) / (1 - pe) within 1 ppm truncation,
+    where pe_num = (a+b)(a+c) + (c+d)(b+d)."""
+    n = a + b + c + d
+    pe_num = (a + b) * (a + c) + (c + d) * (b + d)
+    den = n * n - pe_num
+    if den == 0:
+        return  # NULL on both engines (constant raters)
+    kappa_ppm = _trunc_div((n * (a + d) - pe_num) * 1_000_000, den)
+    po = (a + d) / n
+    pe = pe_num / (n * n)
+    ref = (po - pe) / (1 - pe)
+    assert abs(kappa_ppm / 1e6 - ref) < 2e-6, (a, b, c, d)
+
+
+# --- q355: 2x2 chi-square single-division reduction ------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    strata=st.lists(
+        st.tuples(st.integers(0, 2000), st.integers(0, 2000)), min_size=1, max_size=12
+    ),
+)
+def test_split_chisq_reduction_matches_float(strata):
+    """q355: d^2 / (T * N1 * N2) with d = o1*N2 - o2*N1 equals the
+    textbook 2-cell chi-square sum((o - e)^2 / e) with e from the
+    global split ratio."""
+    n1 = sum(o1 for o1, _ in strata)
+    n2 = sum(o2 for _, o2 in strata)
+    n = n1 + n2
+    if n1 == 0 or n2 == 0:
+        return
+    for o1, o2 in strata:
+        t = o1 + o2
+        if t == 0:
+            continue
+        d = o1 * n2 - o2 * n1
+        chisq_ppm = _trunc_div(d * d * 1_000_000, t * n1 * n2)
+        e1, e2 = t * n1 / n, t * n2 / n
+        ref = (o1 - e1) ** 2 / e1 + (o2 - e2) ** 2 / e2
+        assert abs(chisq_ppm / 1e6 - ref) < 2e-6 * max(1.0, ref), (o1, o2, n1, n2)
+
+
+# --- q352: epoch repeat-budget invariants -----------------------------------
+
+_EPOCH_W = (1000, 700, 490, 343, 240, 168, 118, 82)
+_EPOCH_CUM = (0, 1000, 1700, 2190, 2533, 2773, 2941, 3059, 3141)
+
+
+def _effective_tokens(u: int, target: int) -> int:
+    e = min(target // u, 8)
+    rem = 0 if e >= 8 else target - e * u
+    w_next = 0 if e >= 8 else _EPOCH_W[e]
+    return (_EPOCH_CUM[e] * u + w_next * rem) // 1000
+
+
+@settings(max_examples=300, deadline=None)
+@given(u=st.integers(1, 100_000), target=st.integers(0, 1_000_000))
+def test_epoch_budget_invariants(u, target):
+    """q352: effective tokens (a) never exceed the target (epoch
+    weights <= 1000 per mille), (b) equal the target exactly while the
+    budget stays within one epoch of unique supply (first-epoch weight
+    is 1000), (c) are monotone nondecreasing in the target, and
+    (d) cap at cum_w[8]*u once the budget saturates 8 epochs."""
+    eff = _effective_tokens(u, target)
+    assert eff <= target
+    if target <= u:
+        assert eff == target
+    assert eff <= _EPOCH_CUM[8] * u // 1000 + 1
+    if target >= 8 * u:
+        assert eff == _EPOCH_CUM[8] * u // 1000
+    assert _effective_tokens(u, target + 1) >= eff

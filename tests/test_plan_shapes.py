@@ -1452,3 +1452,120 @@ def test_q335_builds_candidates_not_corpus(spark):
     assert len(shj) >= 4, plan[:500]
     for line in shj:
         assert "BuildLeft" in line, line
+
+
+def test_template_mining_one_scan_no_join(spark):
+    """q348: the skeleton is a per-row map folding into one map-side-
+    combinable aggregation — one documents scan, no join, and the
+    grouping key is the bounded prefix skeleton (never full text)."""
+    from sensor_data_pipeline_spark.plans.frontier3 import q348_template_skeleton_mining
+
+    plan = plan_of(q348_template_skeleton_mining(spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_zipf_octave_window_bounded(spark):
+    """q349: the lag window is global but domain-bounded — it runs on
+    the PINNED octave frame (<= 64 rows), with an aggregate on every
+    input path; documents is physically read exactly once (inside the
+    pin build — both the total and the profile read the pin)."""
+    from sensor_data_pipeline_spark.plans.frontier3 import q349_zipf_octave_profile
+    from tools.plan_summary import _PinCapture, combined_scans
+
+    cap = _PinCapture()
+    with cap:
+        d = cap.digest_full(lambda: q349_zipf_octave_profile(spark, SF))
+    assert combined_scans(d).get("documents", 0) == 1, combined_scans(d)
+    assert d["scans"] == {}, d["scans"]  # final plan reads only the pin
+    assert d["global_window"] is True and d["global_windows_unbounded"] == 0
+
+
+def test_kanonymity_ladder_rides_broadcast(spark):
+    """q350: the k ladder joins the PINNED class frame (post-
+    aggregation), never row-scale data, and rides a broadcast;
+    customer is physically read exactly once (inside the pin)."""
+    from sensor_data_pipeline_spark.plans.frontier3 import q350_kanonymity_audit
+    from tools.plan_summary import _PinCapture, combined_scans
+
+    cap = _PinCapture()
+    with cap:
+        d = cap.digest_full(lambda: q350_kanonymity_audit(spark, SF))
+    assert combined_scans(d).get("customer", 0) == 1, combined_scans(d)
+    assert d["scans"] == {}, d["scans"]
+    assert d["broadcasts"] >= 1
+    assert d["cartesian"] is False
+
+
+def test_kappa_one_scan_one_shuffle(spark):
+    """q351: the 2x2 confusion folds map-side in one pass; the kappa
+    arithmetic is per-row on the per-language frame — no join."""
+    from sensor_data_pipeline_spark.plans.frontier3 import q351_rater_agreement_kappa
+
+    plan = plan_of(q351_rater_agreement_kappa(spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+
+
+def test_gate_cofire_single_agg_row(spark):
+    """q353: all 10 sufficient sums combine map-side in ONE aggregate;
+    the 6-pair unpivot (Generate) runs on the 1-row result, and there
+    is no join and no second scan."""
+    from sensor_data_pipeline_spark.plans.frontier3 import q353_gate_cofire_matrix
+
+    plan = plan_of(q353_gate_cofire_matrix(spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+    assert "Generate" in plan
+    assert plan.index("Generate") < plan.index("partial_sum"), plan
+
+
+def test_oov_stat_pinned_vocab_broadcast(spark):
+    """q354: the per-(token, lang, source) count is pinned (the corpus
+    tokenizes exactly once — both the vocab top-K and the roll-up read
+    the pin) and the 16-row vocabulary rides a broadcast join."""
+    from sensor_data_pipeline_spark.plans.frontier3 import q354_oov_rate_audit
+    from tools.plan_summary import _PinCapture, combined_scans
+
+    cap = _PinCapture()
+    with cap:
+        d = cap.digest_full(lambda: q354_oov_rate_audit(spark, SF))
+    total = combined_scans(d)
+    assert total.get("documents", 0) == 1, total  # one physical read, inside the pin
+    assert d["scans"] == {}, d["scans"]  # final plan reads only the pin
+    assert d["broadcasts"] >= 1
+    assert d["global_windows_unbounded"] == 0  # top-K window is pin-bounded
+
+
+def test_split_chisq_predicate_pushdown(spark):
+    """q355: one physical documents read (inside the stratum pin —
+    the totals and the chi-square both read the pin), no sort-merge
+    join, and the totals ride a broadcast."""
+    from sensor_data_pipeline_spark.plans.frontier3 import q355_split_balance_chisq
+    from tools.plan_summary import _PinCapture, combined_scans
+
+    cap = _PinCapture()
+    with cap:
+        d = cap.digest_full(lambda: q355_split_balance_chisq(spark, SF))
+    assert combined_scans(d).get("documents", 0) == 1, combined_scans(d)
+    assert d["scans"] == {}, d["scans"]
+    assert d["broadcasts"] >= 1
+    assert d["cartesian"] is False
+
+
+def test_epoch_budget_panel_pinned(spark):
+    """q352: the source panel is pinned (the budget row and the
+    per-source arithmetic both read it) — one physical documents
+    read, inside the pin."""
+    from sensor_data_pipeline_spark.plans.frontier3 import q352_epoch_repeat_budget
+    from tools.plan_summary import _PinCapture, combined_scans
+
+    cap = _PinCapture()
+    with cap:
+        d = cap.digest_full(lambda: q352_epoch_repeat_budget(spark, SF))
+    assert combined_scans(d).get("documents", 0) == 1, combined_scans(d)
+    assert d["scans"] == {}, d["scans"]
+    assert d["broadcasts"] >= 1

@@ -80,6 +80,7 @@ ALLOW: dict[str, set[str]] = {
     "q319_psi_drift_audit": {"global_window"},  # decile fences (10 bins)
     "q337_curriculum_interleave": {"global_window"},  # source census index
     "q346_waterfill_source_caps": {"global_window"},  # |sources|-row census (level bracket + remainder rank)
+    "q349_zipf_octave_profile": {"global_window"},  # <=64-row octave frame (lag over the pinned spectrum; the 1-row-total crossJoin between pin and window defeats the dominator walk but cannot unbound it)
 }
 
 
