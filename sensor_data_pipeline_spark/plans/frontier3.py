@@ -806,3 +806,741 @@ def q355_split_balance_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q356 — LSH S-curve operating-point audit
+# ---------------------------------------------------------------------------
+
+_DUCK_HASH32 = "CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(w)-2), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+)
+# 2^64 = (16^4)^4: the S-curve denominator for the 16-hash/4-band config
+_POW64 = "18446744073709551616"
+
+
+@register(
+    "q356_lsh_s_curve_audit",
+    category="dedup",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+  FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM docs),
+hashes AS (
+  SELECT doc_id, k,
+         min({_DUCK_HASH32.format(expr="CAST(k AS VARCHAR) || ':' || shingle")}) AS mh
+  FROM inv CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k)
+  GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, k // 4 AS band_id,
+         md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY k)) AS band_hash
+  FROM hashes GROUP BY doc_id, k // 4
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(count(*) FILTER (ha.mh = hb.mh) AS BIGINT) AS n_match
+  FROM cands c
+  JOIN hashes ha ON ha.doc_id = c.id_a
+  JOIN hashes hb ON hb.doc_id = c.id_b AND hb.k = ha.k
+  GROUP BY c.id_a, c.id_b
+),
+hist AS (SELECT n_match AS k, CAST(count(*) AS BIGINT) AS n_pairs FROM est GROUP BY n_match),
+grid AS (SELECT unnest(generate_series(0, 16)) AS k)
+SELECT CAST(g.k AS BIGINT) AS k,
+       CAST(g.k * 62500 AS BIGINT) AS est_jaccard_ppm,
+       CAST((CAST({_POW64} AS HUGEINT)
+             - CAST((65536 - g.k*g.k*g.k*g.k) * (65536 - g.k*g.k*g.k*g.k) AS HUGEINT)
+               * ((65536 - g.k*g.k*g.k*g.k) * (65536 - g.k*g.k*g.k*g.k))) * 1000000
+            // CAST({_POW64} AS HUGEINT) AS BIGINT) AS analytic_cand_p_ppm,
+       COALESCE(h.n_pairs, 0) AS n_cand_pairs
+FROM grid g LEFT JOIN hist h ON h.k = g.k
+ORDER BY k
+""",
+)
+def q356_lsh_s_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH operating-point audit: the analytic banding S-curve
+    P(candidate | s) = 1 - (1 - s^r)^b for the production 16-hash /
+    4-band / 4-row MinHash config (Leskovec-Rajaraman-Ullman, 'Mining
+    of Massive Datasets' ch.3, public), evaluated EXACTLY at every
+    estimated similarity s = k/16 next to the OBSERVED candidate-pair
+    histogram at that signature-match count. This is the audit that
+    says where the config's recall cliff sits (the s where P crosses
+    50%) and whether the corpus's pair mass lives above or below it —
+    the go/no-go before committing a 100 TB dedup run to (b, r).
+
+    Exact rational arithmetic: with s = k/16, P*1e6 = (2^64 -
+    (65536 - k^4)^4) * 1e6 DIV 2^64 — the fourth power rides
+    decimal(38,0)/HUGEINT (m^4 up to 1.8e19 overflows int64), so both
+    engines emit identical ppm with no float power anywhere.
+
+    Scale shape: identical to q86's calibration pipeline — the pair
+    space is LSH-bounded (never all pairs), the signature table is
+    16 ints/doc, and the S-curve itself is a 17-row grid joined to the
+    bounded match-count histogram. Candidate generation is the only
+    corpus-scale work and it is banded/bucketed."""
+    from sensor_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sig = minhash_signatures(d, "doc_id", "text", num_hashes=16, n=3).cache()
+    cands = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    sig_a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{k}").alias(f"a{k}") for k in range(16)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{k}").alias(f"b{k}") for k in range(16)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0) for k in range(16)
+    )
+    hist = (
+        cands.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(matches.cast("bigint").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    grid = spark.createDataFrame([(k,) for k in range(17)], "k bigint")
+    m4 = (
+        "CAST((65536 - k*k*k*k) * (65536 - k*k*k*k) AS DECIMAL(38,0))"
+        " * ((65536 - k*k*k*k) * (65536 - k*k*k*k))"
+    )
+    return (
+        grid.join(hist, "k", "left")
+        .select(
+            "k",
+            (F.col("k") * 62500).cast("bigint").alias("est_jaccard_ppm"),
+            F.expr(
+                f"CAST((CAST({_POW64} AS DECIMAL(38,0)) - {m4}) * 1000000"
+                f" DIV CAST({_POW64} AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("analytic_cand_p_ppm"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_cand_pairs"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q357 — per-source vocabulary drift (total-variation distance)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q357_source_tv_divergence",
+    category="text",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({_DUCK_WORDS}) AS token FROM documents
+),
+tc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+gt AS (SELECT token, CAST(sum(c) AS BIGINT) AS ct FROM tc GROUP BY token),
+ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM tc GROUP BY source),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM gt),
+present AS (
+  SELECT t.source,
+         sum(abs(CAST(t.c AS HUGEINT) * ((SELECT n FROM tot) - s.n_s)
+                 - CAST(g.ct - t.c AS HUGEINT) * s.n_s)) AS present_sum,
+         CAST(sum(g.ct) AS BIGINT) AS covered_ct
+  FROM tc t JOIN gt g ON g.token = t.token JOIN ns s ON s.source = t.source
+  GROUP BY t.source
+)
+SELECT s.source, s.n_s AS n_tokens,
+       CAST((p.present_sum
+             + CAST(s.n_s AS HUGEINT) * ((SELECT n FROM tot) - p.covered_ct)) * 1000000
+            // (CAST(2 AS HUGEINT) * s.n_s * ((SELECT n FROM tot) - s.n_s)) AS BIGINT) AS tv_ppm
+FROM ns s JOIN present p ON p.source = s.source
+ORDER BY s.source
+""",
+)
+def q357_source_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary drift as EXACT total-variation distance
+    between the source's token distribution and the rest of the
+    corpus: TV = 1/2 sum_t |p_s(t) - p_rest(t)|. Sources whose TV is
+    high are distribution outliers (different register, boilerplate,
+    another language leaking through lang-id) — the per-source drift
+    gate a mixture curation pass runs before q239/q346 allocate
+    budget. Unlike KL divergence (whose log cannot be computed
+    portably), TV folds to integer cross-multiplication:
+
+        sum_t |c_s*(N - N_s) - (C_t - c_s)*N_s| * 1e6
+        DIV (2 * N_s * (N - N_s))
+
+    with the absent-token mass added in closed form (tokens missing
+    from the source contribute C_t*N_s each, so their sum is
+    N_s * (N - sum of C_t over PRESENT tokens) — no row ever
+    materializes for an absent (source, token) pair). Products ride
+    decimal(38,0)/HUGEINT; the r9 docstring bound: exact while
+    c * N < 1e38 (any real corpus).
+
+    Scale shape: the corpus explodes to tokens once, folding into the
+    per-(source, token) count — the pinned sufficient statistic
+    (vocabulary x sources, Heaps-sublinear); the global token census
+    joins it ON TOKEN (bounded by vocabulary, shuffle-joinable at any
+    scale — deliberately NOT a forced broadcast); everything after is
+    per-source arithmetic on bounded frames."""
+    d = load_table(spark, "documents", sf_dir)
+    tc = (
+        d.select("source", F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # three consumers: global census, per-source totals, the
+        # present-sum join — without the pin the corpus tokenizes 3x
+        .localCheckpoint(eager=True)
+    )
+    gt = tc.groupBy("token").agg(F.sum("c").cast("bigint").alias("ct"))
+    ns = tc.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    tot = gt.agg(F.sum("ct").cast("bigint").alias("n"))
+    present = (
+        tc.join(gt, "token")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.expr(
+                    "abs(CAST(c AS DECIMAL(38,0)) * (n - n_s)"
+                    " - CAST(ct - c AS DECIMAL(38,0)) * n_s)"
+                )
+            ).alias("present_sum"),
+            F.sum("ct").cast("bigint").alias("covered_ct"),
+        )
+    )
+    return (
+        ns.join(present, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.expr(
+                "CAST((present_sum + CAST(n_s AS DECIMAL(38,0)) * (n - covered_ct))"
+                " * 1000000 DIV (CAST(2 AS DECIMAL(38,0)) * n_s * (n - n_s)) AS BIGINT)"
+            ).alias("tv_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q358 — quality-signal AUC via the rank-sum (Mann-Whitney) identity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q358_quality_auc_ranksum",
+    category="quality",
+    oracle=f"""
+WITH lab AS (
+  SELECT lang, CAST(len({_DUCK_WORDS}) AS BIGINT) AS score,
+         CASE WHEN n_chars >= 140 THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+g AS (
+  SELECT lang, score, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(pos) AS BIGINT) AS pos_cnt
+  FROM lab GROUP BY lang, score
+),
+r AS (
+  SELECT lang, score, cnt, pos_cnt,
+         COALESCE(sum(cnt) OVER (PARTITION BY lang ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM g
+),
+s AS (
+  SELECT lang,
+         sum(CAST(pos_cnt AS HUGEINT) * (2 * cum_before + cnt + 1)) AS two_r_pos,
+         CAST(sum(pos_cnt) AS BIGINT) AS n_pos,
+         CAST(sum(cnt - pos_cnt) AS BIGINT) AS n_neg
+  FROM r GROUP BY lang
+)
+SELECT lang, n_pos, n_neg,
+       CAST((two_r_pos - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+            // NULLIF(CAST(2 AS HUGEINT) * n_pos * n_neg, 0) AS BIGINT) AS auc_ppm
+FROM s ORDER BY lang
+""",
+)
+def q358_quality_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC of a quality signal against a weak label, computed EXACTLY
+    via the Mann-Whitney rank-sum identity AUC = (R_pos - n_pos(n_pos
+    +1)/2) / (n_pos*n_neg) (Hanley & McNeil 1982, public) — the
+    discriminative-power audit a pipeline runs before trusting a
+    cheap score (here: token count) to predict an expensive gate
+    (here: the character-count rule) per language. Ties get average
+    ranks; a tie group occupying ranks [a+1, a+m] contributes
+    pos_cnt * (2a + m + 1) to 2*R_pos, so the whole statistic stays
+    integer (2R is always integral) and lands bit-identically as one
+    division in ppm. AUC ~ 500000 means the cheap score carries no
+    signal; ~1e6 means it can replace the gate.
+
+    Scale shape: one corpus pass folds to per-(lang, score) counts —
+    the sufficient statistic, bounded by the score domain x languages;
+    the cumulative rank walk is a KEYED window over that bounded
+    frame (partitioned by lang, never global); products ride
+    decimal(38,0)/HUGEINT so n ~ 1e10 rows per language cannot
+    overflow 2R ~ n^2."""
+    d = load_table(spark, "documents", sf_dir)
+    g = (
+        d.select(
+            "lang",
+            F.size(tokenize(F.col("text"))).cast("bigint").alias("score"),
+            F.when(F.col("n_chars") >= 140, 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("lang", "score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("pos").cast("bigint").alias("pos_cnt"),
+        )
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = (
+        g.withColumn("cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.expr("CAST(pos_cnt AS DECIMAL(38,0)) * (2 * cum_before + cnt + 1)")
+            ).alias("two_r_pos"),
+            F.sum("pos_cnt").cast("bigint").alias("n_pos"),
+            F.sum(F.col("cnt") - F.col("pos_cnt")).cast("bigint").alias("n_neg"),
+        )
+    )
+    return s.select(
+        "lang",
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CAST((two_r_pos - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000"
+            " DIV nullif(CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg, 0) AS BIGINT)"
+        ).alias("auc_ppm"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# q359 — rater error triangulation (majority-vote Dawid-Skene init)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q359_rater_error_triangulation",
+    category="quality",
+    oracle=f"""
+WITH votes AS (
+  SELECT lang,
+         CASE WHEN len({_DUCK_WORDS}) >= 25 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN n_chars >= 140 THEN 1 ELSE 0 END AS r2,
+         CASE WHEN len(list_filter({_DUCK_WORDS},
+              w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) >= 3
+              THEN 1 ELSE 0 END AS r3
+  FROM documents
+),
+m AS (
+  SELECT lang, r1, r2, r3,
+         CASE WHEN r1 + r2 + r3 >= 2 THEN 1 ELSE 0 END AS mj
+  FROM votes
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN r1 <> mj THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS err1_ppm,
+       CAST(sum(CASE WHEN r2 <> mj THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS err2_ppm,
+       CAST(sum(CASE WHEN r3 <> mj THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS err3_ppm,
+       CAST(sum(CASE WHEN r1 = r2 AND r2 = r3 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS unanimous_ppm
+FROM m GROUP BY lang ORDER BY lang
+""",
+)
+def q359_rater_error_triangulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rater error estimation by majority-vote triangulation — the
+    initialization step of Dawid & Skene 1979 (public), the method a
+    labeling pipeline uses to price each annotator (here: three
+    deterministic rules — token, character, and stopword gates)
+    without any gold labels: take the 2-of-3 majority as pseudo-truth
+    and measure each rater's disagreement rate with it, per language.
+    A rater whose err_ppm runs far above its peers is down-weighted or
+    re-briefed; unanimous_ppm is the easy-fraction of the stream (the
+    docs no rater disputes). Complements q351: kappa prices a PAIR's
+    agreement, this triangulates WHICH rater is wrong. All rates are
+    integer ppm — single divisions of counts.
+
+    Scale shape: pure per-row vote algebra folding into ONE per-
+    language aggregation of conditional sums. No join, no window, one
+    map-side-combinable shuffle; nothing degrades at 100 TB."""
+    from sensor_data_pipeline_spark.functions.text import stopword_count
+
+    d = load_table(spark, "documents", sf_dir)
+    w = tokenize(F.col("text"))
+    votes = d.select(
+        "lang",
+        F.when(F.size(w) >= 25, 1).otherwise(0).alias("r1"),
+        F.when(F.col("n_chars") >= 140, 1).otherwise(0).alias("r2"),
+        F.when(stopword_count(w) >= 3, 1).otherwise(0).alias("r3"),
+    ).withColumn(
+        "mj", F.when(F.col("r1") + F.col("r2") + F.col("r3") >= 2, 1).otherwise(0)
+    )
+    n = F.count(F.lit(1))
+    err = lambda r: F.sum(F.when(F.col(r) != F.col("mj"), 1).otherwise(0))  # noqa: E731
+    return (
+        votes.groupBy("lang")
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            F.expr(
+                "CAST(sum(CASE WHEN r1 <> mj THEN 1 ELSE 0 END) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("err1_ppm"),
+            F.expr(
+                "CAST(sum(CASE WHEN r2 <> mj THEN 1 ELSE 0 END) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("err2_ppm"),
+            F.expr(
+                "CAST(sum(CASE WHEN r3 <> mj THEN 1 ELSE 0 END) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("err3_ppm"),
+            F.expr(
+                "CAST(sum(CASE WHEN r1 = r2 AND r2 = r3 THEN 1 ELSE 0 END) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("unanimous_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q360 — dedup yield forecast (keep-k policy curve)
+# ---------------------------------------------------------------------------
+
+_YIELD_KEEP = (1, 2, 4)
+
+
+@register(
+    "q360_dedup_yield_forecast",
+    category="dedup",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, substr(text, 1, 64) AS fingerprint,
+         CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tok
+  FROM documents
+),
+rk AS (
+  SELECT n_tok,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS r
+  FROM fp
+),
+tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tokens, CAST(count(*) AS BIGINT) AS total_docs FROM fp),
+agg AS (
+  SELECT
+    {", ".join(f"CAST(sum(CASE WHEN r > {k} THEN 1 ELSE 0 END) AS BIGINT) AS d{k}, CAST(sum(CASE WHEN r > {k} THEN n_tok ELSE 0 END) AS BIGINT) AS t{k}" for k in _YIELD_KEEP)}
+  FROM rk
+)
+SELECT keep_k, docs_removed, tokens_saved,
+       CAST(tokens_saved * 1000000 // (SELECT total_tokens FROM tot) AS BIGINT) AS saved_ppm
+FROM (
+  {" UNION ALL ".join(f"SELECT CAST({k} AS BIGINT) AS keep_k, d{k} AS docs_removed, t{k} AS tokens_saved FROM agg" for k in _YIELD_KEEP)}
+) ORDER BY keep_k
+""",
+)
+def q360_dedup_yield_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield forecast: before running (or re-running) the full
+    dedup pass, the token mass a keep-k-per-cluster policy would
+    remove, for k = {_YIELD_KEEP} — the number that prices the
+    pipeline stage ('keep-1 saves 12% of the training budget, keep-2
+    only 7% — is the diversity worth 5%?'). Clusters are the 64-char
+    opening fingerprint (the q185 boilerplate key — the fixture has no
+    byte-identical full texts); the kept k are the lowest doc_ids
+    (deterministic canonical choice, the q205 rule). All three policy
+    points derive from ONE ranked pass — the q334/q344 multi-point-
+    from-one-scan discipline.
+
+    Scale shape: one scan, one KEYED window (rank within fingerprint —
+    bounded by cluster sizes, never global), one aggregation row of 6
+    sufficient sums, a 3-row unpivot. The fingerprint shuffle is the
+    only corpus-scale movement and its key is 64 chars capped."""
+    d = load_table(spark, "documents", sf_dir)
+    fp = d.select(
+        "doc_id",
+        F.substring("text", 1, 64).alias("fingerprint"),
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    wr = Window.partitionBy("fingerprint").orderBy("doc_id")
+    rk = fp.withColumn("r", F.row_number().over(wr))
+    sums = []
+    for k in _YIELD_KEEP:
+        sums.append(
+            F.sum(F.when(F.col("r") > k, 1).otherwise(0)).cast("bigint").alias(f"d{k}")
+        )
+        sums.append(
+            F.sum(F.when(F.col("r") > k, F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias(f"t{k}")
+        )
+    sums.append(F.sum("n_tok").cast("bigint").alias("total_tokens"))
+    agg = rk.agg(*sums)
+    stack_args = ", ".join(
+        f"CAST({k} AS BIGINT), d{k}, t{k}" for k in _YIELD_KEEP
+    )
+    return (
+        agg.select(
+            F.expr(
+                f"stack({len(_YIELD_KEEP)}, {stack_args})"
+                " AS (keep_k, docs_removed, tokens_saved)"
+            ),
+            "total_tokens",
+        )
+        .select(
+            "keep_k",
+            "docs_removed",
+            "tokens_saved",
+            F.expr(
+                "CAST(tokens_saved * 1000000 DIV total_tokens AS BIGINT)"
+            ).alias("saved_ppm"),
+        )
+        .orderBy("keep_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q361 — context-window overflow audit (truncate vs split, 3 widths)
+# ---------------------------------------------------------------------------
+
+_CTX_WIDTHS = (256, 512, 1024)
+
+
+@register(
+    "q361_context_overflow_audit",
+    category="curation",
+    oracle=f"""
+WITH t AS (
+  SELECT CAST(len({_DUCK_WORDS}) AS BIGINT) AS n FROM documents
+),
+agg AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+         {", ".join(f"CAST(sum(CASE WHEN n > {w} THEN 1 ELSE 0 END) AS BIGINT) AS o{w}, CAST(sum(CASE WHEN n > {w} THEN n - {w} ELSE 0 END) AS BIGINT) AS l{w}, CAST(sum(((n + {w} - 1) // {w}) * {w} - n) AS BIGINT) AS p{w}" for w in _CTX_WIDTHS)}
+  FROM t
+)
+SELECT width, n_docs_over, trunc_loss_tokens,
+       CAST(trunc_loss_tokens * 1000000 // total_tokens AS BIGINT) AS trunc_loss_ppm,
+       split_pad_tokens,
+       CAST(split_pad_tokens * 1000000 // total_tokens AS BIGINT) AS split_overhead_ppm
+FROM (
+  {" UNION ALL ".join(f"SELECT CAST({w} AS BIGINT) AS width, o{w} AS n_docs_over, l{w} AS trunc_loss_tokens, p{w} AS split_pad_tokens, total_tokens FROM agg" for w in _CTX_WIDTHS)}
+) ORDER BY width
+""",
+)
+def q361_context_overflow_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window overflow audit: for candidate context lengths
+    {_CTX_WIDTHS}, the token mass LOST under truncate-to-width and the
+    padding overhead under split-into-chunks — the document-to-context
+    mapping study that complements q345 (which audits BATCH collation
+    of already-sized sequences) and q334 (bin packing). trunc_loss =
+    sum(max(n - L, 0)) prices information thrown away; split_pad =
+    sum(ceil(n/L)*L - n) prices the compute wasted padding final
+    chunks. The curve says which width pays: at the width where
+    trunc_loss_ppm falls below the acceptable-loss bar, split overhead
+    is usually already sunk. Ceiling division is (n + L - 1) DIV L —
+    exact integers on both engines.
+
+    Scale shape: all nine sufficient sums (over/loss/pad at 3 widths)
+    fold map-side in ONE corpus pass; the 3-row curve unpivots from
+    the single aggregate row. No shuffle touches text; no join."""
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select(F.size(tokenize(F.col("text"))).cast("bigint").alias("n"))
+    sums = [F.sum("n").cast("bigint").alias("total_tokens")]
+    for w in _CTX_WIDTHS:
+        sums.append(
+            F.sum(F.when(F.col("n") > w, 1).otherwise(0)).cast("bigint").alias(f"o{w}")
+        )
+        sums.append(
+            F.sum(F.when(F.col("n") > w, F.col("n") - w).otherwise(0))
+            .cast("bigint")
+            .alias(f"l{w}")
+        )
+        sums.append(
+            F.sum(F.expr(f"((n + {w} - 1) DIV {w}) * {w} - n"))
+            .cast("bigint")
+            .alias(f"p{w}")
+        )
+    agg = t.agg(*sums)
+    stack_args = ", ".join(
+        f"CAST({w} AS BIGINT), o{w}, l{w}, p{w}" for w in _CTX_WIDTHS
+    )
+    return (
+        agg.select(
+            F.expr(
+                f"stack({len(_CTX_WIDTHS)}, {stack_args})"
+                " AS (width, n_docs_over, trunc_loss_tokens, split_pad_tokens)"
+            ),
+            "total_tokens",
+        )
+        .select(
+            "width",
+            "n_docs_over",
+            "trunc_loss_tokens",
+            F.expr(
+                "CAST(trunc_loss_tokens * 1000000 DIV total_tokens AS BIGINT)"
+            ).alias("trunc_loss_ppm"),
+            "split_pad_tokens",
+            F.expr(
+                "CAST(split_pad_tokens * 1000000 DIV total_tokens AS BIGINT)"
+            ).alias("split_overhead_ppm"),
+        )
+        .orderBy("width")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q362 — per-source data card census
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q362_datacard_census",
+    category="curation",
+    oracle=f"""
+WITH t AS (
+  SELECT source, lang, CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tok,
+         CASE WHEN CAST(('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 10 < 8 THEN 1 ELSE 0 END AS is_train
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(n_tok) * 1000 // count(*) AS BIGINT) AS mean_tokens_x1000,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS en_ppm,
+       CAST(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS short_ppm,
+       CAST(sum(is_train) * 1000000 // count(*) AS BIGINT) AS train_ppm
+FROM t GROUP BY source ORDER BY source
+""",
+)
+def q362_datacard_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card (Gebru et al. 'Datasheets for Datasets'
+    2018, public): the one-pass census a pipeline publishes with every
+    snapshot — document and token counts, mean document length
+    (per-mille fixed point), language mix, short-document (quality
+    gate) share, and the realized train-split share under the q355
+    seeded hash. Every rate is an integer division of counts, so two
+    engines (or two snapshot builds) can diff data cards bit-exactly —
+    the property that makes the card a CONTRACT rather than a report.
+
+    Scale shape: pure per-row derivation (token count, gate flag,
+    portable hash) folding into ONE per-source aggregation of
+    conditional sums. No join, no window, one map-side-combinable
+    shuffle on the bounded source key."""
+    from sensor_data_pipeline_spark.functions.text import word_hash32
+
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select(
+        "source",
+        "lang",
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tok"),
+        F.when(
+            F.pmod(word_hash32(F.col("doc_id").cast("string"), seed=11), F.lit(10)) < 8,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_train"),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.expr("CAST(sum(n_tok) * 1000 DIV count(*) AS BIGINT)").alias(
+                "mean_tokens_x1000"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("en_ppm"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("short_ppm"),
+            F.expr(
+                "CAST(sum(is_train) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("train_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q363 — eval sample sizing (95% / ±2% gate-rate CI)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q363_eval_sample_sizing",
+    category="sampling",
+    oracle=f"""
+WITH t AS (
+  SELECT source,
+         CASE WHEN len({_DUCK_WORDS}) < 20 THEN 1 ELSE 0 END AS fail
+  FROM documents
+),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(fail) AS BIGINT) AS n_fail
+  FROM t GROUP BY source
+)
+SELECT source, n_docs, n_fail,
+       CAST((CAST(9604 AS HUGEINT) * n_fail * (n_docs - n_fail) + CAST(n_docs AS HUGEINT) * n_docs - 1)
+            // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS n_required,
+       CAST((CAST(9604 AS HUGEINT) * n_fail * (n_docs - n_fail) + CAST(n_docs AS HUGEINT) * n_docs - 1)
+            // (CAST(n_docs AS HUGEINT) * n_docs) <= n_docs AS BOOLEAN) AS feasible
+FROM s ORDER BY source
+""",
+)
+def q363_eval_sample_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source eval sample sizing: the minimum audit-sample size
+    for estimating a gate rate within ±2% at 95% confidence (Cochran
+    1977 sample-size formula n = z^2 p(1-p) / e^2, public), using each
+    source's OBSERVED rate as p-hat. With z^2/e^2 = (1.96/0.02)^2 =
+    9604 a fixed rational, the whole formula is the exact ceiling
+    division n_req = ceil(9604 * f * (n - f) / n^2) — no float, no
+    sqrt. Sources whose n_req exceeds their document count (feasible =
+    false, the tiny-source case) need exact enumeration instead of
+    sampling; p-hat = 0 or 1 emits n_req = 0 (the audit's signal that
+    the normal approximation is off and an exact binomial CI is
+    required — documented, not hidden). This prices every human-review
+    loop over the corpus.
+
+    Scale shape: one pass to per-source (n, fails) — the bounded
+    sufficient statistic; the sizing arithmetic is per-row on that
+    panel with decimal(38,0)/HUGEINT products (n^2 past int64 at
+    n > 3e9 rows per source)."""
+    d = load_table(spark, "documents", sf_dir)
+    s = (
+        d.select(
+            "source",
+            F.when(F.size(tokenize(F.col("text"))) < 20, 1).otherwise(0).alias("fail"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("fail").cast("bigint").alias("n_fail"),
+        )
+    )
+    n_req = (
+        "CAST((CAST(9604 AS DECIMAL(38,0)) * n_fail * (n_docs - n_fail)"
+        " + CAST(n_docs AS DECIMAL(38,0)) * n_docs - 1)"
+        " DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)"
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "n_fail",
+        F.expr(n_req).alias("n_required"),
+        F.expr(f"{n_req} <= n_docs").alias("feasible"),
+    ).orderBy("source")

@@ -646,3 +646,85 @@ def test_epoch_budget_invariants(u, target):
     if target >= 8 * u:
         assert eff == _EPOCH_CUM[8] * u // 1000
     assert _effective_tokens(u, target + 1) >= eff
+
+
+# --- q356: exact rational LSH S-curve ---------------------------------------
+
+
+def test_lsh_s_curve_rational_matches_float():
+    """q356: (2^64 - (65536 - k^4)^4) * 1e6 // 2^64 equals
+    1 - (1 - (k/16)^4)^4 in ppm (truncated) for every k."""
+    for k in range(17):
+        m = 65536 - k**4
+        ppm = (2**64 - m**4) * 1_000_000 // 2**64
+        ref = 1.0 - (1.0 - (k / 16.0) ** 4) ** 4
+        assert abs(ppm / 1e6 - ref) < 2e-6, k
+    # the curve is monotone and hits both endpoints exactly
+    assert (2**64 - 65536**4) == 0  # k=0 -> 0 ppm
+    assert (2**64 - (65536 - 16**4) ** 4) * 1_000_000 // 2**64 == 1_000_000  # k=16
+
+
+# --- q358: rank-sum AUC identity --------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 8), st.booleans()), min_size=2, max_size=60
+    ),
+)
+def test_auc_ranksum_matches_pair_counting(rows):
+    """q358: the tie-group 2R identity equals brute-force pair
+    counting AUC = (#(pos > neg) + 0.5 * #(pos == neg)) / (n_pos*n_neg)."""
+    scores = [s for s, _ in rows]
+    labels = [p for _, p in rows]
+    n_pos = sum(labels)
+    n_neg = len(rows) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return
+    # brute force over pairs
+    wins = ties = 0
+    for sp, lp in rows:
+        if not lp:
+            continue
+        for sn, ln in rows:
+            if ln:
+                continue
+            if sp > sn:
+                wins += 1
+            elif sp == sn:
+                ties += 1
+    ref = (wins + 0.5 * ties) / (n_pos * n_neg)
+    # tie-group identity: per distinct score, 2R contribution
+    from collections import Counter
+
+    cnt = Counter(scores)
+    pos_cnt = Counter(s for s, p in rows if p)
+    two_r = 0
+    cum = 0
+    for s in sorted(cnt):
+        two_r += pos_cnt.get(s, 0) * (2 * cum + cnt[s] + 1)
+        cum += cnt[s]
+    auc_ppm = (two_r - n_pos * (n_pos + 1)) * 1_000_000 // (2 * n_pos * n_neg)
+    assert abs(auc_ppm / 1e6 - ref) < 2e-6, rows
+
+
+# --- q363: Cochran sample-size ceiling division ------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(n=st.integers(1, 10**9), f_pct=st.integers(0, 100))
+def test_cochran_ceiling_matches_float(n, f_pct):
+    """q363: ceil(9604 f (n-f) / n^2) equals the float formula
+    ceil(1.96^2 * p(1-p) / 0.02^2) with p = f/n (up to the float's own
+    representation error at the ceiling boundary, which the integer
+    form resolves exactly — so allow the integer answer to differ only
+    where the float sits within 1e-9 of an integer)."""
+    import math
+
+    f = n * f_pct // 100
+    n_req = (9604 * f * (n - f) + n * n - 1) // (n * n)
+    p = f / n
+    ref = 9604 * p * (1 - p)
+    assert n_req in (math.ceil(ref), math.ceil(ref - 1e-9)), (n, f)
+    assert n_req <= 2401  # 9604 * max p(1-p) = 9604/4

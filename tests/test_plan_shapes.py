@@ -1569,3 +1569,105 @@ def test_epoch_budget_panel_pinned(spark):
     assert combined_scans(d).get("documents", 0) == 1, combined_scans(d)
     assert d["scans"] == {}, d["scans"]
     assert d["broadcasts"] >= 1
+
+
+def test_s_curve_pair_space_is_banded(spark):
+    """q356: candidate pairs come from LSH banding (the q86 pipeline) —
+    no cartesian, no nested-loop join; the signature table is cached
+    (three consumers) so documents is physically read once."""
+    from sensor_data_pipeline_spark.plans.frontier3 import q356_lsh_s_curve_audit
+    from tools.plan_summary import _PinCapture, combined_scans
+
+    cap = _PinCapture()
+    with cap:
+        d = cap.digest_full(lambda: q356_lsh_s_curve_audit(spark, SF))
+    assert d["cartesian"] is False
+    assert combined_scans(d).get("documents", 0) <= 1, combined_scans(d)
+
+
+def test_tv_divergence_tokenizes_once(spark):
+    """q357: the per-(source, token) count is pinned (three consumers)
+    — the corpus tokenizes exactly once; the census join runs on the
+    token key, never a cartesian."""
+    from sensor_data_pipeline_spark.plans.frontier3 import q357_source_tv_divergence
+    from tools.plan_summary import _PinCapture, combined_scans
+
+    cap = _PinCapture()
+    with cap:
+        d = cap.digest_full(lambda: q357_source_tv_divergence(spark, SF))
+    assert combined_scans(d).get("documents", 0) == 1, combined_scans(d)
+    assert d["scans"] == {}, d["scans"]
+    assert d["cartesian"] is False
+
+
+def test_auc_window_is_keyed(spark):
+    """q358: the cumulative rank walk is partitioned by lang — never a
+    global window; one scan, no join."""
+    from sensor_data_pipeline_spark.plans.frontier3 import q358_quality_auc_ranksum
+    from tools.plan_summary import digest_jplan
+
+    df = q358_quality_auc_ranksum(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    d = digest_jplan(df._jdf.queryExecution().executedPlan())
+    assert d["global_window"] is False
+
+
+def test_rater_triangulation_one_pass(spark):
+    """q359: one scan, one conditional aggregation, no join/window."""
+    from sensor_data_pipeline_spark.plans.frontier3 import q359_rater_error_triangulation
+
+    plan = plan_of(q359_rater_error_triangulation(spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial_sum" in plan
+
+
+def test_yield_forecast_keyed_window_one_scan(spark):
+    """q360: rank-within-fingerprint is a keyed window (bounded by
+    cluster sizes); all policy points from one aggregate row."""
+    from sensor_data_pipeline_spark.plans.frontier3 import q360_dedup_yield_forecast
+    from tools.plan_summary import digest_jplan
+
+    df = q360_dedup_yield_forecast(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    d = digest_jplan(df._jdf.queryExecution().executedPlan())
+    assert d["global_window"] is False
+    assert "Generate" in plan  # 3-policy unpivot off the single agg row
+
+
+def test_context_overflow_single_agg(spark):
+    """q361: nine sufficient sums combine map-side in one aggregate;
+    the width unpivot runs on the 1-row result."""
+    from sensor_data_pipeline_spark.plans.frontier3 import q361_context_overflow_audit
+
+    plan = plan_of(q361_context_overflow_audit(spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+    assert plan.index("Generate") < plan.index("partial_sum"), plan
+
+
+def test_datacard_one_pass(spark):
+    """q362: the whole data card is one conditional aggregation on the
+    source key — no join, no window, one scan."""
+    from sensor_data_pipeline_spark.plans.frontier3 import q362_datacard_census
+
+    plan = plan_of(q362_datacard_census(spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_sample_sizing_one_pass(spark):
+    """q363: sizing arithmetic is per-row on the bounded source panel;
+    one scan, no join."""
+    from sensor_data_pipeline_spark.plans.frontier3 import q363_eval_sample_sizing
+
+    plan = plan_of(q363_eval_sample_sizing(spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
