@@ -82,6 +82,14 @@ def main() -> int:
         ratio = round(t_big / t_small, 2) if t_small > 0 else None
         out[name] = {lbl_small: t_small, lbl_big: t_big, "ratio": ratio}
         print(f"{name}: {t_small}s -> {t_big}s ({ratio}x)", flush=True)
+        # cache hygiene: queries that persist intermediates (MinHash
+        # signatures, census pins) leave them resident at BOTH scales;
+        # over a long batch the block store fills, the tail pays in
+        # GC-locker stalls, and late ratios read 5-10x too high (the
+        # r8 27-query batch printed q11 at 20.02x vs 2.55x fresh —
+        # then died allocating 5 words). Drop everything per query;
+        # unlike bench.py there are no pinned base tables to re-fill.
+        spark.catalog.clearCache()
         _write_artifact(out, lbl_small, lbl_big)  # incremental: a late
         # query failure must not lose earlier measurements (a round-5
         # q332 OOM dropped 16 finished decade-2 rows from the artifact)
