@@ -130,8 +130,8 @@ oct AS (
 ),
 tot AS (SELECT sum(mass) AS total FROM oct)
 SELECT octave, n_types, mass,
-       CAST(mass * 1000000 // (SELECT total FROM tot) AS BIGINT) AS mass_ppm,
-       CAST(mass * 1000000 // lag(mass) OVER (ORDER BY octave) AS BIGINT) AS ratio_vs_prev_ppm
+       CAST(CAST(mass AS HUGEINT) * 1000000 // (SELECT total FROM tot) AS BIGINT) AS mass_ppm,
+       CAST(CAST(mass AS HUGEINT) * 1000000 // lag(mass) OVER (ORDER BY octave) AS BIGINT) AS ratio_vs_prev_ppm
 FROM oct ORDER BY octave
 """,
 )
@@ -182,8 +182,8 @@ def q349_zipf_octave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "octave",
             "n_types",
             "mass",
-            F.expr("CAST((mass * 1000000) DIV total AS BIGINT)").alias("mass_ppm"),
-            F.expr("CAST((mass * 1000000) DIV prev_mass AS BIGINT)").alias(
+            F.expr("CAST((CAST(mass AS DECIMAL(38,0)) * 1000000) DIV total AS BIGINT)").alias("mass_ppm"),
+            F.expr("CAST((CAST(mass AS DECIMAL(38,0)) * 1000000) DIV prev_mass AS BIGINT)").alias(
                 "ratio_vs_prev_ppm"
             ),
         )
@@ -634,7 +634,7 @@ vocab AS (
 SELECT lang, source,
        CAST(sum(cnt) AS BIGINT) AS total_tokens,
        CAST(sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE cnt END) AS BIGINT) AS oov_tokens,
-       CAST(sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE cnt END) * 1000000
+       CAST(CAST(sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE cnt END) AS HUGEINT) * 1000000
             // sum(cnt) AS BIGINT) AS oov_ppm
 FROM tc GROUP BY lang, source ORDER BY lang, source
 """,
@@ -686,7 +686,7 @@ def q354_oov_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "total_tokens",
             "oov_tokens",
-            F.expr("CAST((oov_tokens * 1000000) DIV total_tokens AS BIGINT)").alias(
+            F.expr("CAST((CAST(oov_tokens AS DECIMAL(38,0)) * 1000000) DIV total_tokens AS BIGINT)").alias(
                 "oov_ppm"
             ),
         )
@@ -961,7 +961,7 @@ present AS (
 SELECT s.source, s.n_s AS n_tokens,
        CAST((p.present_sum
              + CAST(s.n_s AS HUGEINT) * ((SELECT n FROM tot) - p.covered_ct)) * 1000000
-            // (CAST(2 AS HUGEINT) * s.n_s * ((SELECT n FROM tot) - s.n_s)) AS BIGINT) AS tv_ppm
+            // NULLIF(CAST(2 AS HUGEINT) * s.n_s * ((SELECT n FROM tot) - s.n_s), 0) AS BIGINT) AS tv_ppm
 FROM ns s JOIN present p ON p.source = s.source
 ORDER BY s.source
 """,
@@ -1027,7 +1027,7 @@ def q357_source_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_s").alias("n_tokens"),
             F.expr(
                 "CAST((present_sum + CAST(n_s AS DECIMAL(38,0)) * (n - covered_ct))"
-                " * 1000000 DIV (CAST(2 AS DECIMAL(38,0)) * n_s * (n - n_s)) AS BIGINT)"
+                " * 1000000 DIV nullif(CAST(2 AS DECIMAL(38,0)) * n_s * (n - n_s), 0) AS BIGINT)"
             ).alias("tv_ppm"),
         )
         .orderBy("source")
@@ -1191,7 +1191,6 @@ def q359_rater_error_triangulation(spark: SparkSession, sf_dir: str) -> DataFram
         "mj", F.when(F.col("r1") + F.col("r2") + F.col("r3") >= 2, 1).otherwise(0)
     )
     n = F.count(F.lit(1))
-    err = lambda r: F.sum(F.when(F.col(r) != F.col("mj"), 1).otherwise(0))  # noqa: E731
     return (
         votes.groupBy("lang")
         .agg(
@@ -1245,7 +1244,7 @@ agg AS (
   FROM rk
 )
 SELECT keep_k, docs_removed, tokens_saved,
-       CAST(tokens_saved * 1000000 // (SELECT total_tokens FROM tot) AS BIGINT) AS saved_ppm
+       CAST(CAST(tokens_saved AS HUGEINT) * 1000000 // (SELECT total_tokens FROM tot) AS BIGINT) AS saved_ppm
 FROM (
   {" UNION ALL ".join(f"SELECT CAST({k} AS BIGINT) AS keep_k, d{k} AS docs_removed, t{k} AS tokens_saved FROM agg" for k in _YIELD_KEEP)}
 ) ORDER BY keep_k
@@ -1303,7 +1302,7 @@ def q360_dedup_yield_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_removed",
             "tokens_saved",
             F.expr(
-                "CAST(tokens_saved * 1000000 DIV total_tokens AS BIGINT)"
+                "CAST(CAST(tokens_saved AS DECIMAL(38,0)) * 1000000 DIV total_tokens AS BIGINT)"
             ).alias("saved_ppm"),
         )
         .orderBy("keep_k")
@@ -1330,9 +1329,9 @@ agg AS (
   FROM t
 )
 SELECT width, n_docs_over, trunc_loss_tokens,
-       CAST(trunc_loss_tokens * 1000000 // total_tokens AS BIGINT) AS trunc_loss_ppm,
+       CAST(CAST(trunc_loss_tokens AS HUGEINT) * 1000000 // total_tokens AS BIGINT) AS trunc_loss_ppm,
        split_pad_tokens,
-       CAST(split_pad_tokens * 1000000 // total_tokens AS BIGINT) AS split_overhead_ppm
+       CAST(CAST(split_pad_tokens AS HUGEINT) * 1000000 // total_tokens AS BIGINT) AS split_overhead_ppm
 FROM (
   {" UNION ALL ".join(f"SELECT CAST({w} AS BIGINT) AS width, o{w} AS n_docs_over, l{w} AS trunc_loss_tokens, p{w} AS split_pad_tokens, total_tokens FROM agg" for w in _CTX_WIDTHS)}
 ) ORDER BY width
@@ -1388,11 +1387,11 @@ def q361_context_overflow_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_over",
             "trunc_loss_tokens",
             F.expr(
-                "CAST(trunc_loss_tokens * 1000000 DIV total_tokens AS BIGINT)"
+                "CAST(CAST(trunc_loss_tokens AS DECIMAL(38,0)) * 1000000 DIV total_tokens AS BIGINT)"
             ).alias("trunc_loss_ppm"),
             "split_pad_tokens",
             F.expr(
-                "CAST(split_pad_tokens * 1000000 DIV total_tokens AS BIGINT)"
+                "CAST(CAST(split_pad_tokens AS DECIMAL(38,0)) * 1000000 DIV total_tokens AS BIGINT)"
             ).alias("split_overhead_ppm"),
         )
         .orderBy("width")

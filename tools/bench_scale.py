@@ -87,9 +87,19 @@ def main() -> int:
         # over a long batch the block store fills, the tail pays in
         # GC-locker stalls, and late ratios read 5-10x too high (the
         # r8 27-query batch printed q11 at 20.02x vs 2.55x fresh —
-        # then died allocating 5 words). Drop everything per query;
-        # unlike bench.py there are no pinned base tables to re-fill.
+        # then died allocating 5 words). clearCache() drops .cache()/
+        # .persist() frames but NOT localCheckpoint blocks — those are
+        # RDD-level persists outside the CacheManager, reclaimed only
+        # when the ContextCleaner GCs the RDD handles (measured: a
+        # checkpointed RDD stays at 32/32 cached partitions across
+        # clearCache). The query's Python refs die with this loop
+        # iteration; a JVM System.gc() lets the cleaner's weak refs
+        # fire now instead of under allocation pressure mid-timing.
         spark.catalog.clearCache()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass  # hygiene is best-effort; never fail the measurement
         _write_artifact(out, lbl_small, lbl_big)  # incremental: a late
         # query failure must not lose earlier measurements (a round-5
         # q332 OOM dropped 16 finished decade-2 rows from the artifact)

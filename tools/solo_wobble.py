@@ -49,6 +49,24 @@ def main() -> int:
     spec = REGISTRY[name]
     spark = get_spark(app_name=f"solo-{name}")
 
+    # Digest FIRST, in the pristine session: the committed
+    # PLAN_SUMMARY.json baseline is built with no tables cached, and
+    # caching the base tables below turns their scan leaves into pins
+    # whenever sf_dir aliases the digest scale (reproduced: sf0.001
+    # runs printed a false 'regression' diff {scans->pins} for an
+    # unchanged plan). Plan shape is scale-invariant and timing-free,
+    # so ordering it before the warmup costs nothing.
+    import plan_summary as ps
+
+    cap = ps._PinCapture()
+    with cap:
+        digest = cap.digest_full(
+            lambda: spec.spark(spark, "/root/testdata/sf0.001")
+        )
+    base = json.load(open(os.path.join(ROOT, "PLAN_SUMMARY.json")))["queries"][name]
+    diff = {k: (base.get(k), digest.get(k)) for k in set(base) | set(digest)
+            if base.get(k) != digest.get(k)}
+
     # bench.py's warmup, verbatim: codegen compiler, shuffle machinery,
     # Arrow/Python worker pool, then the ten pinned base tables.
     from pyspark.sql import functions as F
@@ -82,17 +100,6 @@ def main() -> int:
         t0 = time.perf_counter()
         materialize(spec.spark(spark, sf_dir))
         runs.append(round(time.perf_counter() - t0, 3))
-
-    import plan_summary as ps
-
-    cap = ps._PinCapture()
-    with cap:
-        digest = cap.digest_full(
-            lambda: spec.spark(spark, "/root/testdata/sf0.001")
-        )
-    base = json.load(open(os.path.join(ROOT, "PLAN_SUMMARY.json")))["queries"][name]
-    diff = {k: (base.get(k), digest.get(k)) for k in set(base) | set(digest)
-            if base.get(k) != digest.get(k)}
 
     print(json.dumps({
         "query": name, "sf_dir": sf_dir, "cold": runs[0],
