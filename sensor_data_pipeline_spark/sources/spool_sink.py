@@ -22,6 +22,19 @@ this module is the formal sink-API form on Spark 4's
 Paired with checkpointed offsets this is exactly-once end to end —
 the same commit-protocol layering (data files + atomically swapped
 metadata) that transactional table formats use, at spool-file scale.
+
+The BATCH ``writer()`` side (round 8) completes the format: ``df.write
+.format("jsonl_spool").option("path", d).mode("append"|"overwrite")
+.save()`` runs the same two-phase protocol for batch jobs —
+``_SUCCESS`` is the batch manifest (parts + row counts, written last
+and atomically), append accumulates under it, overwrite clears the
+previous batch dataset at commit time (readers see old-or-new, never
+a mix). Abort/commit also SWEEP stray ``.tmp-*`` spools: a task that
+raises — or is killed when a sibling fails — never returns its commit
+message, and a retried task leaves its first attempt's temp even on a
+successful job, so the driver cannot enumerate leakage by name; spool
+directories are single-writer (one job/stream at a time — the
+side-effect-device model), which makes the sweep exact.
 """
 
 from __future__ import annotations
@@ -33,6 +46,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamWriter,
+    DataSourceWriter,
     WriterCommitMessage,
 )
 
@@ -79,11 +93,96 @@ class _JsonlSpoolStreamWriter(DataSourceStreamWriter):
         with open(manifest_tmp, "w") as f:
             json.dump({"batch_id": batchId, "parts": parts}, f)
         os.replace(manifest_tmp, os.path.join(self._dir, f"epoch{batchId}.manifest"))
+        _sweep_temps(self._dir)  # retried tasks' first-attempt temps
 
     def abort(self, messages, batchId: int) -> None:  # noqa: ARG002
-        for m in messages:
-            if m and m.tmp_path and os.path.exists(m.tmp_path):
-                os.remove(m.tmp_path)
+        _sweep_temps(self._dir)
+
+
+def _sweep_temps(spool_dir: str) -> None:
+    """Remove every ``.tmp-*`` spool — not just the ones messages name.
+    A task that raises (or is killed when a sibling fails) never
+    returns its commit message, and a task retried after a transient
+    failure leaves its first attempt's temp behind even on a
+    SUCCESSFUL job, so the driver cannot enumerate leaked temps by
+    name. Spool dirs are single-writer, making the sweep exact."""
+    if not os.path.isdir(spool_dir):
+        return
+    for name in os.listdir(spool_dir):
+        if name.startswith(".tmp-"):
+            try:
+                os.remove(os.path.join(spool_dir, name))
+            except FileNotFoundError:
+                pass
+
+
+class BatchSpoolCommitMessage(WriterCommitMessage):
+    def __init__(self, tmp_path: str, n_rows: int) -> None:
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+
+
+class _JsonlSpoolBatchWriter(DataSourceWriter):
+    """Batch twin of the stream writer: same temp-then-rename
+    protocol, with ``_SUCCESS`` as the atomically-replaced batch
+    manifest. ``fail_over`` is a test hook exercising the abort path:
+    any numeric cell above it raises in the task."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("jsonl_spool requires option 'path'")
+        self._overwrite = overwrite
+        fail = options.get("fail_over")
+        self._fail_over = int(fail) if fail is not None else None
+
+    def write(self, iterator) -> BatchSpoolCommitMessage:
+        os.makedirs(self._dir, exist_ok=True)
+        tmp = os.path.join(self._dir, f".tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                d = row.asDict()
+                if self._fail_over is not None:
+                    for v in d.values():
+                        if isinstance(v, (int, float)) and v > self._fail_over:
+                            raise ValueError(
+                                f"injected failure: {v} > {self._fail_over}"
+                            )
+                f.write(json.dumps(d) + "\n")
+                n += 1
+        if n == 0:
+            os.remove(tmp)
+            return BatchSpoolCommitMessage("", 0)
+        return BatchSpoolCommitMessage(tmp, n)
+
+    def commit(self, messages) -> None:
+        # driver-side, once, only after every task succeeded
+        manifest = {"parts": [], "total_rows": 0}
+        success = os.path.join(self._dir, "_SUCCESS")
+        if self._overwrite:
+            for name in os.listdir(self._dir):
+                if name.startswith("part-") or name == "_SUCCESS":
+                    os.remove(os.path.join(self._dir, name))
+        elif os.path.exists(success):
+            with open(success) as f:
+                manifest = json.load(f)
+        existing = sum(1 for n in os.listdir(self._dir) if n.startswith("part-"))
+        for i, m in enumerate(m for m in messages if m and m.tmp_path):
+            final = f"part-{existing + i}.jsonl"
+            os.replace(m.tmp_path, os.path.join(self._dir, final))
+            manifest["parts"].append({"name": final, "rows": m.n_rows})
+            manifest["total_rows"] += m.n_rows
+        # manifest LAST, atomically: readers honoring _SUCCESS never
+        # observe a partial dataset
+        tmp_manifest = os.path.join(self._dir, f".tmp-manifest-{uuid.uuid4().hex}")
+        with open(tmp_manifest, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp_manifest, success)
+        _sweep_temps(self._dir)  # retried tasks' first-attempt temps
+
+    def abort(self, messages) -> None:  # noqa: ARG002
+        _sweep_temps(self._dir)
 
 
 class JsonlSpoolDataSource(DataSource):
@@ -96,6 +195,9 @@ class JsonlSpoolDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:  # noqa: ARG002
         return _JsonlSpoolStreamWriter(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:  # noqa: ARG002
+        return _JsonlSpoolBatchWriter(self.options, overwrite)
 
 
 def register_jsonl_spool(spark) -> None:

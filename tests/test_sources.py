@@ -267,3 +267,86 @@ def test_http_poll_checkpoint_no_refetch(spark, tmp_path):
     assert sorted(calls) == [0, 1, 2, 3, 4, 5, 6, 7], calls
     got = spark.read.parquet(out)
     assert got.count() == 8 * 5 and got.select("tick").distinct().count() == 8
+
+
+# --- jsonl_spool: the batch side of the Python DataSource WRITER ------------
+# (the streaming side is covered by test_streaming.py::
+# test_jsonl_spool_sink_two_phase_commit_and_restart)
+
+
+def _read_success(path):
+    import json
+    import os
+
+    with open(os.path.join(path, "_SUCCESS")) as f:
+        return json.load(f)
+
+
+def test_jsonl_spool_batch_write_roundtrip(spark, tmp_path):
+    """Batch write: rows land as part-N.jsonl with the _SUCCESS batch
+    manifest replaced atomically LAST; reading the manifest's parts
+    reproduces the dataset and no temp spools survive."""
+    import json
+    import os
+
+    from sensor_data_pipeline_spark.sources.spool_sink import register_jsonl_spool
+
+    register_jsonl_spool(spark)
+    d = str(tmp_path / "spool")
+    df = spark.range(100).selectExpr("id", "id * 2 AS doubled")
+    df.write.format("jsonl_spool").option("path", d).mode("append").save()
+
+    manifest = _read_success(d)
+    assert manifest["total_rows"] == 100
+    rows = []
+    for part in manifest["parts"]:
+        with open(os.path.join(d, part["name"])) as f:
+            rows += [json.loads(line) for line in f]
+    assert len(rows) == 100
+    assert sorted(r["id"] for r in rows) == list(range(100))
+    assert all(r["doubled"] == r["id"] * 2 for r in rows)
+    assert not [n for n in os.listdir(d) if n.startswith(".tmp-")]
+
+
+def test_jsonl_spool_append_accumulates_overwrite_replaces(spark, tmp_path):
+    import os
+
+    from sensor_data_pipeline_spark.sources.spool_sink import register_jsonl_spool
+
+    register_jsonl_spool(spark)
+    d = str(tmp_path / "spool")
+    spark.range(10).write.format("jsonl_spool").option("path", d).mode("append").save()
+    spark.range(5).write.format("jsonl_spool").option("path", d).mode("append").save()
+    assert _read_success(d)["total_rows"] == 15
+    spark.range(3).write.format("jsonl_spool").option("path", d).mode(
+        "overwrite"
+    ).save()
+    manifest = _read_success(d)
+    assert manifest["total_rows"] == 3
+    parts_on_disk = {n for n in os.listdir(d) if n.startswith("part-")}
+    assert parts_on_disk == {p["name"] for p in manifest["parts"]}
+
+
+def test_jsonl_spool_abort_leaves_no_partial_dataset(spark, tmp_path):
+    """A task failure aborts the job: no _SUCCESS, no committed parts,
+    and the sweep removed EVERY temp — including those of tasks that
+    were killed mid-write when a sibling failed and so never returned
+    a commit message (the reason abort cannot rely on the message
+    list; a name-based cleanup left 4 orphan temps in this exact
+    test)."""
+    import os
+
+    import pytest as _pytest
+
+    from sensor_data_pipeline_spark.sources.spool_sink import register_jsonl_spool
+
+    register_jsonl_spool(spark)
+    d = str(tmp_path / "spool")
+    with _pytest.raises(Exception):
+        spark.range(100).write.format("jsonl_spool").option("path", d).option(
+            "fail_over", "50"
+        ).mode("append").save()
+    leftover = os.listdir(d) if os.path.exists(d) else []
+    assert "_SUCCESS" not in leftover
+    assert not [n for n in leftover if n.startswith("part-")]
+    assert not [n for n in leftover if n.startswith(".tmp-")]
