@@ -26,15 +26,21 @@ metadata) that transactional table formats use, at spool-file scale.
 The BATCH ``writer()`` side (round 8) completes the format: ``df.write
 .format("jsonl_spool").option("path", d).mode("append"|"overwrite")
 .save()`` runs the same two-phase protocol for batch jobs —
-``_SUCCESS`` is the batch manifest (parts + row counts, written last
-and atomically), append accumulates under it, overwrite clears the
-previous batch dataset at commit time (readers see old-or-new, never
-a mix). Abort/commit also SWEEP stray ``.tmp-*`` spools: a task that
-raises — or is killed when a sibling fails — never returns its commit
-message, and a retried task leaves its first attempt's temp even on a
-successful job, so the driver cannot enumerate leakage by name; spool
-directories are single-writer (one job/stream at a time — the
-side-effect-device model), which makes the sweep exact.
+``_SUCCESS`` is the batch manifest (parts + row counts), the
+atomically-replaced single visibility step. New parts carry
+generation-unique names, so overwrite deletes the old generation only
+AFTER the manifest swap (readers resolving through ``_SUCCESS`` see
+old-or-new, never a mix, even across a crash at any commit point);
+the next commit reconciles any unreferenced parts a crashed rename
+phase left behind. Abort/commit also SWEEP stray ``.tmp-*`` spools: a
+task that raises — or is killed when a sibling fails — never returns
+its commit message, and a retried task leaves its first attempt's
+temp even on a successful job, so the driver cannot enumerate leakage
+by name; spool directories are single-writer (one job/stream at a
+time — the side-effect-device model), which makes the sweep exact up
+to one race: a sibling task async-killed mid-``write`` can recreate
+its temp just after the sweep — that straggler is collected by the
+NEXT commit/abort sweep (eventual cleanliness, never read meanwhile).
 """
 
 from __future__ import annotations
@@ -96,7 +102,20 @@ class _JsonlSpoolStreamWriter(DataSourceStreamWriter):
         _sweep_temps(self._dir)  # retried tasks' first-attempt temps
 
     def abort(self, messages, batchId: int) -> None:  # noqa: ARG002
-        _sweep_temps(self._dir)
+        _abort_sweep(self._dir)
+
+
+def _abort_sweep(spool_dir: str) -> None:
+    """Abort-time sweep with one settle-and-resweep pass: task kill is
+    cooperative/async, so a sibling killed mid-``write`` can recreate
+    its temp milliseconds after the first sweep. The second pass
+    closes the common window; anything later is collected by the next
+    commit/abort sweep (documented eventual cleanliness)."""
+    import time
+
+    _sweep_temps(spool_dir)
+    time.sleep(0.2)
+    _sweep_temps(spool_dir)
 
 
 def _sweep_temps(spool_dir: str) -> None:
@@ -157,32 +176,51 @@ class _JsonlSpoolBatchWriter(DataSourceWriter):
         return BatchSpoolCommitMessage(tmp, n)
 
     def commit(self, messages) -> None:
-        # driver-side, once, only after every task succeeded
-        manifest = {"parts": [], "total_rows": 0}
+        # Driver-side, once, only after every task succeeded. The
+        # old-or-new guarantee rests on ORDERING, not deletion-first:
+        # new parts get generation-unique names (no collision with any
+        # prior generation), the manifest swap is the single atomic
+        # visibility step, and only THEN does overwrite delete the old
+        # generation. A crash at any point leaves a readable dataset:
+        # before the swap, readers still resolve the old manifest
+        # (new-generation parts are unreferenced noise); after it, the
+        # new one (old parts linger until reconciliation but are never
+        # read). The review of the first form found the inverse order
+        # destroyed the old dataset before the new manifest existed.
         success = os.path.join(self._dir, "_SUCCESS")
-        if self._overwrite:
-            for name in os.listdir(self._dir):
-                if name.startswith("part-") or name == "_SUCCESS":
-                    os.remove(os.path.join(self._dir, name))
-        elif os.path.exists(success):
+        old = {"parts": [], "total_rows": 0}
+        if os.path.exists(success):
             with open(success) as f:
-                manifest = json.load(f)
-        existing = sum(1 for n in os.listdir(self._dir) if n.startswith("part-"))
+                old = json.load(f)
+        old_names = {p["name"] for p in old["parts"]}
+        # reconcile: on-disk parts referenced by NO manifest are
+        # orphans of a commit that crashed between rename and swap —
+        # the only point new-generation parts exist unreferenced
+        for name in os.listdir(self._dir):
+            if name.startswith("part-") and name not in old_names:
+                os.remove(os.path.join(self._dir, name))
+        gen = uuid.uuid4().hex[:8]
+        manifest = {"parts": [], "total_rows": 0} if self._overwrite else dict(old)
         for i, m in enumerate(m for m in messages if m and m.tmp_path):
-            final = f"part-{existing + i}.jsonl"
+            final = f"part-{gen}-{i}.jsonl"
             os.replace(m.tmp_path, os.path.join(self._dir, final))
             manifest["parts"].append({"name": final, "rows": m.n_rows})
             manifest["total_rows"] += m.n_rows
-        # manifest LAST, atomically: readers honoring _SUCCESS never
-        # observe a partial dataset
+        # the atomic visibility step
         tmp_manifest = os.path.join(self._dir, f".tmp-manifest-{uuid.uuid4().hex}")
         with open(tmp_manifest, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp_manifest, success)
+        if self._overwrite:
+            for name in old_names:  # now unreferenced; safe to drop
+                try:
+                    os.remove(os.path.join(self._dir, name))
+                except FileNotFoundError:
+                    pass
         _sweep_temps(self._dir)  # retried tasks' first-attempt temps
 
     def abort(self, messages) -> None:  # noqa: ARG002
-        _sweep_temps(self._dir)
+        _abort_sweep(self._dir)
 
 
 class JsonlSpoolDataSource(DataSource):

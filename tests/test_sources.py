@@ -350,3 +350,28 @@ def test_jsonl_spool_abort_leaves_no_partial_dataset(spark, tmp_path):
     assert "_SUCCESS" not in leftover
     assert not [n for n in leftover if n.startswith("part-")]
     assert not [n for n in leftover if n.startswith(".tmp-")]
+
+
+def test_jsonl_spool_commit_reconciles_crashed_rename_orphans(spark, tmp_path):
+    """A commit that crashed between the rename phase and the manifest
+    swap leaves generation-named parts referenced by NO manifest; the
+    next commit reconciles them away, and an overwrite crash can never
+    lose the old dataset because deletion happens only AFTER the
+    atomic manifest swap."""
+    import os
+
+    from sensor_data_pipeline_spark.sources.spool_sink import register_jsonl_spool
+
+    register_jsonl_spool(spark)
+    d = str(tmp_path / "spool")
+    spark.range(10).write.format("jsonl_spool").option("path", d).mode("append").save()
+    # simulate a crashed commit's rename phase: an unreferenced part
+    stray = os.path.join(d, "part-deadbeef-0.jsonl")
+    with open(stray, "w") as f:
+        f.write('{"id": 999}\n')
+    spark.range(5).write.format("jsonl_spool").option("path", d).mode("append").save()
+    manifest = _read_success(d)
+    assert manifest["total_rows"] == 15
+    assert not os.path.exists(stray)
+    parts_on_disk = {n for n in os.listdir(d) if n.startswith("part-")}
+    assert parts_on_disk == {p["name"] for p in manifest["parts"]}

@@ -78,6 +78,16 @@ def main() -> int:
             continue
         spec = REGISTRY[name]
         t_small = _time_query(spec, spark, small)
+        # hygiene BETWEEN the scales too, not just between queries: a
+        # persist-heavy query's small-scale pins otherwise stay
+        # resident while the big scale runs, and the ratio's numerator
+        # pays the small scale's block-store pressure — biasing upward
+        # exactly the persist-heavy queries the sweep watches
+        spark.catalog.clearCache()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
         t_big = _time_query(spec, spark, big)
         ratio = round(t_big / t_small, 2) if t_small > 0 else None
         out[name] = {lbl_small: t_small, lbl_big: t_big, "ratio": ratio}
