@@ -193,7 +193,7 @@ def embedding_neardup_pairs(
     n_blocks: int = 8,
     exact: bool = False,
     n_bands: int = 3,
-    band_bits: int = 4,
+    band_bits: int | None = 4,
     banded_blocks: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
@@ -239,6 +239,20 @@ def embedding_neardup_pairs(
     log2(n / target_bucket_rows); recall per pair is unchanged only if
     the pair agrees on the extra bits too, so re-audit with q150's
     recall harness after resizing (more bands buy recall back).
+
+    ``band_bits=None`` applies that sizing rule AUTOMATICALLY (the
+    occupancy-adaptive q339 form): bits = 4 + ceil-log2(n/2048),
+    computed integer-exactly from the binary length of
+    (n-1) DIV 2048 (float log2 rounds unportably at exact powers) and
+    carried as a 1-row broadcast column — no driver collect. Capped
+    at 21 so the three bands' disjoint hyperplanes fit 64 dims; past
+    ~2048·2^17 vectors the cap re-admits occupancy growth and a
+    wider-band family (MinHash-LSH over a large hash space, q42's
+    shape) is the honest tool. Per-pair recall FALLS as bits grow
+    (p^bits per band) — the adaptive form holds THROUGHPUT linear and
+    leaves recall to the audit ledger (q150 pair recall, q364
+    fixed-cost containment calibration, q356's analytic (b,r)
+    S-curve for re-budgeting bands).
     """
     blocks = n_blocks if exact else banded_blocks
     d = df.select(
@@ -248,6 +262,33 @@ def embedding_neardup_pairs(
     )
     if exact:
         d = d.withColumn("bucket", F.lit(0).cast("bigint"))
+    elif band_bits is None:
+        # occupancy-adaptive width: bits from the corpus count via a
+        # broadcast params row; band b's bucket id = b << bits + sign
+        # bits of dims [b*bits, (b+1)*bits) — all dynamic in `_bits`
+        params = df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.expr(
+                "CAST(LEAST(21, 4 + CASE WHEN n <= 2048 THEN 0"
+                " ELSE length(bin((n - 1) DIV 2048)) END) AS INT)"
+            ).alias("_bits")
+        )
+        bands = F.array(
+            *[
+                F.expr(
+                    f"shiftleft(CAST({b} AS BIGINT), _bits) + "
+                    f"aggregate(transform(sequence(1, _bits), "
+                    f"i -> IF(element_at(v, {b} * _bits + i) > CAST(0 AS FLOAT), "
+                    f"shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT))), "
+                    f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+                )
+                for b in range(n_bands)
+            ]
+        )
+        d = (
+            d.crossJoin(F.broadcast(params))
+            .withColumn("bucket", F.explode(bands))
+            .drop("_bits")
+        )
     else:
         # band b's bucket id = b * 2^band_bits + sign bits of dims
         # [b*band_bits, (b+1)*band_bits) — disjoint hyperplanes per band

@@ -315,7 +315,7 @@ def q123_source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
-       list_slice(list(event_type ORDER BY ts, event_id), 1, 20) AS first_events
+       array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, 20), '|') AS first_events
 FROM events
 GROUP BY user_id
 ORDER BY user_id
@@ -328,15 +328,25 @@ def q129_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id, type) structs and sort_array-ing makes the sequence
     a pure function of the data (the property a reproducible 100 TB
     sequence build needs). One shuffle on user_id; the truncation to
-    20 bounds the array payload."""
+    20 bounds the array payload.
+
+    The sequence is emitted as a '|'-joined STRING, not an ARRAY: the
+    driver's canonicalizer sorts result columns with pandas, which
+    cannot hash list-valued cells (the round-8 q129 red row). The
+    delimited form is hashable everywhere and loses nothing — the
+    registry contract gate (tests/test_registry_contract.py) now bans
+    top-level ARRAY/MAP/STRUCT output columns for exactly this reason."""
     e = load_table(spark, "events", sf_dir)
-    seq = F.slice(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
-            lambda s: s["event_type"],
+    seq = F.concat_ws(
+        "|",
+        F.slice(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            1,
+            20,
         ),
-        1,
-        20,
     )
     return (
         e.groupBy("user_id")

@@ -215,7 +215,7 @@ tot AS (SELECT sum(sz) AS n_rows FROM cls)
 SELECT k,
        CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT) AS classes_at_risk,
        CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
-       CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) * 1000000
+       CAST(CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS HUGEINT) * 1000000
             // (SELECT n_rows FROM tot) AS BIGINT) AS rows_at_risk_ppm
 FROM cls CROSS JOIN (SELECT unnest([{", ".join(str(k) for k in _K_LEVELS)}]) AS k)
 GROUP BY k ORDER BY k
@@ -270,9 +270,13 @@ def q350_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").cast("bigint").alias("k"),
             "classes_at_risk",
             "rows_at_risk",
-            F.expr("CAST((rows_at_risk * 1000000) DIV n_rows AS BIGINT)").alias(
-                "rows_at_risk_ppm"
-            ),
+            # DECIMAL(38,0) guard before the *1e6 (ADVICE r8): a bare
+            # BIGINT product overflows int64 past ~9.2e12 rows at risk
+            # while DuckDB's HUGEINT side would not — divergent engines
+            F.expr(
+                "CAST((CAST(rows_at_risk AS DECIMAL(38,0)) * 1000000)"
+                " DIV n_rows AS BIGINT)"
+            ).alias("rows_at_risk_ppm"),
         )
         .orderBy("k")
     )
@@ -751,9 +755,14 @@ def q355_split_balance_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (N1/N2 global train/val totals, T the stratum size, N=N1+N2); the
     emitted chisq_ppm folds the algebra into ONE integer division over
-    decimal(38,0)/HUGEINT products — exact while |d| < ~1.8e18, i.e.
-    any stratum with T * N below bigint range; flag = chisq_ppm >
-    {_CHISQ_PPM} (the 1-df 95% critical value 3.841 in ppm).
+    decimal(38,0)/HUGEINT products — exact while |d| < ~1e16 (the
+    binding term is d²·1e6 ≤ 1e38, DECIMAL(38,0) capacity, NOT the
+    bigint range of d itself; ADVICE r8 corrected the earlier ~1.8e18
+    claim). Past that bound the engines FAIL DIFFERENTLY — Spark
+    decimal overflow yields NULL under non-ANSI mode while DuckDB's
+    HUGEINT raises — so the bound is a documented contract, not a
+    graceful degradation; flag = chisq_ppm > {_CHISQ_PPM} (the 1-df
+    95% critical value 3.841 in ppm).
 
     Note the d^2*1e6 DIV (T*N1*N2) form: chi2 = d^2*N/(T*N1*N2*N) =
     d^2/(T*N1*N2) after the N cancels — no float, no rounding.
@@ -1196,19 +1205,19 @@ def q359_rater_error_triangulation(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(
             n.cast("bigint").alias("n_docs"),
             F.expr(
-                "CAST(sum(CASE WHEN r1 <> mj THEN 1 ELSE 0 END) * 1000000"
+                "CAST(CAST(sum(CASE WHEN r1 <> mj THEN 1 ELSE 0 END) AS DECIMAL(38,0)) * 1000000"
                 " DIV count(*) AS BIGINT)"
             ).alias("err1_ppm"),
             F.expr(
-                "CAST(sum(CASE WHEN r2 <> mj THEN 1 ELSE 0 END) * 1000000"
+                "CAST(CAST(sum(CASE WHEN r2 <> mj THEN 1 ELSE 0 END) AS DECIMAL(38,0)) * 1000000"
                 " DIV count(*) AS BIGINT)"
             ).alias("err2_ppm"),
             F.expr(
-                "CAST(sum(CASE WHEN r3 <> mj THEN 1 ELSE 0 END) * 1000000"
+                "CAST(CAST(sum(CASE WHEN r3 <> mj THEN 1 ELSE 0 END) AS DECIMAL(38,0)) * 1000000"
                 " DIV count(*) AS BIGINT)"
             ).alias("err3_ppm"),
             F.expr(
-                "CAST(sum(CASE WHEN r1 = r2 AND r2 = r3 THEN 1 ELSE 0 END) * 1000000"
+                "CAST(CAST(sum(CASE WHEN r1 = r2 AND r2 = r3 THEN 1 ELSE 0 END) AS DECIMAL(38,0)) * 1000000"
                 " DIV count(*) AS BIGINT)"
             ).alias("unanimous_ppm"),
         )
@@ -1456,19 +1465,19 @@ def q362_datacard_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
-            F.expr("CAST(sum(n_tok) * 1000 DIV count(*) AS BIGINT)").alias(
+            F.expr("CAST(CAST(sum(n_tok) AS DECIMAL(38,0)) * 1000 DIV count(*) AS BIGINT)").alias(
                 "mean_tokens_x1000"
             ),
             F.expr(
-                "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000"
+                "CAST(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DECIMAL(38,0)) * 1000000"
                 " DIV count(*) AS BIGINT)"
             ).alias("en_ppm"),
             F.expr(
-                "CAST(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) * 1000000"
+                "CAST(CAST(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS DECIMAL(38,0)) * 1000000"
                 " DIV count(*) AS BIGINT)"
             ).alias("short_ppm"),
             F.expr(
-                "CAST(sum(is_train) * 1000000 DIV count(*) AS BIGINT)"
+                "CAST(CAST(sum(is_train) AS DECIMAL(38,0)) * 1000000 DIV count(*) AS BIGINT)"
             ).alias("train_ppm"),
         )
         .orderBy("source")

@@ -895,14 +895,112 @@ def q86_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q191_banded_dedup_clusters",
     category="dedup",
     oracle=f"""
-WITH RECURSIVE emb AS (
+WITH RECURSIVE params AS (
+  SELECT CAST(LEAST(21, 4 + CASE WHEN n <= 2048 THEN 0
+              ELSE length(bin((n - 1) // 2048)) END) AS BIGINT) AS bits
+  FROM (SELECT count(*) AS n FROM embeddings)
+),
+emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, embedding AS raw
   FROM embeddings
+),
+bb AS (
+  SELECT e.vec_id, e.v,
+         (bnd.b << p.bits)
+         + CAST(list_aggregate(list_transform(
+               generate_series(1, p.bits),
+               i -> CASE WHEN e.raw[bnd.b * p.bits + i] > 0
+                    THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END),
+               'sum') AS BIGINT) AS bucket
+  FROM emb e
+  CROSS JOIN params p
+  CROSS JOIN (SELECT unnest([CAST(0 AS BIGINT), 1, 2]) AS b) bnd
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bb a JOIN bb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+band_pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN emb ea ON ea.vec_id = c.id_a
+  JOIN emb eb ON eb.vec_id = c.id_b
+  WHERE {_DUCK_COSINE.format(a="ea.v", b="eb.v")} >= CAST(0.4 AS DOUBLE)
+),
+bedges AS (SELECT id_a AS src, id_b AS dst FROM band_pairs
+           UNION SELECT id_b, id_a FROM band_pairs),
+breach AS (SELECT src AS node, src AS r FROM bedges
+           UNION SELECT e.dst AS node, breach.r FROM breach JOIN bedges e ON e.src = breach.node),
+bclust AS (SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id FROM breach GROUP BY node)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(max(vec_id) AS BIGINT) AS last_member
+FROM bclust
+GROUP BY cluster_id
+ORDER BY cluster_id
+""",
+)
+def q191_banded_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB near-dup pipeline END-TO-END with its default scale
+    path: banded sign-LSH pre-blocked pair generation
+    (embedding_neardup_pairs with the OCCUPANCY-ADAPTIVE band width,
+    never all-pairs) feeding connected components (dedup_components
+    min-label) — candidate generation, clustering, and cluster stats
+    as ONE declared query.
+
+    Round-9 split (VERDICT r8 item 4): through round 8 this query also
+    recomputed the EXACT pair closure (embedding_neardup_pairs(
+    exact=True)) to audit banded-cluster containment, which made the
+    end-to-end query O(n²) by design (>70× at the sf10 decade) and
+    forced it into the exact-all-pairs triage set. The audit is now a
+    separate FIXED-COST calibration query (q364), so this query is
+    purely the production path. The first split form still carried
+    the FIXED band width (16 buckets/band — per-bucket work grows
+    occupancy², measured >50× at decade-2), so the production path
+    now uses band_bits=None: bits = 4 + ceil-log2(n/2048), integer-
+    exact from bin() length, replicated verbatim in the oracle's
+    params CTE (the q339 idiom). Banded edges are a subset of exact
+    edges by construction (banding only prunes candidates; both sides
+    apply the same cosine threshold), so cluster containment is a
+    theorem — what the audits quantify is fragmentation/recall, which
+    FALLS as the adaptive width grows (q150/q364/q356 ledger)."""
+    from sensor_data_pipeline_spark.operators.dedup import dedup_components
+    from sensor_data_pipeline_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    banded = embedding_neardup_pairs(emb, threshold=0.4, band_bits=None)
+    blab = dedup_components(banded.select("id_a", "id_b"))
+    return (
+        blab.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max("doc_id").cast("bigint").alias("last_member"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# deterministic calibration subsample size for q364: both engines pick
+# the SAME vectors (md5-of-id order), and the exact all-pairs closure
+# over K vectors costs O(K²·dim) REGARDLESS of corpus size — the shape
+# that lets an exact-vs-banded audit ride in a 100 TB battery.
+_CALIBRATION_K = 400
+
+
+@register(
+    "q364_banding_containment_calibration",
+    category="dedup",
+    oracle=f"""
+WITH RECURSIVE samp AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, embedding AS raw
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_CALIBRATION_K}
 ),
 exact_pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          ({_BAND_MATCH_SQL}) AS candidate
-  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  FROM samp a JOIN samp b ON a.vec_id < b.vec_id
   WHERE {_DUCK_COSINE.format(a="a.v", b="b.v")} >= CAST(0.4 AS DOUBLE)
 ),
 bedges AS (SELECT id_a AS src, id_b AS dst FROM exact_pairs WHERE candidate
@@ -924,28 +1022,37 @@ GROUP BY b.cluster_id
 ORDER BY b.cluster_id
 """,
 )
-def q191_banded_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB near-dup pipeline END-TO-END with its default scale
-    path: banded sign-LSH pre-blocked pair generation
-    (embedding_neardup_pairs, never all-pairs) feeding connected
-    components (dedup_components min-label) — candidate generation,
-    clustering, and representative election as ONE declared query.
+def q364_banding_containment_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-cost banding-vs-exact containment calibration — the audit
+    half split out of q191 (VERDICT r8 item 4). A deterministic
+    K-vector subsample (global top-K by md5(vec_id) — TakeOrdered, one
+    linear scan, no shuffle of the full table) gets BOTH closures:
+    banded sign-LSH candidate pairs and the exact all-pairs closure,
+    each componentized, and every banded cluster reports the exact
+    component containing it plus the containment boolean. Banded
+    candidacy is a pairwise predicate on per-vector band signatures,
+    so banded pairs computed ON the subsample equal the full run's
+    banded pairs RESTRICTED to it — the calibration measures the real
+    production operator, not a lookalike.
 
-    The audit rides along: banded edges are a subset of exact edges
-    (banding only prunes), so every banded cluster must sit inside
-    exactly one exact-path component. Each output row carries that
-    containing exact component id and the boolean stating containment
-    held — the oracle recomputes both closures (recursive SQL) from
-    the raw embeddings, making the whole composition value-hash
-    checkable. Cluster-count recall = rows here vs exact components
-    (q150 gives the pair-level recall; this gives the cluster-level
-    view a dedup sign-off actually reviews)."""
+    Scale shape: the exact side is O(K²·dim) with K fixed (400), so
+    the query's cost is a constant plus one linear scan no matter the
+    corpus size — this is how an exact audit stays in a 100 TB battery
+    (the pre-split q191 ran the closure over ALL n and was >70× for
+    the sf10 decade). Fragmentation recall = banded clusters here vs
+    exact components; q150 gives the pair-level recall on the full
+    corpus via the same banding."""
     from sensor_data_pipeline_spark.operators.dedup import dedup_components
     from sensor_data_pipeline_spark.operators.similarity import embedding_neardup_pairs
 
     emb = load_table(spark, "embeddings", sf_dir)
-    banded = embedding_neardup_pairs(emb, threshold=0.4)  # banded default
-    exact = embedding_neardup_pairs(emb, threshold=0.4, exact=True)
+    samp = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_CALIBRATION_K)
+        .localCheckpoint(eager=True)
+    )
+    banded = embedding_neardup_pairs(samp, threshold=0.4)  # banded default
+    exact = embedding_neardup_pairs(samp, threshold=0.4, exact=True)
     blab = dedup_components(banded.select("id_a", "id_b"))
     elab = (
         dedup_components(exact.select("id_a", "id_b"))

@@ -106,33 +106,45 @@ class _JsonlSpoolStreamWriter(DataSourceStreamWriter):
 
 
 def _abort_sweep(spool_dir: str) -> None:
-    """Abort-time sweep with one settle-and-resweep pass: task kill is
+    """Abort-time sweep, repeated until QUIET: task kill is
     cooperative/async, so a sibling killed mid-``write`` can recreate
-    its temp milliseconds after the first sweep. The second pass
-    closes the common window; anything later is collected by the next
-    commit/abort sweep (documented eventual cleanliness)."""
+    its temp milliseconds after a sweep. A fixed settle-then-resweep
+    (the first form) could still lose the race on a loaded host, so
+    this polls — sweep, short sleep, resweep — until a pass finds no
+    temps, bounded at ~2s total. A straggler landing after the bound
+    is collected by the next commit/abort sweep (documented eventual
+    cleanliness), but within the bound the directory is clean, which
+    is what the abort-path test asserts immediately after abort."""
     import time
 
     _sweep_temps(spool_dir)
-    time.sleep(0.2)
-    _sweep_temps(spool_dir)
+    deadline = time.monotonic() + 2.0
+    while time.monotonic() < deadline:
+        time.sleep(0.1)
+        if not _sweep_temps(spool_dir):
+            return
 
 
-def _sweep_temps(spool_dir: str) -> None:
+def _sweep_temps(spool_dir: str) -> int:
     """Remove every ``.tmp-*`` spool — not just the ones messages name.
     A task that raises (or is killed when a sibling fails) never
     returns its commit message, and a task retried after a transient
     failure leaves its first attempt's temp behind even on a
     SUCCESSFUL job, so the driver cannot enumerate leaked temps by
-    name. Spool dirs are single-writer, making the sweep exact."""
+    name. Spool dirs are single-writer, making the sweep exact.
+    Returns the number of temps removed (0 = the directory was quiet,
+    which is _abort_sweep's stop condition)."""
     if not os.path.isdir(spool_dir):
-        return
+        return 0
+    removed = 0
     for name in os.listdir(spool_dir):
         if name.startswith(".tmp-"):
             try:
                 os.remove(os.path.join(spool_dir, name))
+                removed += 1
             except FileNotFoundError:
                 pass
+    return removed
 
 
 class BatchSpoolCommitMessage(WriterCommitMessage):
@@ -200,7 +212,14 @@ class _JsonlSpoolBatchWriter(DataSourceWriter):
             if name.startswith("part-") and name not in old_names:
                 os.remove(os.path.join(self._dir, name))
         gen = uuid.uuid4().hex[:8]
-        manifest = {"parts": [], "total_rows": 0} if self._overwrite else dict(old)
+        # append mode copies `old` DEEPLY: a dict(old) shallow copy
+        # would alias old["parts"], so the append below mutates `old`
+        # too — a latent trap for any future read of `old` after here
+        manifest = (
+            {"parts": [], "total_rows": 0}
+            if self._overwrite
+            else {"parts": list(old["parts"]), "total_rows": old["total_rows"]}
+        )
         for i, m in enumerate(m for m in messages if m and m.tmp_path):
             final = f"part-{gen}-{i}.jsonl"
             os.replace(m.tmp_path, os.path.join(self._dir, final))

@@ -261,6 +261,80 @@ def test_no_scale0_decimal_in_spark_output_schemas(spark):
     assert not leaks, f"scale-0 decimal in Spark output schema: {leaks}"
 
 
+def test_no_complex_types_in_oracle_output_schemas():
+    """Round-8 bug class (q129 red driver row): the driver sorts the
+    result frame with pandas, which cannot hash list/dict cells, so a
+    top-level ARRAY / MAP / STRUCT output column errors the whole
+    CORRECTNESS row even when the values are identical. Oracle side:
+    execute every oracle at sf0.001 and assert no list/struct/map Arrow
+    column survives — sequences leave as delimited STRINGs
+    (array_to_string) on both engines."""
+    import pyarrow as pa
+
+    from tools.compare_oracle import duck_conn
+
+    con = duck_conn("/root/testdata/sf0.001")
+    leaks = []
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        schema = con.execute(spec.oracle).arrow().schema
+        for f in schema:
+            if (
+                pa.types.is_list(f.type)
+                or pa.types.is_large_list(f.type)
+                or pa.types.is_fixed_size_list(f.type)
+                or pa.types.is_struct(f.type)
+                or pa.types.is_map(f.type)
+            ):
+                leaks.append((name, f.name, str(f.type)))
+    con.close()
+    assert not leaks, f"complex type leaked into oracle output: {leaks}"
+
+
+def test_no_complex_types_in_spark_output_schemas(spark):
+    """Spark side of the q129 canonicalizability contract: no declared
+    query's output schema may contain a top-level ArrayType / MapType /
+    StructType column. Uses the same plan-building sweep as the
+    scale-0-decimal gate (streaming/eager entries that can't build a
+    lazy plan are skipped there too)."""
+    from tools.compare_oracle import complex_output_columns
+
+    leaks = []
+    for name, spec in REGISTRY.items():
+        try:
+            schema = spec.spark(spark, "/root/testdata/sf0.001").schema
+        except Exception:
+            continue  # streaming/stateful entries that execute eagerly
+        bad = complex_output_columns(schema)
+        if bad:
+            leaks.append((name, bad))
+    assert not leaks, f"ARRAY/MAP/STRUCT in Spark output schema: {leaks}"
+
+
+def test_complex_type_guard_catches_seeded_mutant(spark):
+    """The probe must actually fire: q129's pre-fix output shape (an
+    ARRAY column from sliced collect_list) is the seeded mutant, plus a
+    MAP and a STRUCT variant; the fixed delimited-string shape passes."""
+    from pyspark.sql import functions as F
+
+    from tools.compare_oracle import complex_output_columns
+
+    df = spark.range(3)
+    mutant = df.select(
+        F.col("id"),
+        F.array(F.lit("a"), F.lit("b")).alias("first_events"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("m"),
+        F.struct(F.lit(1).alias("x")).alias("s"),
+    )
+    assert complex_output_columns(mutant.schema) == ["first_events", "m", "s"]
+    fixed = df.select(
+        F.col("id"),
+        F.concat_ws("|", F.array(F.lit("a"), F.lit("b"))).alias("first_events"),
+    )
+    assert complex_output_columns(fixed.schema) == []
+
+
 def test_reference_citations_resolve():
     """Every `src/...` file cited in a docstring must exist under
     /root/reference — round 4 shipped a fabricated module path

@@ -33,17 +33,17 @@ DECADE2_LINE = 3.5
 
 # O(n^2)-by-definition exact-all-pairs audit baselines (the reason the
 # banded/bucketed production paths exist); documented in BENCH_SF10's
-# note, never run at the 100x replica. q191 joined the set in round 8:
-# its containment audit recomputes the SAME exact pair closure as
-# q150's exact side (embedding_neardup_pairs(exact=True)), and the
-# attempted sf10 measurement ran >15 min against a 12.4s sf1 (>70x,
-# the quadratic pair space: 2e8 -> 2e10 pairs) before being triaged.
+# note, never run at the 100x replica. q191 joined the set in round 8
+# (its containment audit recomputed q150's exact pair closure, >70x at
+# the sf10 decade) and LEFT it in round 9: the audit half was split
+# into q364, a fixed-K calibration whose exact closure costs O(K²)
+# regardless of corpus size, so q191 is purely the banded production
+# path and decade-measurable again (VERDICT r8 item 4).
 EXACT_ALL_PAIRS = {
     "q50_embedding_neardup",
     "q74_dedup_components",
     "q110_cluster_representatives",
     "q150_neardup_lsh_recall",
-    "q191_banded_dedup_clusters",
 }
 
 

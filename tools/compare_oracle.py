@@ -72,6 +72,24 @@ def fragile_cells(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return out
 
 
+def complex_output_columns(schema) -> list[str]:
+    """Driver-canonicalizability contract (round-8 lesson, q129): the
+    driver canonicalizes results by sorting a pandas frame, and pandas
+    cannot hash/factorize list- or dict-valued cells — an ARRAY / MAP /
+    STRUCT top-level output column errors the whole CORRECTNESS row
+    (`TypeError: unhashable type: 'list'`) even when the values match
+    exactly. Complex values must leave as delimited/JSON STRINGs on
+    both engines (q129: concat_ws('|', ...) / array_to_string(...)).
+    Returns the offending column names of a Spark StructType."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -94,6 +112,15 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = spec.spark(spark, sf_dir)
+            bad_cols = complex_output_columns(sdf.schema)
+            if bad_cols:
+                print(
+                    f"FAIL {name}: ARRAY/MAP/STRUCT top-level output column(s) "
+                    f"{bad_cols} — the driver canonicalizer cannot sort these "
+                    f"(round-8 q129 class); emit as delimited STRING"
+                )
+                n_fail += 1
+                continue
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
