@@ -23,6 +23,7 @@ from sensor_data_pipeline_spark.plans import inference  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import frontier  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import frontier2  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import frontier3  # noqa: F401,E402
+from sensor_data_pipeline_spark.plans import frontier4  # noqa: F401,E402
 
 # Driver-window ordering: the driver's CORRECTNESS check covers the
 # FIRST 50 registered queries, so the first 50 must span every
@@ -30,78 +31,100 @@ from sensor_data_pipeline_spark.plans import frontier3  # noqa: F401,E402
 # representatives each — rather than whatever import order produced.
 # Everything else follows in original registration order.
 _DRIVER_WINDOW = [
-    # ROUND-8 ROTATION: the COVERAGE-CLOSING window. 42/50 fresh =
-    # exactly the 42 rows never driver-checked in r1-r7 (the set the
-    # round-7 window comment enumerated, verified against the union of
-    # CORRECTNESS_r01..r07 green rows), + the same 8 forced family reps
-    # (streaming/multimodal/cdc/source/stateful/time/udf/functions have
-    # no never-checked members). When this window lands green,
-    # cumulative driver coverage is 339/339 — every declared query
-    # driver-verified at least once (VERDICT r7 item 1).
+    # ROUND-9 ROTATION (the committed r9+ policy below, first
+    # application): 8 forced family reps + 17 never-checked rows
+    # (q129 — reshaped this round to emit first_events as a delimited
+    # STRING after its r8 canonicalizer error — plus the 16 r8-era
+    # q348-q363 registered after the r8 window was set) + 25
+    # staleness-queue rows. The staleness queue is computed from the
+    # committed CORRECTNESS_r01..r08 artifacts: queries whose most
+    # recent green driver row is OLDEST first (primary key: round of
+    # last green row ascending; tie-break: query number), which makes
+    # the front of the queue exactly the r1-vintage rows — evidence
+    # gathered before ANSI mode and the exact integer-division
+    # discipline existed. When this window lands green, cumulative
+    # driver coverage closes at 355/355 AND the 25 oldest evidence rows
+    # are refreshed to r9.
     #
-    # ROUND-9+ ROTATION POLICY (VERDICT r7 item 5): with coverage
-    # closed, the window becomes a STALENESS-ORDERED regression
-    # rotation. Each round, the 42 fresh slots re-verify the queries
-    # whose most recent green driver row is OLDEST (primary key: round
-    # of last green row ascending; tie-break: registration order), so
-    # r1/r2-vintage evidence — checked before ANSI mode and the exact
-    # integer-division discipline existed — is refreshed first. New
-    # frontier queries added in round N enter the window in round N+1
-    # ahead of the staleness queue (never-checked beats stale). The 8
+    # ROUND-10+ ROTATION POLICY (unchanged, VERDICT r7 item 5): each
+    # round the non-rep slots re-verify never-checked queries first
+    # (new round-N queries enter the round-N+1 window), then the
+    # staleness queue in (last-green-round, query-number) order. The 8
     # family-rep slots stay forced so every SURVEY §2.9 family keeps a
     # same-round canary.
+    #
+    # R10 WINDOW PLAN (VERDICT r8 item 5, enumerated via
+    # tools/window_rotation.py assuming this r9 window lands green):
+    # 8 reps + 8 never-checked r9 entrants (q364 calibration split +
+    # the frontier4 family q365-q372 minus q368, which took this
+    # window's similarity-canary slot) + the 34-row staleness front:
+    # q130 (displaced by q368 here), q131, q133, q134 (the last
+    # r1-vintage rows), then the r2 block q01, q12, q20-q31,
+    # q40-q53, q66, q67 in query-number order.
+    # Regenerate with `python tools/window_rotation.py 42` at r10
+    # start in case any r9 row comes back red (a red row keeps its
+    # old last-green round and re-enters by staleness, while the
+    # never-checked set shrinks/grows accordingly).
     # --- forced family repeats (proven canaries) ---
-    "q114_custom_source",  # source rep (r3-r7 green)
-    "q215_media_phash_neardup",  # multimodal rep (r4-r7 green)
-    "q243_disorder_profile",  # time rep (r4-r7 green)
-    "q287_stream_nearest_match",  # streaming rep (r4/r6/r7 green)
-    "q260_stream_tws_delta",  # stateful rep (r4/r6/r7 green)
-    "q117_group_zscore",  # udf rep (r3/r5/r6/r7 green)
-    "q65_array_map_funcs",  # functions rep (r5/r6/r7 green)
-    "q194_incremental_rollup",  # cdc rep (r6/r7 green)
-    # --- fresh: the final 42 never-checked rows (r1-era shapes) ---
-    "q58_unpivot",
-    "q60_percentiles",
-    "q61_histogram",
-    "q64_hierarchical_rollup",
-    "q78_hash_sample",
-    "q85_stratified_sample",
-    "q87_rank_suite",
-    "q108_pattern_scan",
-    "q115_arrow_norms",
-    "q120_file_provenance",
-    "q123_source_capped_sample",
+    "q114_custom_source",  # source rep (r3-r8 green)
+    "q215_media_phash_neardup",  # multimodal rep (r4-r8 green)
+    "q243_disorder_profile",  # time rep (r4-r8 green)
+    "q287_stream_nearest_match",  # streaming rep (r4/r6/r7/r8 green)
+    "q260_stream_tws_delta",  # stateful rep (r4/r6/r7/r8 green)
+    "q117_group_zscore",  # udf rep (r3/r5-r8 green)
+    "q65_array_map_funcs",  # functions rep (r5-r8 green)
+    "q194_incremental_rollup",  # cdc rep (r6/r7/r8 green)
+    # --- never-checked: q129 (r8 canonicalizer error, now reshaped)
+    # --- + the 16 corpus-governance queries registered in r8 ---
     "q129_user_event_sequences",
-    "q132_robust_outlier_stats",
-    "q135_nested_schema_surgery",
-    "q157_token_chunking",
-    "q160_weighted_sample",
-    "q169_compaction_audit",
-    "q177_embedding_drift",
-    "q179_table_checksum",
-    "q184_argmax_single_pass",
-    "q185_dup_provenance_matrix",
-    "q187_wilson_quality_gate",
-    "q188_schema_drift_audit",
-    "q189_log2_histogram",
-    "q190_group_quantiles_by_counting",
-    "q193_replica_bucket_diff",
-    "q196_first_touch_attribution",
-    "q201_sql_scripting",
-    "q202_dynamic_partition_overwrite",
-    "q206_skew_gini",
-    "q209_collated_grouping",
-    "q227_negative_sampling",
-    "q228_mad_anomaly_gate",
-    "q230_simpson_diversity_gate",
-    "q231_gopher_rules_gate",
-    "q239_mixture_allocation",
-    "q245_rank_normalize",
-    "q249_vocab_growth",
-    "q264_rendezvous_shards",
-    "q280_decay_attribution",
-    "q286_calibration_bins",
-    "q320_event_path_mining",
+    "q348_template_skeleton_mining",
+    "q349_zipf_octave_profile",
+    "q350_kanonymity_audit",
+    "q351_rater_agreement_kappa",
+    "q352_epoch_repeat_budget",
+    "q353_gate_cofire_matrix",
+    "q354_oov_rate_audit",
+    "q355_split_balance_chisq",
+    "q356_lsh_s_curve_audit",
+    "q357_source_tv_divergence",
+    "q358_quality_auc_ranksum",
+    "q359_rater_error_triangulation",
+    "q360_dedup_yield_forecast",
+    "q361_context_overflow_audit",
+    "q362_datacard_census",
+    "q363_eval_sample_sizing",
+    # --- staleness queue: the 25 oldest green rows (all r1-vintage) ---
+    "q02_join_customer_orders",
+    "q03_broadcast_dim_chain",
+    "q04_semi_join",
+    "q05_anti_join",
+    "q06_outer_join_counts",
+    "q07_agg_stats",
+    "q08_rollup",
+    "q09_cube",
+    "q10_distinct",
+    "q11_window_rank",
+    "q13_window_running_sum",
+    "q14_global_topk",
+    "q15_set_ops",
+    "q16_string_funcs",
+    "q17_date_funcs",
+    "q18_case_bucketing",
+    "q19_correlated_scalar",
+    "q97_shipping_priority",
+    "q98_local_supplier_volume",
+    "q99_decimal_exact",
+    "q125_asof_tolerance",
+    "q126_schema_evolution_union",
+    "q127_grouping_indicators",
+    "q128_error_safe_math",
+    # similarity-family canary: the r9 frontier additions put a
+    # never-checked member (q368) into the similarity family, whose
+    # members were otherwise all green but absent from this window —
+    # the family-coverage invariant (test_driver_window_spans_all_
+    # families) takes the last staleness slot (q130, r1) and q368
+    # enters one round early; q130 leads the r10 staleness front.
+    "q368_source_minhash_matrix",
 ]
 
 

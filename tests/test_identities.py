@@ -728,3 +728,141 @@ def test_cochran_ceiling_matches_float(n, f_pct):
     ref = 9604 * p * (1 - p)
     assert n_req in (math.ceil(ref), math.ceil(ref - 1e-9)), (n, f)
     assert n_req <= 2401  # 9604 * max p(1-p) = 9604/4
+
+
+# --- q367: HyperLogLog register identities ---------------------------------
+
+
+def _hll_reg(items, m=64, w=26, seed=7):
+    """Replay q367's register construction: md5-derived 32-bit hash,
+    j = h mod m, rho = leading zeros of the remaining w bits + 1."""
+    import hashlib
+
+    regs = {}
+    for s in items:
+        h = int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:8], 16)
+        j, r = h % m, h // m
+        rho = (w + 1) if r == 0 else (w + 1 - r.bit_length())
+        regs[j] = max(regs.get(j, 0), rho)
+    return regs
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    a=st.sets(st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=6), max_size=60),
+    b=st.sets(st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=6), max_size=60),
+)
+def test_hll_registers_merge_losslessly(a, b):
+    """q367's '(all)' row is max-merged FROM per-shard registers; the
+    sketch is only honest if that equals building registers over the
+    union directly — max is associative/commutative/idempotent, so
+    duplicate elements across shards cannot distort it."""
+    ra, rb, ru = _hll_reg(a), _hll_reg(b), _hll_reg(a | b)
+    merged = {j: max(ra.get(j, 0), rb.get(j, 0)) for j in set(ra) | set(rb)}
+    assert merged == ru
+
+
+@settings(max_examples=200, deadline=None)
+@given(items=st.sets(st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=6), min_size=1, max_size=80))
+def test_hll_integer_scaled_sum_is_exact(items):
+    """The estimate's denominator sum(2^-M_j) rides the INTEGER scale
+    sum(2^(33-M_j)): every term is a power of two in [2^6, 2^33], so
+    the scaled integer sum over 64 registers fits well under 2^40 and
+    equals 2^33 times the float sum computed in ANY order — the
+    order-independence that makes q367's single float division
+    bit-identical across engines."""
+    regs = _hll_reg(items)
+    m = 64
+    s_scaled = sum(1 << (33 - mj) for mj in regs.values()) + (m - len(regs)) * (1 << 33)
+    f_fwd = sum(2.0 ** -mj for mj in sorted(regs.values())) + (m - len(regs))
+    f_rev = sum(2.0 ** -mj for mj in sorted(regs.values(), reverse=True)) + (m - len(regs))
+    assert f_fwd == f_rev == s_scaled / 2.0**33
+    assert s_scaled < 1 << 40
+
+
+# --- q372: count-min sketch identities --------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(tokens=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=200))
+def test_countmin_estimate_is_one_sided(tokens):
+    """CMS estimates never UNDER-count (each counter holds the true
+    count plus non-negative collision mass), so q372's over_ppm is
+    >= 0 — the property the audit column rests on. Also: counters
+    merge by plain addition (map-side combine soundness)."""
+    import hashlib
+    from collections import Counter
+
+    d_rows, width, seed = 4, 16, 41
+
+    def cols(tok):
+        digest = hashlib.md5(f"{seed}:{tok}".encode()).hexdigest()
+        return [int(digest[i * 8 : i * 8 + 8], 16) % width for i in range(d_rows)]
+
+    counters = [[0] * width for _ in range(d_rows)]
+    for t in tokens:
+        for i, c in enumerate(cols(t)):
+            counters[i][c] += 1
+    true = Counter(tokens)
+    for t, n in true.items():
+        est = min(counters[i][c] for i, c in enumerate(cols(t)))
+        assert est >= n
+    # shard-merge: counters(A) + counters(B) == counters(A ++ B)
+    half = len(tokens) // 2
+    ca = [[0] * width for _ in range(d_rows)]
+    cb = [[0] * width for _ in range(d_rows)]
+    for t in tokens[:half]:
+        for i, c in enumerate(cols(t)):
+            ca[i][c] += 1
+    for t in tokens[half:]:
+        for i, c in enumerate(cols(t)):
+            cb[i][c] += 1
+    assert [[x + y for x, y in zip(ra, rb)] for ra, rb in zip(ca, cb)] == counters
+
+
+# --- q368: MinHash signature merge -------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    a=st.sets(st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=5), min_size=1, max_size=40),
+    b=st.sets(st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=5), min_size=1, max_size=40),
+)
+def test_minhash_signature_merges_by_min(a, b):
+    """q368's per-source signature is a MIN aggregate over the shingle
+    stream, so shard signatures merge by elementwise min into exactly
+    the union's signature — duplicates (the stream is NOT distinct'd
+    per occurrence) cannot move a minimum."""
+    import hashlib
+
+    def sig(items):
+        out = []
+        for seed in (21, 22, 23, 24):
+            mins = [None] * 4
+            for s in items:
+                digest = hashlib.md5(f"{seed}:{s}".encode()).hexdigest()
+                for i in range(4):
+                    h = int(digest[i * 8 : i * 8 + 8], 16)
+                    mins[i] = h if mins[i] is None or h < mins[i] else mins[i]
+            out.extend(mins)
+        return out
+
+    sa, sb, su = sig(a), sig(b), sig(a | b)
+    assert [min(x, y) for x, y in zip(sa, sb)] == su
+
+
+# --- q371: octave function == integer log2 -----------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(doc_id=st.integers(0, 2**62))
+def test_novelty_octave_is_integer_log2(doc_id):
+    """q371's octave = length(bin(doc_id + 1)) - 1 must equal
+    floor(log2(doc_id + 1)) for the full bigint range — bit_length is
+    the exact integer form (float log2 misrounds at exact powers,
+    the q339 lesson)."""
+    import math
+
+    assert len(bin(doc_id + 1)[2:]) - 1 == (doc_id + 1).bit_length() - 1
+    if doc_id + 1 <= 2**53:  # float log2 is only trustworthy below 2^53
+        assert (doc_id + 1).bit_length() - 1 == math.floor(math.log2(doc_id + 1))
