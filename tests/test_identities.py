@@ -866,3 +866,20 @@ def test_novelty_octave_is_integer_log2(doc_id):
     assert len(bin(doc_id + 1)[2:]) - 1 == (doc_id + 1).bit_length() - 1
     if doc_id + 1 <= 2**53:  # float log2 is only trustworthy below 2^53
         assert (doc_id + 1).bit_length() - 1 == math.floor(math.log2(doc_id + 1))
+
+
+# --- q374: conformal rank ceiling division -----------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(n=st.integers(1, 10**9))
+def test_conformal_rank_ceiling_matches_float(n):
+    """q374: k = ceil((n+1)(1-alpha)) at alpha=0.10 as the exact
+    integer ((n+1)*90 + 99) DIV 100 — the finite-sample-valid
+    split-conformal rank (Lei et al. 2018). Must match math.ceil and
+    stay within [1, n+1]."""
+    k = ((n + 1) * 90 + 99) // 100
+    # exact rational ceiling: k-1 < (n+1)*9/10 <= k (float ceil is NOT
+    # the ground truth here — (n+1)*0.9 rounds at large n)
+    assert (k - 1) * 10 < (n + 1) * 9 <= k * 10
+    assert 1 <= k <= n + 1

@@ -82,6 +82,7 @@ ALLOW: dict[str, set[str]] = {
     "q346_waterfill_source_caps": {"global_window"},  # |sources|-row census (level bracket + remainder rank)
     "q349_zipf_octave_profile": {"global_window"},  # <=64-row octave frame (lag over the pinned spectrum; the 1-row-total crossJoin between pin and window defeats the dominator walk but cannot unbound it)
     "q371_novelty_decay_curve": {"global_window"},  # <=64-row octave frame (running sum over bin()-length octaves of a bigint doc_id)
+    "q374_conformal_quality_gate": {"global_window"},  # value-domain CDF (the q257 counting-quantile idiom: cumulative over the bounded n_chars histogram, never rows)
 }
 
 
