@@ -56,12 +56,12 @@ _DRIVER_WINDOW = [
     #
     # R10 WINDOW PLAN (VERDICT r8 item 5, enumerated via
     # tools/window_rotation.py assuming this r9 window lands green):
-    # 8 reps + 8 never-checked r9 entrants (q364 calibration split +
-    # the frontier4 family q365-q372 minus q368, which took this
-    # window's similarity-canary slot) + the 34-row staleness front:
-    # q130 (displaced by q368 here), q131, q133, q134 (the last
-    # r1-vintage rows), then the r2 block q01, q12, q20-q31,
-    # q40-q53, q66, q67 in query-number order.
+    # 8 reps + 13 never-checked r9 entrants (q364 calibration split +
+    # frontier4 q365-q372 minus q368, which took this window's
+    # similarity-canary slot, + frontier5 q373-q377) + the 29-row
+    # staleness front: q130 (displaced by q368 here), q131, q133,
+    # q134 (the last r1-vintage rows), then the r2 block q01, q12,
+    # q20-q31, q40-q48 in query-number order.
     # Regenerate with `python tools/window_rotation.py 42` at r10
     # start in case any r9 row comes back red (a red row keeps its
     # old last-green round and re-enters by staleness, while the
