@@ -195,6 +195,7 @@ def embedding_neardup_pairs(
     n_bands: int = 3,
     band_bits: int | None = 4,
     banded_blocks: int = 1,
+    sizing_df: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold), executed as a blocked matrix product: rows are packed
@@ -245,14 +246,21 @@ def embedding_neardup_pairs(
     computed integer-exactly from the binary length of
     (n-1) DIV 2048 (float log2 rounds unportably at exact powers) and
     carried as a 1-row broadcast column — no driver collect. Capped
-    at 21 so the three bands' disjoint hyperplanes fit 64 dims; past
-    ~2048·2^17 vectors the cap re-admits occupancy growth and a
-    wider-band family (MinHash-LSH over a large hash space, q42's
-    shape) is the honest tool. Per-pair recall FALLS as bits grow
-    (p^bits per band) — the adaptive form holds THROUGHPUT linear and
-    leaves recall to the audit ledger (q150 pair recall, q364
-    fixed-cost containment calibration, q356's analytic (b,r)
-    S-curve for re-budgeting bands).
+    at dim DIV n_bands (measured from the data) so the bands'
+    disjoint hyperplanes fit the vector; past the cap occupancy
+    growth re-appears and a wider-band family (MinHash-LSH over a
+    large hash space, q42's shape) is the honest tool. Per-pair
+    recall FALLS as bits grow (p^bits per band) — the adaptive form
+    holds THROUGHPUT linear and leaves recall to the audit ledger
+    (q150 pair recall, q364 fixed-cost containment calibration at the
+    production width, q356's analytic (b,r) S-curve for re-budgeting
+    bands).
+
+    ``sizing_df`` (default: ``df``) is the frame whose row count
+    drives the adaptive width — a calibration caller audits a small
+    SAMPLE with the width the FULL corpus would use by passing the
+    corpus here (q364), otherwise the sample's own count would pick a
+    narrower band than production ships.
     """
     blocks = n_blocks if exact else banded_blocks
     d = df.select(
@@ -265,10 +273,18 @@ def embedding_neardup_pairs(
     elif band_bits is None:
         # occupancy-adaptive width: bits from the corpus count via a
         # broadcast params row; band b's bucket id = b << bits + sign
-        # bits of dims [b*bits, (b+1)*bits) — all dynamic in `_bits`
-        params = df.agg(F.count(F.lit(1)).alias("n")).select(
+        # bits of dims [b*bits, (b+1)*bits) — all dynamic in `_bits`.
+        # Cap = dim DIV n_bands (measured from the data, not a 64-dim
+        # assumption): the bands' disjoint hyperplanes must fit the
+        # vector, else element_at walks off the array (ANSI error /
+        # silent-false sign bits). Past the cap occupancy grows again
+        # — the wide-hash MinHash family (q42) is the honest tool.
+        params = (sizing_df if sizing_df is not None else df).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.size(F.col(vec_col))).alias("dim"),
+        ).select(
             F.expr(
-                "CAST(LEAST(21, 4 + CASE WHEN n <= 2048 THEN 0"
+                f"CAST(LEAST(dim DIV {n_bands}, 4 + CASE WHEN n <= 2048 THEN 0"
                 " ELSE length(bin((n - 1) DIV 2048)) END) AS INT)"
             ).alias("_bits")
         )

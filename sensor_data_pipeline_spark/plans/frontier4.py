@@ -209,8 +209,11 @@ def q366_blocklist_redaction_checksum(spark: SparkSession, sf_dir: str) -> DataF
             .cast("bigint")
             .alias("docs_changed"),
             F.sum("n_red").cast("bigint").alias("total_redactions"),
+            # the guard must wrap the OPERAND, not the result: summing
+            # in BIGINT first overflows past ~2e9 rows before the cast
+            # ever runs (review r9 finding)
             F.expr(
-                "CAST(CAST(sum(h) AS DECIMAL(38,0)) % 2147483648 AS BIGINT)"
+                "CAST(sum(CAST(h AS DECIMAL(38,0))) % 2147483648 AS BIGINT)"
             ).alias("content_checksum"),
         )
         .orderBy("source")
@@ -416,7 +419,7 @@ est AS (
 )
 SELECT e.src_a, e.src_b, e.est_matches,
        CAST(e.est_matches * 1000000 // 16 AS BIGINT) AS est_jaccard_ppm,
-       CAST(COALESCE(i.n_inter, 0) * 1000000
+       CAST(CAST(COALESCE(i.n_inter, 0) AS HUGEINT) * 1000000
             // (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS BIGINT) AS exact_jaccard_ppm
 FROM est e
 LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
@@ -508,7 +511,7 @@ def q368_source_minhash_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "est_jaccard_ppm"
             ),
             F.expr(
-                "CAST(COALESCE(n_inter, 0) * 1000000"
+                "CAST(CAST(COALESCE(n_inter, 0) AS DECIMAL(38,0)) * 1000000"
                 " DIV (na + nb - COALESCE(n_inter, 0)) AS BIGINT)"
             ).alias("exact_jaccard_ppm"),
         )
@@ -794,7 +797,7 @@ probes AS (
 )
 SELECT t AS token, exact_n,
        CAST(min(counter) AS BIGINT) AS est_n,
-       CAST((min(counter) - exact_n) * 1000000 // exact_n AS BIGINT) AS over_ppm
+       CAST(CAST(min(counter) - exact_n AS HUGEINT) * 1000000 // exact_n AS BIGINT) AS over_ppm
 FROM probes GROUP BY t, exact_n
 ORDER BY exact_n DESC, token
 """,
@@ -888,7 +891,8 @@ def q372_countmin_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_n",
             "est_n",
             F.expr(
-                "CAST((est_n - exact_n) * 1000000 DIV exact_n AS BIGINT)"
+                "CAST(CAST(est_n - exact_n AS DECIMAL(38,0)) * 1000000"
+                " DIV exact_n AS BIGINT)"
             ).alias("over_ppm"),
         )
         .orderBy(F.col("exact_n").desc(), "token")

@@ -341,14 +341,15 @@ def q375_roc_operating_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q376 — incremental HyperLogLog snapshot update
 # ---------------------------------------------------------------------------
 
-_IHLL_M = 64
-_IHLL_W = 26
-_IHLL_SEED = 7
-_IHLL_NUM = 24945719810981.887  # alpha_64 * 64^2 * 2^33 (see q367)
-
-_DUCK_SHINGLES_DUP5 = (
-    "list_transform(range(0, greatest(len({w}) - 2, 0)),"
-    " i -> {w}[i+1] || ' ' || {w}[i+2] || ' ' || {w}[i+3])"
+# the SAME sketch as q367 — import its constants and idioms rather
+# than duplicating (a drifted copy would silently make the two HLL
+# queries different sketches; review r9 finding)
+from sensor_data_pipeline_spark.plans.frontier4 import (  # noqa: E402
+    _DUCK_SHINGLES_DUP as _DUCK_SHINGLES_DUP5,
+    _HLL_M as _IHLL_M,
+    _HLL_NUM as _IHLL_NUM,
+    _HLL_SEED as _IHLL_SEED,
+    _HLL_W as _IHLL_W,
 )
 
 

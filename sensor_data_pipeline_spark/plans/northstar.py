@@ -896,9 +896,9 @@ def q86_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="dedup",
     oracle=f"""
 WITH RECURSIVE params AS (
-  SELECT CAST(LEAST(21, 4 + CASE WHEN n <= 2048 THEN 0
+  SELECT CAST(LEAST(dim // 3, 4 + CASE WHEN n <= 2048 THEN 0
               ELSE length(bin((n - 1) // 2048)) END) AS BIGINT) AS bits
-  FROM (SELECT count(*) AS n FROM embeddings)
+  FROM (SELECT count(*) AS n, min(len(embedding)) AS dim FROM embeddings)
 ),
 emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, embedding AS raw
@@ -991,16 +991,39 @@ _CALIBRATION_K = 400
     "q364_banding_containment_calibration",
     category="dedup",
     oracle=f"""
-WITH RECURSIVE samp AS (
+WITH RECURSIVE params AS (
+  SELECT CAST(LEAST(dim // 3, 4 + CASE WHEN n <= 2048 THEN 0
+              ELSE length(bin((n - 1) // 2048)) END) AS BIGINT) AS bits
+  FROM (SELECT count(*) AS n, min(len(embedding)) AS dim FROM embeddings)
+),
+samp AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, embedding AS raw
   FROM embeddings
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT {_CALIBRATION_K}
 ),
+bb AS (
+  SELECT e.vec_id,
+         (bnd.b << p.bits)
+         + CAST(list_aggregate(list_transform(
+               generate_series(1, p.bits),
+               i -> CASE WHEN e.raw[bnd.b * p.bits + i] > 0
+                    THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END),
+               'sum') AS BIGINT) AS bucket
+  FROM samp e
+  CROSS JOIN params p
+  CROSS JOIN (SELECT unnest([CAST(0 AS BIGINT), 1, 2]) AS b) bnd
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bb a JOIN bb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
 exact_pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         ({_BAND_MATCH_SQL}) AS candidate
-  FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+         (c.id_a IS NOT NULL) AS candidate
+  FROM samp a
+  JOIN samp b ON a.vec_id < b.vec_id
+  LEFT JOIN cand c ON c.id_a = a.vec_id AND c.id_b = b.vec_id
   WHERE {_DUCK_COSINE.format(a="a.v", b="b.v")} >= CAST(0.4 AS DOUBLE)
 ),
 bedges AS (SELECT id_a AS src, id_b AS dst FROM exact_pairs WHERE candidate
@@ -1032,8 +1055,13 @@ def q364_banding_containment_calibration(spark: SparkSession, sf_dir: str) -> Da
     component containing it plus the containment boolean. Banded
     candidacy is a pairwise predicate on per-vector band signatures,
     so banded pairs computed ON the subsample equal the full run's
-    banded pairs RESTRICTED to it — the calibration measures the real
-    production operator, not a lookalike.
+    banded pairs RESTRICTED to it — PROVIDED the band width matches:
+    the banding here uses the PRODUCTION width (band_bits=None with
+    sizing_df = the full corpus, so bits derive from the corpus count
+    exactly as q191's run does; the first split form calibrated the
+    fixed 4-bit width, which stops being what production ships past
+    2048 vectors — review r9 finding). The oracle replays the same
+    corpus-count params CTE.
 
     Scale shape: the exact side is O(K²·dim) with K fixed (400), so
     the query's cost is a constant plus one linear scan no matter the
@@ -1051,7 +1079,9 @@ def q364_banding_containment_calibration(spark: SparkSession, sf_dir: str) -> Da
         .limit(_CALIBRATION_K)
         .localCheckpoint(eager=True)
     )
-    banded = embedding_neardup_pairs(samp, threshold=0.4)  # banded default
+    banded = embedding_neardup_pairs(
+        samp, threshold=0.4, band_bits=None, sizing_df=emb
+    )
     exact = embedding_neardup_pairs(samp, threshold=0.4, exact=True)
     blab = dedup_components(banded.select("id_a", "id_b"))
     elab = (

@@ -829,10 +829,14 @@ def test_countmin_estimate_is_one_sided(tokens):
     b=st.sets(st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=5), min_size=1, max_size=40),
 )
 def test_minhash_signature_merges_by_min(a, b):
-    """q368's per-source signature is a MIN aggregate over the shingle
-    stream, so shard signatures merge by elementwise min into exactly
-    the union's signature — duplicates (the stream is NOT distinct'd
-    per occurrence) cannot move a minimum."""
+    """q368's per-source signature is a MIN aggregate, so shard
+    signatures merge by elementwise min into exactly the union's
+    signature. The production query feeds the min a pre-distinct'd
+    (source, shingle) frame because its EXACT-Jaccard audit side needs
+    set semantics anyway — but the min itself is duplicate-immune
+    (this test feeds raw multisets), which is what lets a 100 TB
+    deployment skip the distinct and stream occurrences straight into
+    the signature."""
     import hashlib
 
     def sig(items):
