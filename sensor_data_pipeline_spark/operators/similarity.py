@@ -279,13 +279,22 @@ def embedding_neardup_pairs(
         # vector, else element_at walks off the array (ANSI error /
         # silent-false sign bits). Past the cap occupancy grows again
         # — the wide-hash MinHash family (q42) is the honest tool.
+        # dim < n_bands would make the cap 0 → _bits=0, where Spark's
+        # sequence(1, 0) REVERSES (step defaults to -1, yields [1, 0])
+        # and element_at(v, 0) raises, while DuckDB's generate_series
+        # is empty — a DIVERGENT engine failure. Raise the same clear
+        # error on both engines instead (oracle twin: error() in the
+        # q191/q364 params CTEs).
         params = (sizing_df if sizing_df is not None else df).agg(
             F.count(F.lit(1)).alias("n"),
             F.min(F.size(F.col(vec_col))).alias("dim"),
         ).select(
             F.expr(
-                f"CAST(LEAST(dim DIV {n_bands}, 4 + CASE WHEN n <= 2048 THEN 0"
-                " ELSE length(bin((n - 1) DIV 2048)) END) AS INT)"
+                f"CASE WHEN dim < {n_bands} THEN CAST(raise_error(concat("
+                f"'adaptive banding needs >= 1 dim per band: dim ', "
+                f"CAST(dim AS STRING), ' < n_bands {n_bands}')) AS INT) "
+                f"ELSE CAST(LEAST(dim DIV {n_bands}, 4 + CASE WHEN n <= 2048 THEN 0"
+                " ELSE length(bin((n - 1) DIV 2048)) END) AS INT) END"
             ).alias("_bits")
         )
         bands = F.array(

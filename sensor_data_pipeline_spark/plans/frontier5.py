@@ -161,7 +161,7 @@ SELECT lang,
        CAST((SELECT tau FROM tau) AS BIGINT) AS tau,
        CAST(count(*) AS BIGINT) AS n_eval,
        CAST(sum(CASE WHEN score <= (SELECT tau FROM tau) THEN 1 ELSE 0 END) AS BIGINT) AS covered,
-       CAST(sum(CASE WHEN score <= (SELECT tau FROM tau) THEN 1 ELSE 0 END) * 1000000
+       CAST(CAST(sum(CASE WHEN score <= (SELECT tau FROM tau) THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
             // count(*) AS BIGINT) AS coverage_ppm
 FROM scored WHERE is_cal = 0
 GROUP BY lang ORDER BY lang
@@ -208,10 +208,14 @@ def q374_conformal_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)
     )
+    # coalesce: an empty calibration half gives sum(cnt)=NULL on the
+    # histogram while the oracle's count(*) gives 0 (k_rank=1) —
+    # align the degenerate case (unreachable at current fixtures)
     k = hist.agg(
-        F.sum("cnt").cast("bigint").alias("n_cal"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_cal"),
         F.expr(
-            f"CAST(((sum(cnt) + 1) * (100 - {_CONF_ALPHA_PCT}) + 99) DIV 100 AS BIGINT)"
+            f"CAST(((coalesce(sum(cnt), 0) + 1) * (100 - {_CONF_ALPHA_PCT}) + 99)"
+            f" DIV 100 AS BIGINT)"
         ).alias("k_rank"),
     )
     cdf = hist.withColumn(
@@ -236,8 +240,8 @@ def q374_conformal_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("covered"),
             F.expr(
-                "CAST(sum(CASE WHEN score <= tau THEN 1 ELSE 0 END) * 1000000"
-                " DIV count(*) AS BIGINT)"
+                "CAST(CAST(sum(CASE WHEN score <= tau THEN 1 ELSE 0 END) AS DECIMAL(38,0))"
+                " * 1000000 DIV count(*) AS BIGINT)"
             ).alias("coverage_ppm"),
         )
         .select("lang", "n_cal", "k_rank", "tau", "n_eval", "covered", "coverage_ppm")
@@ -270,11 +274,11 @@ SELECT t,
        CAST(sum(CASE WHEN n_tok >= t AND truth = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
        CAST(sum(CASE WHEN n_tok < t AND truth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
        CAST(sum(CASE WHEN n_tok < t AND truth = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
-       CAST(sum(CASE WHEN n_tok >= t AND truth = 1 THEN 1 ELSE 0 END) * 1000000
+       CAST(CAST(sum(CASE WHEN n_tok >= t AND truth = 1 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
             // NULLIF(sum(truth), 0) AS BIGINT) AS tpr_ppm,
-       CAST(sum(CASE WHEN n_tok >= t AND truth = 0 THEN 1 ELSE 0 END) * 1000000
+       CAST(CAST(sum(CASE WHEN n_tok >= t AND truth = 0 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
             // NULLIF(sum(1 - truth), 0) AS BIGINT) AS fpr_ppm,
-       CAST(sum(CASE WHEN n_tok >= t AND truth = 1 THEN 1 ELSE 0 END) * 1000000
+       CAST(CAST(sum(CASE WHEN n_tok >= t AND truth = 1 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
             // NULLIF(sum(CASE WHEN n_tok >= t THEN 1 ELSE 0 END), 0) AS BIGINT) AS precision_ppm
 FROM votes CROSS JOIN (SELECT unnest([{", ".join(str(t) for t in _ROC_THRESHOLDS)}]) AS t)
 GROUP BY t ORDER BY t
@@ -320,15 +324,16 @@ def q375_roc_operating_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when((F.col("n_tok") < F.col("t")) & (F.col("truth") == 1), 1).otherwise(0)).cast("bigint").alias("fn"),
             F.sum(F.when((F.col("n_tok") < F.col("t")) & (F.col("truth") == 0), 1).otherwise(0)).cast("bigint").alias("tn"),
             F.expr(
-                "CAST(sum(CASE WHEN n_tok >= t AND truth = 1 THEN 1 ELSE 0 END) * 1000000"
-                " DIV NULLIF(sum(truth), 0) AS BIGINT)"
+                "CAST(CAST(sum(CASE WHEN n_tok >= t AND truth = 1 THEN 1 ELSE 0 END)"
+                " AS DECIMAL(38,0)) * 1000000 DIV NULLIF(sum(truth), 0) AS BIGINT)"
             ).alias("tpr_ppm"),
             F.expr(
-                "CAST(sum(CASE WHEN n_tok >= t AND truth = 0 THEN 1 ELSE 0 END) * 1000000"
-                " DIV NULLIF(sum(1 - truth), 0) AS BIGINT)"
+                "CAST(CAST(sum(CASE WHEN n_tok >= t AND truth = 0 THEN 1 ELSE 0 END)"
+                " AS DECIMAL(38,0)) * 1000000 DIV NULLIF(sum(1 - truth), 0) AS BIGINT)"
             ).alias("fpr_ppm"),
             F.expr(
-                "CAST(sum(CASE WHEN n_tok >= t AND truth = 1 THEN 1 ELSE 0 END) * 1000000"
+                "CAST(CAST(sum(CASE WHEN n_tok >= t AND truth = 1 THEN 1 ELSE 0 END)"
+                " AS DECIMAL(38,0)) * 1000000"
                 " DIV NULLIF(sum(CASE WHEN n_tok >= t THEN 1 ELSE 0 END), 0) AS BIGINT)"
             ).alias("precision_ppm"),
         )

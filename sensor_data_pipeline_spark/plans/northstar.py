@@ -896,8 +896,9 @@ def q86_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="dedup",
     oracle=f"""
 WITH RECURSIVE params AS (
-  SELECT CAST(LEAST(dim // 3, 4 + CASE WHEN n <= 2048 THEN 0
-              ELSE length(bin((n - 1) // 2048)) END) AS BIGINT) AS bits
+  SELECT CASE WHEN dim < 3 THEN CAST(error('adaptive banding needs >= 1 dim per band: dim < n_bands 3') AS BIGINT)
+         ELSE CAST(LEAST(dim // 3, 4 + CASE WHEN n <= 2048 THEN 0
+              ELSE length(bin((n - 1) // 2048)) END) AS BIGINT) END AS bits
   FROM (SELECT count(*) AS n, min(len(embedding)) AS dim FROM embeddings)
 ),
 emb AS (
@@ -992,8 +993,9 @@ _CALIBRATION_K = 400
     category="dedup",
     oracle=f"""
 WITH RECURSIVE params AS (
-  SELECT CAST(LEAST(dim // 3, 4 + CASE WHEN n <= 2048 THEN 0
-              ELSE length(bin((n - 1) // 2048)) END) AS BIGINT) AS bits
+  SELECT CASE WHEN dim < 3 THEN CAST(error('adaptive banding needs >= 1 dim per band: dim < n_bands 3') AS BIGINT)
+         ELSE CAST(LEAST(dim // 3, 4 + CASE WHEN n <= 2048 THEN 0
+              ELSE length(bin((n - 1) // 2048)) END) AS BIGINT) END AS bits
   FROM (SELECT count(*) AS n, min(len(embedding)) AS dim FROM embeddings)
 ),
 samp AS (
