@@ -262,24 +262,12 @@ regs AS (
 merged AS (
   SELECT '(all)' AS source, j, max(mj) AS mj FROM regs GROUP BY j
 ),
-allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
-stats AS (
-  SELECT source,
-         CAST(count(*) AS BIGINT) AS n_used,
-         CAST(sum(CAST(1 AS BIGINT) << (33 - mj)) + ({_HLL_M} - count(*)) * 8589934592 AS BIGINT) AS s_scaled
-  FROM allregs GROUP BY source
-),
-exact AS (
-  SELECT source, CAST(count(DISTINCT s) AS BIGINT) AS exact_distinct FROM rho GROUP BY source
-  UNION ALL
-  SELECT '(all)', CAST(count(DISTINCT s) AS BIGINT) FROM rho
-)
-SELECT st.source, st.n_used, st.s_scaled,
-       {_HLL_NUM!r} / CAST(st.s_scaled AS DOUBLE) AS est_distinct,
-       e.exact_distinct,
-       CAST(round(({_HLL_NUM!r} / CAST(st.s_scaled AS DOUBLE) - e.exact_distinct)
-                  * 1000000 / e.exact_distinct, 0) AS BIGINT) AS err_ppm
-FROM stats st JOIN exact e USING (source)
+allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_used,
+       CAST(sum(CAST(1 AS BIGINT) << (33 - mj)) + ({_HLL_M} - count(*)) * 8589934592 AS BIGINT) AS s_scaled,
+       {_HLL_NUM!r} / CAST(sum(CAST(1 AS BIGINT) << (33 - mj)) + ({_HLL_M} - count(*)) * 8589934592 AS DOUBLE) AS est_distinct
+FROM allregs GROUP BY source
 ORDER BY source
 """,
 )
@@ -295,16 +283,17 @@ def q367_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^-M_j rides an exact INTEGER scale (2^(33-M_j); every partial
     fits 53 bits of dynamic range, so the float estimate is ONE
     division of exact integers by a literal — bit-identical on both
-    engines, no correction branch). The exact distinct count rides
-    along as the audit; err_ppm prices the m=64 sketch (~13% standard
-    error) against it.
+    engines, no correction branch).
 
     Scale shape: the corpus pass folds every shingle occurrence into
     64 registers per source via map-side-combinable MAX — the shuffle
     payload is 64 rows per source regardless of corpus size, which is
-    the entire point of the sketch at 100 TB (the exact side, a
-    count-distinct shuffle of the full shingle space, is the audit
-    you run at test scale; production ships registers only)."""
+    the entire point of the sketch at 100 TB. The exact-distinct
+    audit that rode along through r9 (a count-distinct shuffle of the
+    FULL shingle space — the 9.68×/113s decade-2 row in BENCH_SF10)
+    is split out to q378's fixed-cost K-document calibration, exactly
+    as q364 split q191's exact closure (VERDICT r9 item 3); this
+    query now ships registers only and measures linear."""
     d = load_table(spark, "documents", sf_dir)
     # tokenize ONCE into a stored column (the q335 pin): a lambda that
     # references an un-materialized split(...) gets the split inlined
@@ -334,6 +323,140 @@ def q367_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("(all)").alias("source"), "j", "mj"
     )
     allregs = regs.unionByName(merged)
+    return (
+        allregs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_used"),
+            F.expr(
+                f"CAST(sum(CAST(1 AS BIGINT) << (33 - mj))"
+                f" + ({_HLL_M} - count(*)) * 8589934592 AS BIGINT)"
+            ).alias("s_scaled"),
+        )
+        .select(
+            "source",
+            "n_used",
+            "s_scaled",
+            (F.lit(_HLL_NUM) / F.col("s_scaled").cast("double")).alias(
+                "est_distinct"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q378 — fixed-cost HLL error calibration (the audit half split out of q367)
+# ---------------------------------------------------------------------------
+
+# K documents give ~K·avg_shingles distinct candidates — the exact
+# COUNT(DISTINCT) over them costs O(K·doclen) REGARDLESS of corpus
+# size, the q364 shape that lets an exact-vs-sketch audit ride in a
+# 100 TB battery.
+_HLL_CAL_K = 500
+
+
+@register(
+    "q378_hll_error_calibration",
+    category="aggregation",
+    oracle=f"""
+WITH samp AS (
+  SELECT doc_id, source, text FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT {_HLL_CAL_K}
+),
+w AS (
+  SELECT source, {_DUCK_WORDS} AS t FROM samp
+),
+sh AS (
+  SELECT source, unnest({_DUCK_SHINGLES_DUP.format(w="t")}) AS s FROM w
+),
+h AS (
+  SELECT source, {_duck_hash32("s", _HLL_SEED)} AS hv, s FROM sh
+),
+rho AS (
+  SELECT source, hv % {_HLL_M} AS j,
+         CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_W + 1}
+              ELSE {_HLL_W + 1} - length(bin(hv // {_HLL_M})) END AS r,
+         s
+  FROM h
+),
+regs AS (
+  SELECT source, j, max(r) AS mj FROM rho GROUP BY source, j
+),
+merged AS (
+  SELECT '(all)' AS source, j, max(mj) AS mj FROM regs GROUP BY j
+),
+allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
+stats AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_used,
+         CAST(sum(CAST(1 AS BIGINT) << (33 - mj)) + ({_HLL_M} - count(*)) * 8589934592 AS BIGINT) AS s_scaled
+  FROM allregs GROUP BY source
+),
+exact AS (
+  SELECT source, CAST(count(DISTINCT s) AS BIGINT) AS exact_distinct FROM rho GROUP BY source
+  UNION ALL
+  SELECT '(all)', CAST(count(DISTINCT s) AS BIGINT) FROM rho
+)
+SELECT st.source, st.n_used, st.s_scaled,
+       {_HLL_NUM!r} / CAST(st.s_scaled AS DOUBLE) AS est_distinct,
+       e.exact_distinct,
+       CAST(round(({_HLL_NUM!r} / CAST(st.s_scaled AS DOUBLE) - e.exact_distinct)
+                  * 1000000 / e.exact_distinct, 0) AS BIGINT) AS err_ppm
+FROM stats st JOIN exact e USING (source)
+ORDER BY st.source
+""",
+)
+def q378_hll_error_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-cost HLL-vs-exact error calibration — the audit half
+    split out of q367 (VERDICT r9 item 3, the q364/q191 discipline).
+    A deterministic K-document subsample (global top-K by
+    md5(doc_id) — TakeOrderedAndProject, one linear scan, never a
+    full-table shuffle) gets BOTH sides: the m=64 HLL registers
+    (identical seed/index/rho mechanics as q367, per source plus the
+    max-merged '(all)' row) and the exact distinct shingle count,
+    with err_ppm pricing the sketch against truth. Unlike banding
+    (whose q364 calibration had to mirror the production's
+    data-dependent band WIDTH), HLL has no data-dependent parameter:
+    the error distribution depends only on m and the hash family
+    (Flajolet et al. 2007, ~1.04/sqrt(64) ≈ 13% standard error), so a
+    K-doc sample exercises exactly the register mechanics production
+    ships.
+
+    Scale shape: selection is one linear corpus scan + a fixed-K
+    ordered take; everything downstream is O(K·doclen) constant —
+    including the exact COUNT(DISTINCT) shuffle, which is the whole
+    point of the split (the pre-split q367 ran that shuffle over the
+    FULL shingle space: 9.68×/113s at the sf10 replica)."""
+    d = load_table(spark, "documents", sf_dir)
+    samp = (
+        d.select("doc_id", "source", "text")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(_HLL_CAL_K)
+        .localCheckpoint(eager=True)
+    )
+    # tokenize once into a stored column (q335 pin — see q367)
+    tw = samp.select("source", tokenize(F.col("text")).alias("w")).localCheckpoint(
+        eager=True
+    )
+    sh = tw.select("source", F.explode(_shingles_dup(F.col("w"))).alias("s"))
+    hv = word_hash32(F.col("s"), seed=_HLL_SEED)
+    rho = sh.withColumn("h_", hv).select(
+        "source",
+        F.pmod(F.col("h_"), F.lit(_HLL_M)).alias("j"),
+        F.when(F.expr(f"h_ DIV {_HLL_M}") == 0, F.lit(_HLL_W + 1))
+        .otherwise(F.lit(_HLL_W + 1) - F.length(F.bin(F.expr(f"h_ DIV {_HLL_M}"))))
+        .alias("r"),
+    )
+    regs = (
+        rho.groupBy("source", "j")
+        .agg(F.max("r").alias("mj"))
+        .localCheckpoint(eager=True)
+    )
+    merged = regs.groupBy("j").agg(F.max("mj").alias("mj")).select(
+        F.lit("(all)").alias("source"), "j", "mj"
+    )
+    allregs = regs.unionByName(merged)
     stats = allregs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_used"),
         F.expr(
@@ -341,8 +464,8 @@ def q367_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + ({_HLL_M} - count(*)) * 8589934592 AS BIGINT)"
         ).alias("s_scaled"),
     )
-    # exact audit: ONE distinct shuffle over (source, shingle), pinned
-    # (two consumers: per-source counts + the global distinct)
+    # exact audit over the K-doc sample only: the distinct shuffle is
+    # sample-bounded; pinned (two consumers: per-source + global)
     ss = sh.distinct().localCheckpoint(eager=True)
     exact = ss.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
