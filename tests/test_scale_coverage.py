@@ -91,3 +91,63 @@ def test_exact_all_pairs_have_measured_production_counterparts():
     banded = {"q42_dedup_minhash_lsh", "q43_dedup_simhash", "q49_lsh_bucket_ann"}
     missing = banded - set(sf10)
     assert not missing, f"banded counterparts missing decade-2 evidence: {missing}"
+
+
+# --- committed-battery regression -> solo-wobble gate (VERDICT r9 #4) ------
+
+
+def _load_json(name: str) -> dict:
+    import json as _json
+
+    path = os.path.join(ROOT, name)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return _json.load(f)
+
+
+def test_committed_battery_regressions_are_wobbled():
+    """Round 9 shipped four >=1.5x per-query battery regressions with
+    unchanged digests and no solo-wobble runs — the judge had to flag
+    them by hand. Mechanized: every query BATTERY.json flags (host-
+    adjusted ratio > 1.5 vs the previous committed battery) must have
+    a WOBBLE.json ledger entry BOUND to that battery (battery_value
+    matches) with a verdict. tools/battery.py writes the flags;
+    tools/solo_wobble.py writes the ledger."""
+    from tools.battery_guard import unwobbled
+
+    battery = _load_json("BATTERY.json")
+    assert battery.get("queries"), "BATTERY.json missing — run tools/battery.py"
+    missing = unwobbled(battery, _load_json("WOBBLE.json"))
+    assert not missing, (
+        f"battery regressions without a bound solo-wobble entry: {missing} — "
+        "run `python tools/solo_wobble.py <q>` for each (quiet host, tmux)"
+    )
+
+
+def test_battery_guard_flags_seeded_mutant():
+    """The guard must actually fire: a synthetic battery where one
+    query doubled (host factor 1.0) is flagged; a ledger entry bound
+    to the WRONG battery value does not exonerate it; a bound entry
+    does."""
+    from tools.battery_guard import regressions_vs_prev, unwobbled
+
+    prev = {f"q{i}": 2.0 for i in range(20)}
+    now = dict(prev, q5=4.0)
+    hf, regr = regressions_vs_prev(prev, now)
+    assert abs(hf - 1.0) < 1e-9
+    assert set(regr) == {"q5"} and regr["q5"]["adj_ratio"] == 2.0
+
+    battery = {"queries": now, "regressions_vs_prev": regr}
+    assert unwobbled(battery, {}) == ["q5"]
+    stale = {"q5": {"battery_value": 3.9, "verdict": "interference"}}
+    assert unwobbled(battery, stale) == ["q5"]
+    unverdicted = {"q5": {"battery_value": 4.0, "verdict": ""}}
+    assert unwobbled(battery, unverdicted) == ["q5"]
+    bound = {"q5": {"battery_value": 4.0, "verdict": "interference"}}
+    assert unwobbled(battery, bound) == []
+
+    # host weather moves the whole battery together: a uniform 1.6x
+    # slowdown flags NOTHING (the r9 driver-hour lesson)
+    hf2, regr2 = regressions_vs_prev(prev, {q: v * 1.6 for q, v in prev.items()})
+    assert abs(hf2 - 1.6) < 1e-9 and not regr2

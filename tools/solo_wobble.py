@@ -105,11 +105,48 @@ def main() -> int:
         materialize(spec.spark(spark, sf_dir))
         runs.append(round(time.perf_counter() - t0, 3))
 
-    print(json.dumps({
+    result = {
         "query": name, "sf_dir": sf_dir, "cold": runs[0],
         "warm_runs": runs[1:], "warm_best_of_3": min(runs[1:]),
         "plan_digest_unchanged": not diff, "digest_diff": diff,
-    }))
+    }
+    print(json.dumps(result))
+
+    # WOBBLE.json ledger (battery-guard binding, VERDICT r9 item 4):
+    # record the run against the CURRENT committed battery so
+    # tests/test_scale_coverage.py can check every flagged regression
+    # was wobbled against the battery that flagged it. Verdict rule
+    # (the protocol above): unchanged digest + solo best at/below
+    # 1.25x the previous battery's level = interference; anything
+    # else needs a human look and is recorded as "regression-check".
+    battery_path = os.path.join(ROOT, "BATTERY.json")
+    if os.path.exists(battery_path) and sf_dir.rstrip("/").endswith("sf0.1"):
+        with open(battery_path) as f:
+            battery = json.load(f)
+        flag = battery.get("regressions_vs_prev", {}).get(name)
+        prev_level = flag["prev"] if flag else battery["queries"].get(name)
+        verdict = (
+            "interference"
+            if not diff and prev_level and min(runs[1:]) <= prev_level * 1.25
+            else "regression-check"
+        )
+        ledger_path = os.path.join(ROOT, "WOBBLE.json")
+        ledger = {}
+        if os.path.exists(ledger_path):
+            with open(ledger_path) as f:
+                ledger = json.load(f)
+        ledger[name] = {
+            "battery_value": battery["queries"].get(name),
+            "prev_battery_value": prev_level,
+            "solo_best": min(runs[1:]),
+            "solo_runs": runs[1:],
+            "cold": runs[0],
+            "plan_digest_unchanged": not diff,
+            "verdict": verdict,
+        }
+        with open(ledger_path, "w") as f:
+            json.dump(ledger, f, indent=1, sort_keys=True)
+        print(f"WOBBLE.json[{name}] = {verdict}")
     return 0
 
 
