@@ -25,6 +25,7 @@ from sensor_data_pipeline_spark.plans import frontier2  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import frontier3  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import frontier4  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import frontier5  # noqa: F401,E402
+from sensor_data_pipeline_spark.plans import frontier6  # noqa: F401,E402
 
 # Driver-window ordering: the driver's CORRECTNESS check covers the
 # FIRST 50 registered queries, so the first 50 must span every
@@ -32,100 +33,87 @@ from sensor_data_pipeline_spark.plans import frontier5  # noqa: F401,E402
 # representatives each — rather than whatever import order produced.
 # Everything else follows in original registration order.
 _DRIVER_WINDOW = [
-    # ROUND-9 ROTATION (the committed r9+ policy below, first
-    # application): 8 forced family reps + 17 never-checked rows
-    # (q129 — reshaped this round to emit first_events as a delimited
-    # STRING after its r8 canonicalizer error — plus the 16 r8-era
-    # q348-q363 registered after the r8 window was set) + 25
-    # staleness-queue rows. The staleness queue is computed from the
-    # committed CORRECTNESS_r01..r08 artifacts: queries whose most
-    # recent green driver row is OLDEST first (primary key: round of
-    # last green row ascending; tie-break: query number), which makes
-    # the front of the queue exactly the r1-vintage rows — evidence
-    # gathered before ANSI mode and the exact integer-division
-    # discipline existed. When this window lands green, cumulative
-    # driver coverage closes at 355/355 AND the 25 oldest evidence rows
-    # are refreshed to r9.
+    # ROUND-10 ROTATION (policy: VERDICT r7 item 5, unchanged): 8
+    # forced family reps + 42 fresh slots. Fresh slots were generated
+    # with `python tools/window_rotation.py 42` at r10 start against
+    # the 50/50-green CORRECTNESS_r09 artifact and match the plan
+    # committed in the r9 window verbatim: the 13 never-checked r9
+    # entrants jump the queue (q364-q377 minus q368, which rode the
+    # r9 similarity-canary slot and came back green), then the
+    # staleness queue in (last-green-round, query-number) order —
+    # the last four r1-vintage rows (q130, q131, q133, q134 — q130
+    # was displaced by q368 in r9) and the front of the r2 block.
+    # When this window lands green, cumulative driver coverage closes
+    # at 369/369 (every registered query has at least one green
+    # driver row) and the oldest remaining evidence is r2.
     #
-    # ROUND-10+ ROTATION POLICY (unchanged, VERDICT r7 item 5): each
-    # round the non-rep slots re-verify never-checked queries first
-    # (new round-N queries enter the round-N+1 window), then the
-    # staleness queue in (last-green-round, query-number) order. The 8
-    # family-rep slots stay forced so every SURVEY §2.9 family keeps a
-    # same-round canary.
-    #
-    # R10 WINDOW PLAN (VERDICT r8 item 5, enumerated via
-    # tools/window_rotation.py assuming this r9 window lands green):
-    # 8 reps + 13 never-checked r9 entrants (q364 calibration split +
-    # frontier4 q365-q372 minus q368, which took this window's
-    # similarity-canary slot, + frontier5 q373-q377) + the 29-row
-    # staleness front: q130 (displaced by q368 here), q131, q133,
-    # q134 (the last r1-vintage rows), then the r2 block q01, q12,
-    # q20-q31, q40-q48 in query-number order.
-    # Regenerate with `python tools/window_rotation.py 42` at r10
-    # start in case any r9 row comes back red (a red row keeps its
-    # old last-green round and re-enters by staleness, while the
-    # never-checked set shrinks/grows accordingly).
+    # R11 WINDOW PLAN (enumerate-ahead discipline, VERDICT r9 item
+    # 7): assuming this window lands green, the next 42 fresh slots
+    # are pure staleness queue — any round-10 entrants registered
+    # below (q378+) jump it first, exactly as the r9 entrants did
+    # here. Generated via `python tools/window_rotation.py 84 |
+    # tail -42` at r10 start:
+    #   q49, q50, q66, q74, q83, q86, q51, q52, q53, q80, q94, q67,
+    #   q69, q70, q96, q89, q90, q91, q92, q93, q136, q137 (r2
+    #   vintage), then q151, q199, q207, q150, q191, q54, q56, q62,
+    #   q73, q76, q95, q100, q112, q68, q162, q170, q183, q200,
+    #   q71, q72 (r3 vintage).
+    # Regenerate with `python tools/window_rotation.py 42` at r11
+    # start in case any r10 row comes back red (a red row keeps its
+    # old last-green round and re-enters by staleness).
     # --- forced family repeats (proven canaries) ---
-    "q114_custom_source",  # source rep (r3-r8 green)
-    "q215_media_phash_neardup",  # multimodal rep (r4-r8 green)
-    "q243_disorder_profile",  # time rep (r4-r8 green)
-    "q287_stream_nearest_match",  # streaming rep (r4/r6/r7/r8 green)
-    "q260_stream_tws_delta",  # stateful rep (r4/r6/r7/r8 green)
-    "q117_group_zscore",  # udf rep (r3/r5-r8 green)
-    "q65_array_map_funcs",  # functions rep (r5-r8 green)
-    "q194_incremental_rollup",  # cdc rep (r6/r7/r8 green)
-    # --- never-checked: q129 (r8 canonicalizer error, now reshaped)
-    # --- + the 16 corpus-governance queries registered in r8 ---
-    "q129_user_event_sequences",
-    "q348_template_skeleton_mining",
-    "q349_zipf_octave_profile",
-    "q350_kanonymity_audit",
-    "q351_rater_agreement_kappa",
-    "q352_epoch_repeat_budget",
-    "q353_gate_cofire_matrix",
-    "q354_oov_rate_audit",
-    "q355_split_balance_chisq",
-    "q356_lsh_s_curve_audit",
-    "q357_source_tv_divergence",
-    "q358_quality_auc_ranksum",
-    "q359_rater_error_triangulation",
-    "q360_dedup_yield_forecast",
-    "q361_context_overflow_audit",
-    "q362_datacard_census",
-    "q363_eval_sample_sizing",
-    # --- staleness queue: the 25 oldest green rows (all r1-vintage) ---
-    "q02_join_customer_orders",
-    "q03_broadcast_dim_chain",
-    "q04_semi_join",
-    "q05_anti_join",
-    "q06_outer_join_counts",
-    "q07_agg_stats",
-    "q08_rollup",
-    "q09_cube",
-    "q10_distinct",
-    "q11_window_rank",
-    "q13_window_running_sum",
-    "q14_global_topk",
-    "q15_set_ops",
-    "q16_string_funcs",
-    "q17_date_funcs",
-    "q18_case_bucketing",
-    "q19_correlated_scalar",
-    "q97_shipping_priority",
-    "q98_local_supplier_volume",
-    "q99_decimal_exact",
-    "q125_asof_tolerance",
-    "q126_schema_evolution_union",
-    "q127_grouping_indicators",
-    "q128_error_safe_math",
-    # similarity-family canary: the r9 frontier additions put a
-    # never-checked member (q368) into the similarity family, whose
-    # members were otherwise all green but absent from this window —
-    # the family-coverage invariant (test_driver_window_spans_all_
-    # families) takes the last staleness slot (q130, r1) and q368
-    # enters one round early; q130 leads the r10 staleness front.
-    "q368_source_minhash_matrix",
+    "q114_custom_source",  # source rep (r3-r9 green, 7-round canary)
+    "q215_media_phash_neardup",  # multimodal rep (r4-r9 green)
+    "q243_disorder_profile",  # time rep (r4-r9 green)
+    "q287_stream_nearest_match",  # streaming rep (r4/r6-r9 green)
+    "q260_stream_tws_delta",  # stateful rep (r4/r6-r9 green)
+    "q117_group_zscore",  # udf rep (r3/r5-r9 green)
+    "q65_array_map_funcs",  # functions rep (r5-r9 green)
+    "q194_incremental_rollup",  # cdc rep (r6-r9 green)
+    # --- never-checked: the 13 r9 entrants ---
+    "q364_banding_containment_calibration",
+    "q365_blocklist_scrub_census",
+    "q366_blocklist_redaction_checksum",
+    "q367_hll_distinct_sketch",
+    "q369_langid_confusion",
+    "q370_intradoc_repetition",
+    "q371_novelty_decay_curve",
+    "q372_countmin_freq_sketch",
+    "q373_maxsim_group_retrieval",
+    "q374_conformal_quality_gate",
+    "q375_roc_operating_points",
+    "q376_hll_incremental_update",
+    "q377_snapshot_cdc_extract",
+    # --- staleness queue: last r1-vintage rows, then the r2 front ---
+    "q130_bitwise_aggregates",
+    "q131_ordered_string_agg",
+    "q133_null_safe_join",
+    "q134_keyset_pagination",
+    "q01_pricing_summary",
+    "q12_window_lag_delta",
+    "q20_register_decode",
+    "q21_json_extract",
+    "q22_sentinel_default",
+    "q23_corrupt_routing",
+    "q24_iso8601_roundtrip",
+    "q25_explode_filter",
+    "q26_signflip_sessions",
+    "q27_session_rate_eta",
+    "q28_staleness_sentinel",
+    "q29_asof_join",
+    "q30_tumbling_window",
+    "q31_wire_roundtrip",
+    "q113_asof_cogrouped",
+    "q138_asof_forward",
+    "q40_dedup_exact",
+    "q41_dedup_jaccard",
+    "q42_dedup_minhash_lsh",
+    "q43_dedup_simhash",
+    "q44_doc_fingerprint",
+    "q45_token_stats",
+    "q46_quality_score",
+    "q47_lang_signal",
+    "q48_cosine_topk",
 ]
 
 

@@ -887,3 +887,151 @@ def test_conformal_rank_ceiling_matches_float(n):
     # the ground truth here — (n+1)*0.9 rounds at large n)
     assert (k - 1) * 10 < (n + 1) * 9 <= k * 10
     assert 1 <= k <= n + 1
+
+
+# --- q379: temperature-scaled mixture identities -----------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    toks=st.lists(st.integers(1, 10**13), min_size=2, max_size=8),
+)
+def test_temperature_sampling_flattens(toks):
+    """q379's α grid must actually flatten: for α' < α the max share
+    falls and the min share rises (weights x^α are a monotone concave
+    reweighting for 0 < α < 1), and each share column sums to ~1.
+    Replays the exact float semantics (sqrt chains + prefix-fold
+    denominator)."""
+    import math
+
+    def shares(alpha_sqrt_depth):
+        ws = []
+        for n in toks:
+            w = float(n)
+            for _ in range(alpha_sqrt_depth):
+                w = math.sqrt(w)
+            ws.append(w)
+        cum = 0.0
+        for w in ws:  # the ordered prefix fold q379 uses
+            cum += w
+        return [w / cum for w in ws]
+
+    s100, s50, s25 = shares(0), shares(1), shares(2)
+    for s in (s100, s50, s25):
+        assert abs(sum(s) - 1.0) < 1e-9
+    assert max(s50) <= max(s100) + 1e-12
+    assert min(s50) >= min(s100) - 1e-12
+    assert max(s25) <= max(s50) + 1e-12
+    assert min(s25) >= min(s50) - 1e-12
+
+
+@settings(max_examples=200, deadline=None)
+@given(n=st.integers(1, 4 * 10**15))
+def test_sqrt_of_perfect_square_is_exact(n):
+    """q379 rides correctly-rounded IEEE sqrt for bit-portability;
+    the supporting fact (documented in the module header) is that
+    sqrt is exact on perfect squares up to 2^52-ish — so no engine
+    can disagree even at representability boundaries."""
+    import math
+
+    k = math.isqrt(n)
+    assert math.sqrt(float(k * k)) == float(k)
+
+
+# --- q380: Good-Turing / Chao1 identities ------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    a=st.dictionaries(st.text(st.characters(min_codepoint=97, max_codepoint=104), min_size=1, max_size=3), st.integers(1, 50), max_size=30),
+    b=st.dictionaries(st.text(st.characters(min_codepoint=97, max_codepoint=104), min_size=1, max_size=3), st.integers(1, 50), max_size=30),
+)
+def test_count_merge_by_addition_is_lossless(a, b):
+    """q380's '(all)' row re-aggregates per-source counts at the
+    shingle key. Counts merge by ADDITION (unlike HLL's max), so the
+    merged frequency-of-frequencies must equal the one computed over
+    the concatenated corpus — the mergeability that lets the global
+    row avoid a corpus re-scan."""
+    from collections import Counter
+
+    merged = Counter(a)
+    merged.update(b)
+    direct = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    assert dict(merged) == direct
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    v=st.integers(1, 10**12),
+    n1=st.integers(0, 10**12),
+    n2=st.integers(1, 10**12),
+)
+def test_chao1_milli_is_exact_floor(v, n1, n2):
+    """q380's chao1_milli = V*1000 + N1²*1000 DIV (2*N2) must equal
+    floor(1000 * (V + N1²/(2N2))) computed in exact rationals — the
+    integer form never drifts, and the N1² product (up to 1e24)
+    exceeds bigint, which is why the operand rides DECIMAL/HUGEINT."""
+    from fractions import Fraction
+
+    got = v * 1000 + (n1 * n1 * 1000) // (2 * n2)
+    ref = Fraction(1000) * (v + Fraction(n1 * n1, 2 * n2))
+    assert got == ref.numerator // ref.denominator
+
+
+# --- q381: salting-plan invariants -------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    counts=st.lists(st.integers(1, 10**12), min_size=1, max_size=40),
+)
+def test_salting_plan_balances(counts):
+    """q381's synthesized plan must satisfy its own balance proof:
+    salt ∈ [1, P]; a non-hot key keeps salt 1; a hot key's post-salt
+    max task load is ≤ max(target, ceil(cnt/P)) — i.e. salting always
+    lands within the partition target unless the key alone exceeds
+    P·target, where the P-way cap makes ceil(cnt/P) the floor of the
+    achievable."""
+    P = 32
+    total = sum(counts)
+    target = max(1, total // P)
+    for cnt in counts:
+        hot = cnt > target
+        salt = min(P, (cnt + target - 1) // target) if hot else 1
+        assert 1 <= salt <= P
+        post = (cnt + salt - 1) // salt
+        assert post <= max(target, (cnt + P - 1) // P)
+        if not hot:
+            assert post == cnt
+
+
+# --- q383: coverage-curve invariants -----------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    counts=st.lists(st.integers(1, 10**9), min_size=1, max_size=60),
+)
+def test_vocab_coverage_monotone_in_eps(counts):
+    """q383's vocab_size must be non-increasing as ε grows (covering
+    99.9% needs at least as much vocab as 90%), and the integer
+    predicate cum*1e6 >= (1e6-eps)*N must agree with the exact
+    rational comparison."""
+    from fractions import Fraction
+
+    ranked = sorted(counts, reverse=True)
+    n = sum(ranked)
+    sizes = []
+    for eps_ppm in (100000, 10000, 1000):
+        cum = 0
+        size = None
+        for rk, c in enumerate(ranked, 1):
+            cum += c
+            int_pred = cum * 1000000 >= (1000000 - eps_ppm) * n
+            frac_pred = Fraction(cum, n) >= Fraction(1000000 - eps_ppm, 1000000)
+            assert int_pred == frac_pred
+            if int_pred:
+                size = rk
+                break
+        sizes.append(size)
+    assert sizes[0] <= sizes[1] <= sizes[2]

@@ -83,6 +83,8 @@ ALLOW: dict[str, set[str]] = {
     "q349_zipf_octave_profile": {"global_window"},  # <=64-row octave frame (lag over the pinned spectrum; the 1-row-total crossJoin between pin and window defeats the dominator walk but cannot unbound it)
     "q371_novelty_decay_curve": {"global_window"},  # <=64-row octave frame (running sum over bin()-length octaves of a bigint doc_id)
     "q374_conformal_quality_gate": {"global_window"},  # value-domain CDF (the q257 counting-quantile idiom: cumulative over the bounded n_chars histogram, never rows)
+    "q379_temperature_mixture": {"global_window"},  # |sources|-row census (ordered cumulative denominators — the q288 no-unordered-float-total rule)
+    "q383_vocab_coverage_curve": {"global_window"},  # vocab-bounded frequency frame (rank + cumulative mass over groupBy(s) output, never rows)
 }
 
 
