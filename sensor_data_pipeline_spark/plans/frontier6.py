@@ -172,13 +172,11 @@ WITH w AS (
 sh AS (
   SELECT source, unnest({_DUCK_SHINGLES.format(w="t")}) AS s FROM w
 ),
-cnt AS (
-  SELECT source, s, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY source, s
+dup AS (
+  SELECT unnest([source, '(all)']) AS source, s FROM sh
 ),
 allcnt AS (
-  SELECT source, c FROM cnt
-  UNION ALL
-  SELECT '(all)' AS source, CAST(sum(c) AS BIGINT) AS c FROM cnt GROUP BY s
+  SELECT source, s, CAST(count(*) AS BIGINT) AS c FROM dup GROUP BY source, s
 ),
 ff AS (
   SELECT source,
@@ -217,29 +215,32 @@ def q380_unseen_mass_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable by measurement); NULL when N2=0 (the estimator's own
     undefined case, surfaced rather than patched).
 
-    Scale shape: the '(all)' row re-aggregates PER-SOURCE counts at
-    the shingle key (counts are mergeable by addition — one
-    vocab-bounded shuffle), never re-scans the corpus; the ff
-    histogram then folds each source to 4 numbers. Corpus is scanned
-    once; both shuffles are keyed and map-side combinable."""
+    Scale shape: the corpus is scanned once; each shingle occurrence
+    is key-duplicated into (source, s) and ('(all)', s) before ONE
+    map-side-combinable count shuffle (counts merge by addition — the
+    mergeability the identity test proves — so the duplication is
+    exactly the per-source/global merge fused into one pass), and the
+    ff histogram folds each source to 4 numbers. No corpus-scale
+    frame is pinned and nothing is shuffled twice."""
     d = load_table(spark, "documents", sf_dir)
     # tokenize once into a stored column (q335 pin — see q367)
     tw = d.select("source", tokenize(F.col("text")).alias("w")).localCheckpoint(
         eager=True
     )
     sh = tw.select("source", F.explode(_shingles(F.col("w"))).alias("s"))
-    # per-(source, shingle) counts: TWO consumers (per-source ff +
-    # the merged re-aggregation) — pin the vocab-bounded frame, not
-    # the corpus-scale shingle stream (the q367 lesson)
-    cnt = (
-        sh.groupBy("source", "s")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)
+    # ONE combinable pass builds both the per-source and the '(all)'
+    # counts: each occurrence is key-duplicated into its source row
+    # and the '(all)' row BEFORE the count (the q372 fold-into-one-
+    # pass lesson). The first form pinned the near-corpus-scale
+    # (source, shingle) count frame and re-shuffled it for the merge:
+    # 15.55x at the sf10 decade (the q367-first-form mistake); this
+    # shape is one shuffle, no pin.
+    dup = sh.select(
+        F.explode(F.array(F.col("source"), F.lit("(all)"))).alias("source"), "s"
     )
-    merged = cnt.groupBy("s").agg(F.sum("c").cast("bigint").alias("c")).select(
-        F.lit("(all)").alias("source"), "c"
+    allcnt = dup.groupBy("source", "s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    allcnt = cnt.select("source", "c").unionByName(merged)
     ff = allcnt.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("v_distinct"),
         F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
@@ -462,23 +463,36 @@ sh AS (
 cnt AS (
   SELECT s, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY s
 ),
-ranked AS (
-  SELECT c,
-         row_number() OVER (ORDER BY c DESC, s) AS rk,
-         sum(c) OVER (ORDER BY c DESC, s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-  FROM cnt
+ff AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS n_types FROM cnt GROUP BY c
 ),
-tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM cnt)
-SELECT eps_ppm,
-       CAST(min(CASE WHEN CAST(cum AS HUGEINT) * 1000000 >= CAST(1000000 - eps_ppm AS HUGEINT) * n
-                THEN rk ELSE NULL END) AS BIGINT) AS vocab_size,
-       (SELECT v FROM tot) AS v_total,
-       CAST(CAST(min(CASE WHEN CAST(cum AS HUGEINT) * 1000000 >= CAST(1000000 - eps_ppm AS HUGEINT) * n
-                THEN rk ELSE NULL END) AS HUGEINT) * 1000000 // (SELECT v FROM tot) AS BIGINT) AS vocab_share_ppm
-FROM ranked CROSS JOIN tot
-CROSS JOIN (SELECT unnest([{", ".join(str(e) for e in _COVERAGE_EPS_PPM)}]) AS eps_ppm)
-GROUP BY eps_ppm, n
-ORDER BY eps_ppm DESC
+cum AS (
+  SELECT c, n_types,
+         sum(n_types) OVER (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_sizes,
+         sum(n_types * c) OVER (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_mass
+  FROM ff
+),
+tot AS (
+  SELECT CAST(sum(n_types * c) AS BIGINT) AS n, CAST(sum(n_types) AS BIGINT) AS v FROM ff
+)
+SELECT e.eps_ppm,
+       CAST(cum.cum_sizes - cum.n_types
+            + (CAST(1000000 - e.eps_ppm AS HUGEINT) * t.n
+               - CAST(cum.cum_mass - cum.n_types * cum.c AS HUGEINT) * 1000000
+               + CAST(cum.c AS HUGEINT) * 1000000 - 1)
+              // (CAST(cum.c AS HUGEINT) * 1000000) AS BIGINT) AS vocab_size,
+       t.v AS v_total,
+       CAST(CAST(cum.cum_sizes - cum.n_types
+            + (CAST(1000000 - e.eps_ppm AS HUGEINT) * t.n
+               - CAST(cum.cum_mass - cum.n_types * cum.c AS HUGEINT) * 1000000
+               + CAST(cum.c AS HUGEINT) * 1000000 - 1)
+              // (CAST(cum.c AS HUGEINT) * 1000000) AS HUGEINT) * 1000000 // t.v AS BIGINT) AS vocab_share_ppm
+FROM cum
+CROSS JOIN tot t
+CROSS JOIN (SELECT unnest([{", ".join(str(e) for e in _COVERAGE_EPS_PPM)}]) AS eps_ppm) e
+WHERE CAST(cum.cum_mass AS HUGEINT) * 1000000 >= CAST(1000000 - e.eps_ppm AS HUGEINT) * t.n
+  AND CAST(cum.cum_mass - cum.n_types * cum.c AS HUGEINT) * 1000000 < CAST(1000000 - e.eps_ppm AS HUGEINT) * t.n
+ORDER BY e.eps_ppm DESC
 """,
 )
 def q383_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,55 +505,413 @@ def q383_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix is — the gap between 90% and 99.9% coverage is the long
     tail's price tag.
 
-    Integer exactness: the coverage predicate is cum·1e6 ≥
-    (1e6-ε)·N in HUGEINT/DECIMAL(38,0) operands (shingle mass crosses
-    bigint·1e6 at 100 TB); ranks come from a deterministic
-    (count DESC, shingle) order.
+    The curve is computed from the FREQUENCY-OF-FREQUENCIES histogram,
+    never by ranking the vocabulary: all types with the same count
+    form one contiguous rank block under (count DESC) ordering, so
+    the boundary rank is (sizes before the block) + ceil((required
+    mass − mass before the block) / count), located by the unique
+    block whose cumulative mass first meets the coverage predicate.
+    The first form ranked the full distinct-shingle frame through a
+    global row_number — a single-partition sort of a frame that GROWS
+    with the corpus (~60% of occurrences are singleton shingles);
+    this form's window runs on the ff histogram, bounded by the
+    number of DISTINCT COUNT VALUES (a few hundred at any corpus
+    size). Coverage predicate and ceil ride HUGEINT/DECIMAL(38,0)
+    operands (shingle mass crosses bigint·1e6 at 100 TB).
 
-    Scale shape: the corpus folds to the vocab-bounded frequency
-    frame in one map-side-combinable pass; the ranking window runs on
-    that bounded frame (the allowed aggregate-dominated global-window
-    shape), and the ε panel is a 3-row broadcast. The answer frame is
-    3 rows."""
+    Scale shape: one combinable corpus pass to per-shingle counts,
+    one combinable fold to the ff histogram, a window over the
+    bounded histogram, and a 3-row broadcast ε panel. The answer
+    frame is 3 rows."""
     d = load_table(spark, "documents", sf_dir)
     tw = d.select(tokenize(F.col("text")).alias("w")).localCheckpoint(eager=True)
     sh = tw.select(F.explode(_shingles(F.col("w"))).alias("s"))
-    cnt = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cnt = sh.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # the ff histogram is TINY (distinct count values) and has two
+    # consumers (the cumulative window + the totals) — pin IT, never
+    # the vocab-scale count frame (the q367/q380 lesson)
+    ff = (
+        cnt.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
         .localCheckpoint(eager=True)
     )
-    rw = Window.orderBy(F.col("c").desc(), "s")
-    ranked = cnt.select(
+    cw = Window.orderBy(F.col("c").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    cum = ff.select(
         "c",
-        F.row_number().over(rw).cast("bigint").alias("rk"),
-        F.sum("c").over(rw.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        "n_types",
+        F.sum("n_types").over(cw).alias("cum_sizes"),
+        F.sum(F.col("n_types") * F.col("c")).over(cw).alias("cum_mass"),
     )
-    tot = cnt.agg(
-        F.sum("c").cast("bigint").alias("n"),
-        F.count(F.lit(1)).cast("bigint").alias("v"),
+    tot = ff.agg(
+        F.sum(F.col("n_types") * F.col("c")).cast("bigint").alias("n"),
+        F.sum("n_types").cast("bigint").alias("v"),
     )
     eps = spark.createDataFrame(
         [(e,) for e in _COVERAGE_EPS_PPM], "eps_ppm bigint"
     )
+    vsize = (
+        "cum_sizes - n_types"
+        " + (CAST(1000000 - eps_ppm AS DECIMAL(38,0)) * n"
+        "    - CAST(cum_mass - n_types * c AS DECIMAL(38,0)) * 1000000"
+        "    + CAST(c AS DECIMAL(38,0)) * 1000000 - 1)"
+        "   DIV (CAST(c AS DECIMAL(38,0)) * 1000000)"
+    )
     return (
-        ranked.crossJoin(F.broadcast(tot))
+        cum.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(eps))
-        .groupBy("eps_ppm", "n", "v")
-        .agg(
+        .filter(
             F.expr(
-                "CAST(min(CASE WHEN CAST(cum AS DECIMAL(38,0)) * 1000000"
+                "CAST(cum_mass AS DECIMAL(38,0)) * 1000000"
                 " >= CAST(1000000 - eps_ppm AS DECIMAL(38,0)) * n"
-                " THEN rk ELSE NULL END) AS BIGINT)"
-            ).alias("vocab_size"),
+            )
+            & F.expr(
+                "CAST(cum_mass - n_types * c AS DECIMAL(38,0)) * 1000000"
+                " < CAST(1000000 - eps_ppm AS DECIMAL(38,0)) * n"
+            )
         )
         .select(
             "eps_ppm",
-            "vocab_size",
+            F.expr(f"CAST({vsize} AS BIGINT)").alias("vocab_size"),
             F.col("v").alias("v_total"),
             F.expr(
-                "CAST(CAST(vocab_size AS DECIMAL(38,0)) * 1000000 DIV v AS BIGINT)"
+                f"CAST(CAST({vsize} AS DECIMAL(38,0)) * 1000000 DIV v AS BIGINT)"
             ).alias("vocab_share_ppm"),
         )
         .orderBy(F.col("eps_ppm").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q384 — Neyman optimal stratified-sample allocation
+# ---------------------------------------------------------------------------
+
+_NEYMAN_SAMPLE_N = 10000  # the labeling/eval budget being allocated
+
+
+@register(
+    "q384_neyman_allocation",
+    category="sampling",
+    oracle=f"""
+WITH strata AS (
+  SELECT source, lang,
+         CAST(count(*) AS BIGINT) AS n_h,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY source, lang
+),
+wt AS (
+  SELECT source, lang, n_h, s1, s2,
+         sqrt(CAST(CAST(n_h AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) AS w,
+         sum(sqrt(CAST(CAST(n_h AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)))
+           OVER (ORDER BY source, lang ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM strata
+),
+tot AS (SELECT max(cw) AS tw FROM wt),
+quota AS (
+  SELECT source, lang, n_h, s1, s2, w,
+         CAST(floor(w * {_NEYMAN_SAMPLE_N} / tw) AS BIGINT) AS base,
+         w * {_NEYMAN_SAMPLE_N} / tw - floor(w * {_NEYMAN_SAMPLE_N} / tw) AS rem
+  FROM wt CROSS JOIN tot
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, source, lang) AS rr,
+         sum(base) OVER () AS base_total
+  FROM quota
+)
+SELECT source, lang, n_h, s1, s2, w,
+       CAST(base + CASE WHEN rr <= {_NEYMAN_SAMPLE_N} - base_total THEN 1 ELSE 0 END AS BIGINT) AS alloc_n
+FROM ranked
+ORDER BY source, lang
+""",
+)
+def q384_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified-sample allocation (Neyman 1934;
+    Cochran 1977 — public): a fixed labeling/eval budget of
+    10000 documents is split across (source, lang) strata
+    ∝ N_h·S_h — bigger AND more variable strata get more samples, the
+    minimum-variance allocation for estimating the corpus mean. The
+    weight rides the identity N_h·S_h = sqrt(N_h·ΣX² − (ΣX)²): one
+    sqrt of an exact integer (HUGEINT/DECIMAL(38,0) operands — N_h·S2
+    crosses bigint at ~2e10 docs), so no per-stratum float variance
+    chain. Integerization is largest-remainder (the q300 idiom) with
+    a deterministic (remainder DESC, stratum) tiebreak, so
+    Σ alloc_n = 10000 exactly.
+
+    Float discipline: the weight-sum denominator is max() over the
+    ORDERED cumulative by stratum key (the q288/q379 rule); floor()
+    of identical doubles and their remainders compare identically on
+    both engines.
+
+    Scale shape: strata moments are ONE map-side-combinable corpus
+    scan onto |source×lang| keys; everything downstream (cumulative,
+    ranking, largest-remainder) runs on the bounded strata frame."""
+    d = load_table(spark, "documents", sf_dir)
+    strata = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("n_chars").cast("bigint").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("s2"),
+    )
+    w_expr = (
+        "sqrt(CAST(CAST(n_h AS DECIMAL(38,0)) * s2"
+        " - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE))"
+    )
+    cw = Window.orderBy("source", "lang").rowsBetween(Window.unboundedPreceding, 0)
+    wt = strata.withColumn("w", F.expr(w_expr)).withColumn(
+        "cw", F.sum("w").over(cw)
+    )
+    tot = wt.agg(F.max("cw").alias("tw"))
+    quota = (
+        wt.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "base",
+            F.expr(f"CAST(floor(w * {_NEYMAN_SAMPLE_N} / tw) AS BIGINT)"),
+        )
+        .withColumn(
+            "rem",
+            F.expr(
+                f"w * {_NEYMAN_SAMPLE_N} / tw - floor(w * {_NEYMAN_SAMPLE_N} / tw)"
+            ),
+        )
+    )
+    rw = Window.orderBy(F.col("rem").desc(), "source", "lang")
+    base_total = quota.agg(F.sum("base").cast("bigint").alias("base_total"))
+    ranked = quota.select("*", F.row_number().over(rw).alias("rr")).crossJoin(
+        F.broadcast(base_total)
+    )
+    return ranked.select(
+        "source",
+        "lang",
+        "n_h",
+        "s1",
+        "s2",
+        "w",
+        F.expr(
+            f"CAST(base + CASE WHEN rr <= {_NEYMAN_SAMPLE_N} - base_total"
+            f" THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("alloc_n"),
+    ).orderBy("source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# q385 — HDR-style mergeable quantile sketch with an exact-rank audit
+# ---------------------------------------------------------------------------
+
+_HDR_SUB_BITS = 3  # 8 sub-buckets per octave -> relative error <= 2^-4
+_HDR_QUANTILES = (50, 90, 99)
+
+
+@register(
+    "q385_hdr_quantile_sketch",
+    category="sketch",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+  FROM lineitem
+),
+b AS (
+  SELECT c, length(bin(c)) AS bl,
+         CASE WHEN length(bin(c)) <= {_HDR_SUB_BITS + 1} THEN c
+              ELSE (length(bin(c)) << {_HDR_SUB_BITS})
+                   + ((c >> (length(bin(c)) - {_HDR_SUB_BITS + 1})) % {1 << _HDR_SUB_BITS})
+         END AS bucket
+  FROM v
+),
+hist AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(min(c) AS BIGINT) AS lo, CAST(max(c) AS BIGINT) AS hi
+  FROM b GROUP BY bucket
+),
+cdf AS (
+  SELECT bucket, cnt, lo, hi,
+         sum(cnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+ranks AS (
+  SELECT q_pct, CAST((n * q_pct + 99) // 100 AS BIGINT) AS k
+  FROM tot CROSS JOIN (SELECT unnest([{", ".join(str(q) for q in _HDR_QUANTILES)}]) AS q_pct)
+),
+sk AS (
+  SELECT r.q_pct, r.k,
+         CAST(min(CASE WHEN c.cum >= r.k THEN c.bucket ELSE NULL END) AS BIGINT) AS bucket
+  FROM ranks r CROSS JOIN cdf c
+  GROUP BY r.q_pct, r.k
+),
+loc AS (
+  SELECT s.q_pct, s.k, s.bucket, h.lo, h.hi, c2.cum - h.cnt AS cum_before
+  FROM sk s JOIN hist h ON h.bucket = s.bucket JOIN cdf c2 ON c2.bucket = s.bucket
+),
+sub AS (
+  SELECT l.q_pct, v.c, CAST(count(*) AS BIGINT) AS cnt
+  FROM v JOIN loc l ON v.c BETWEEN l.lo AND l.hi
+  GROUP BY l.q_pct, v.c
+),
+subcdf AS (
+  SELECT q_pct, c,
+         sum(cnt) OVER (PARTITION BY q_pct ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sub
+),
+exact AS (
+  SELECT l.q_pct, CAST(min(CASE WHEN l.cum_before + sc.cum >= l.k THEN sc.c ELSE NULL END) AS BIGINT) AS exact_cents
+  FROM loc l JOIN subcdf sc ON sc.q_pct = l.q_pct GROUP BY l.q_pct
+)
+SELECT s.q_pct, s.k, s.bucket, h.lo AS bucket_lo, h.hi AS bucket_hi,
+       e.exact_cents,
+       (e.exact_cents BETWEEN h.lo AND h.hi) AS contains_exact,
+       CAST(CAST(h.hi - h.lo AS HUGEINT) * 1000000 // e.exact_cents AS BIGINT) AS width_rel_ppm
+FROM sk s
+JOIN hist h ON h.bucket = s.bucket
+JOIN exact e ON e.q_pct = s.q_pct
+ORDER BY s.q_pct
+""",
+)
+def q385_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram-style mergeable quantile sketch (the public
+    HdrHistogram bucket scheme: octave = integer bit-length, plus
+    3 significant sub-bucket bits → ≤ 2^-4 relative bucket width)
+    over l_extendedprice in exact integer
+    cents, audited against the exact order statistic: for each target
+    quantile the sketch answers from the bucket CDF alone — fixed
+    ≤ (64 << 3)-row state, mergeable by ADDITION across
+    shards/partitions (the property that makes it a one-pass
+    map-side-combinable quantile at 100 TB) — and the audit computes
+    the true rank-k value via the counting-CDF (q190 idiom) plus the
+    containment boolean and the bucket's realized relative width.
+    bit-length octaves ride length(bin(x)) (integer-exact on both
+    engines — the q339 float-log2 lesson); ranks are the exact
+    ceil(n·q/100) integers.
+
+    The exact side is a LOCATED-BUCKET REFINEMENT (the two-pass
+    production pattern for exact order statistics): the sketch CDF
+    names the bucket containing rank k, and the exact counting-CDF
+    runs only over values inside that bucket (≤ 2^-4 of the domain),
+    partitioned per quantile — never a global sort of
+    the distinct-value domain. contains_exact doubles as the
+    soundness check that the located bucket really holds the true
+    order statistic.
+
+    Scale shape: the sketch side folds the corpus into the bounded
+    bucket histogram in one combinable pass; the refinement side is
+    one broadcast range-filter scan plus a per-quantile window over
+    one bucket's distinct values. Both sides stay combinable/bounded
+    as the corpus grows."""
+    li = load_table(spark, "lineitem", sf_dir)
+    # NOT pinned: v is corpus-scale (the pin-reduced-frames-only
+    # lesson); its three consumers re-read ONE pruned parquet column
+    v = li.select(
+        F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias("c")
+    )
+    b = v.select(
+        "c",
+        F.expr(
+            f"CASE WHEN length(bin(c)) <= {_HDR_SUB_BITS + 1} THEN c"
+            f" ELSE (length(bin(c)) << {_HDR_SUB_BITS})"
+            f" + ((c >> (length(bin(c)) - {_HDR_SUB_BITS + 1})) % {1 << _HDR_SUB_BITS})"
+            f" END"
+        ).alias("bucket"),
+    )
+    hist = (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.min("c").cast("bigint").alias("lo"),
+            F.max("c").cast("bigint").alias("hi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cdf = hist.select(
+        "bucket",
+        "cnt",
+        "lo",
+        "hi",
+        F.sum("cnt")
+        .over(Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    tot = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    qs = spark.createDataFrame([(q,) for q in _HDR_QUANTILES], "q_pct bigint")
+    ranks = (
+        qs.crossJoin(F.broadcast(tot))
+        .select("q_pct", F.expr("CAST((n * q_pct + 99) DIV 100 AS BIGINT)").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    sk = (
+        cdf.crossJoin(F.broadcast(ranks))
+        .groupBy("q_pct", "k")
+        .agg(
+            F.expr(
+                "CAST(min(CASE WHEN cum >= k THEN bucket ELSE NULL END) AS BIGINT)"
+            ).alias("bucket")
+        )
+    )
+    # located-bucket refinement (the two-pass production pattern):
+    # the sketch CDF names the bucket holding rank k, so the exact
+    # order statistic only needs the counting-CDF of values INSIDE
+    # that bucket (<= 2^-4 of the domain), partitioned per quantile —
+    # the first form ran a GLOBAL counting-CDF over every distinct
+    # cent value (a single-partition sort that grows with the data;
+    # 6.39x at the sf10 decade before this rewrite).
+    loc = (
+        sk.join(cdf.select("bucket", "cnt", "lo", "hi", "cum"), "bucket")
+        .select(
+            "q_pct",
+            "k",
+            "bucket",
+            "lo",
+            "hi",
+            (F.col("cum") - F.col("cnt")).alias("cum_before"),
+        )
+        .localCheckpoint(eager=True)  # 3 rows, 3 consumers
+    )
+    sub = (
+        v.join(
+            F.broadcast(loc.select("q_pct", "lo", "hi")),
+            (F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi")),
+        )
+        .groupBy("q_pct", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    subcdf = sub.select(
+        "q_pct",
+        "c",
+        F.sum("cnt")
+        .over(
+            Window.partitionBy("q_pct")
+            .orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum"),
+    )
+    exact = (
+        subcdf.join(
+            F.broadcast(loc.select("q_pct", "k", "cum_before")), "q_pct"
+        )
+        .groupBy("q_pct")
+        .agg(
+            F.expr(
+                "CAST(min(CASE WHEN cum_before + cum >= k THEN c ELSE NULL END)"
+                " AS BIGINT)"
+            ).alias("exact_cents")
+        )
+    )
+    return (
+        loc.select("q_pct", "k", "bucket", "lo", "hi")
+        .join(exact, "q_pct")
+        .select(
+            "q_pct",
+            "k",
+            "bucket",
+            F.col("lo").alias("bucket_lo"),
+            F.col("hi").alias("bucket_hi"),
+            "exact_cents",
+            F.col("exact_cents").between(F.col("lo"), F.col("hi")).alias(
+                "contains_exact"
+            ),
+            F.expr(
+                "CAST(CAST(hi - lo AS DECIMAL(38,0)) * 1000000"
+                " DIV exact_cents AS BIGINT)"
+            ).alias("width_rel_ppm"),
+        )
+        .orderBy("q_pct")
     )

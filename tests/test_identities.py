@@ -1035,3 +1035,43 @@ def test_vocab_coverage_monotone_in_eps(counts):
                 break
         sizes.append(size)
     assert sizes[0] <= sizes[1] <= sizes[2]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    counts=st.lists(st.integers(1, 10**6), min_size=1, max_size=60),
+    eps_ppm=st.sampled_from([100000, 10000, 1000]),
+)
+def test_vocab_coverage_block_formula_matches_ranked_scan(counts, eps_ppm):
+    """q383 computes the boundary rank from the frequency-of-
+    frequencies histogram (sizes-before-block + ceil of the remaining
+    mass over the block's count level) instead of ranking the
+    vocabulary; the block arithmetic must reproduce the rank a full
+    (count DESC) scan finds, for every input — the rewrite that took
+    the query's window from the vocab-scale frame to the bounded
+    histogram."""
+    from collections import Counter
+
+    n = sum(counts)
+    x = (1000000 - eps_ppm) * n
+    # reference: ranked scan
+    ranked = sorted(counts, reverse=True)
+    cum, ref = 0, None
+    for rk, c in enumerate(ranked, 1):
+        cum += c
+        if cum * 1000000 >= x:
+            ref = rk
+            break
+    # block formula over the ff histogram
+    ff = sorted(Counter(counts).items(), reverse=True)  # (c, n_types) desc
+    cum_sizes = cum_mass = 0
+    got = None
+    for c, n_types in ff:
+        prior_sizes, prior_mass = cum_sizes, cum_mass
+        cum_sizes += n_types
+        cum_mass += n_types * c
+        if cum_mass * 1000000 >= x and prior_mass * 1000000 < x:
+            k = (x - prior_mass * 1000000 + c * 1000000 - 1) // (c * 1000000)
+            got = prior_sizes + k
+            break
+    assert got == ref
