@@ -915,3 +915,174 @@ def q385_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# q386 — Kish design effect / effective sample size of stratified schemes
+# ---------------------------------------------------------------------------
+
+# same labeling budget as q384; both schemes here carry a min-1
+# feasibility floor (every stratum gets one unit first, the remainder
+# is allocated by largest remainder), so no stratum divides by zero
+_ESS_N = 10000
+
+
+def _duck_alloc_cte(weight_expr: str, tag: str) -> str:
+    """Largest-remainder allocation of (_ESS_N - H) over strata by
+    ``weight_expr`` after a min-1 floor, as DuckDB CTE text. The
+    weight may be exact integer (proportional: n_h) or float
+    (Neyman: sqrt moment identity); remainders rank deterministically
+    by (rem DESC, source, lang)."""
+    return f"""w_{tag} AS (
+  SELECT source, lang, n_h, {weight_expr} AS w,
+         sum({weight_expr}) OVER (ORDER BY source, lang
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM strata
+),
+q_{tag} AS (
+  SELECT source, lang, n_h, w,
+         CAST(floor(w * (({_ESS_N} - (SELECT count(*) FROM strata))) / t.tw) AS BIGINT) AS base,
+         w * (({_ESS_N} - (SELECT count(*) FROM strata))) / t.tw
+           - floor(w * (({_ESS_N} - (SELECT count(*) FROM strata))) / t.tw) AS rem
+  FROM w_{tag} CROSS JOIN (SELECT max(cw) AS tw FROM w_{tag}) t
+),
+a_{tag} AS (
+  SELECT source, lang, n_h,
+         1 + base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source, lang)
+              <= {_ESS_N} - (SELECT count(*) FROM strata) - (SELECT sum(base) FROM q_{tag})
+              THEN 1 ELSE 0 END AS a
+  FROM q_{tag}
+)"""
+
+
+@register(
+    "q386_kish_design_effect",
+    category="sampling",
+    oracle=f"""
+WITH strata AS (
+  SELECT source, lang,
+         CAST(count(*) AS BIGINT) AS n_h,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY source, lang
+),
+{_duck_alloc_cte("CAST(n_h AS DOUBLE)", "prop")},
+{_duck_alloc_cte("sqrt(CAST(CAST(n_h AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE))", "ney")},
+tot AS (SELECT CAST(sum(n_h) AS BIGINT) AS big_n, CAST(count(*) AS BIGINT) AS h FROM strata),
+summ AS (
+  SELECT 'proportional' AS scheme,
+         CAST(sum(a) AS BIGINT) AS n_alloc,
+         CAST(sum(CAST(n_h AS HUGEINT) * n_h * 1000000 // a) AS HUGEINT) AS varfac
+  FROM a_prop
+  UNION ALL
+  SELECT 'neyman', CAST(sum(a) AS BIGINT),
+         CAST(sum(CAST(n_h AS HUGEINT) * n_h * 1000000 // a) AS HUGEINT)
+  FROM a_ney
+)
+SELECT s.scheme, s.n_alloc, t.h AS strata_count,
+       CAST(CAST(s.n_alloc AS HUGEINT) * s.varfac // (CAST(t.big_n AS HUGEINT) * t.big_n) AS BIGINT) AS deff_kish_ppm,
+       CAST(CAST(s.n_alloc AS HUGEINT) * 1000000
+            // (CAST(s.n_alloc AS HUGEINT) * s.varfac // (CAST(t.big_n AS HUGEINT) * t.big_n)) AS BIGINT) AS ess
+FROM summ s CROSS JOIN tot t
+ORDER BY s.scheme
+""",
+)
+def q386_kish_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish design effect and effective sample size (Kish 1965 —
+    public) for two stratified labeling designs over (source, lang):
+    proportional allocation and Neyman allocation (q384's weights),
+    both with a min-1 feasibility floor (every stratum gets one unit,
+    the remainder goes by largest remainder — Cochran's practical
+    fix, and what keeps N_h²/a_h defined for zero-variance singleton
+    strata). deff_kish = n·Σ(N_h²/a_h)/N² prices the unequal
+    expansion weights: 1.0 (1e6 ppm) for proportional by identity,
+    > 1 for Neyman under the homogeneous-variance worst case — ESS =
+    n/deff is the honest sample size to quote for corpus-level rates
+    estimated from the labeled pool. Every term rides exact integers:
+    N_h²·1e6 DIV a_h per stratum (HUGEINT/DECIMAL(38,0) operands —
+    N_h² crosses bigint at ~3e9 docs; per-term truncating DIV is part
+    of the statistic's portable definition), summed exactly, then two
+    integer divisions.
+
+    Scale shape: strata moments are one map-side-combinable corpus
+    scan; both allocations and the deff fold run on the bounded
+    strata frame (the q384 shape, twice)."""
+    d = load_table(spark, "documents", sf_dir)
+    strata = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("n_chars").cast("bigint").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("s2"),
+    ).localCheckpoint(eager=True)  # bounded strata frame, four consumers
+
+    h_cnt = strata.agg(
+        F.count(F.lit(1)).cast("bigint").alias("h"),
+        F.sum("n_h").cast("bigint").alias("big_n"),
+    )
+
+    def alloc(weight_col, scheme: str) -> DataFrame:
+        cw = Window.orderBy("source", "lang").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        wt = strata.select("source", "lang", "n_h", weight_col.alias("w")).select(
+            "*", F.sum("w").over(cw).alias("cw")
+        )
+        tw = wt.agg(F.max("cw").alias("tw"))
+        quota = (
+            wt.crossJoin(F.broadcast(tw))
+            .crossJoin(F.broadcast(h_cnt.select("h")))
+            .withColumn("m", F.expr(f"CAST({_ESS_N} AS BIGINT) - h"))
+            .withColumn("base", F.expr("CAST(floor(w * m / tw) AS BIGINT)"))
+            .withColumn("rem", F.expr("w * m / tw - floor(w * m / tw)"))
+        )
+        base_total = quota.agg(
+            F.sum("base").cast("bigint").alias("base_total"),
+            F.max("m").alias("m2"),
+        )
+        rw = Window.orderBy(F.col("rem").desc(), "source", "lang")
+        return (
+            quota.select("source", "lang", "n_h", "base", "rem")
+            .select("*", F.row_number().over(rw).alias("rr"))
+            .crossJoin(F.broadcast(base_total))
+            .select(
+                "n_h",
+                F.expr(
+                    "1 + base + CASE WHEN rr <= m2 - base_total THEN 1 ELSE 0 END"
+                ).alias("a"),
+            )
+            .agg(
+                F.sum("a").cast("bigint").alias("n_alloc"),
+                F.expr(
+                    "CAST(sum(CAST(n_h AS DECIMAL(38,0)) * n_h * 1000000 DIV a)"
+                    " AS DECIMAL(38,0))"
+                ).alias("varfac"),
+            )
+            .select(F.lit(scheme).alias("scheme"), "n_alloc", "varfac")
+        )
+
+    summ = alloc(F.col("n_h").cast("double"), "proportional").unionByName(
+        alloc(
+            F.expr(
+                "sqrt(CAST(CAST(n_h AS DECIMAL(38,0)) * s2"
+                " - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE))"
+            ),
+            "neyman",
+        )
+    )
+    return (
+        summ.crossJoin(F.broadcast(h_cnt))
+        .select(
+            "scheme",
+            "n_alloc",
+            F.col("h").alias("strata_count"),
+            F.expr(
+                "CAST(CAST(n_alloc AS DECIMAL(38,0)) * varfac"
+                " DIV (CAST(big_n AS DECIMAL(38,0)) * big_n) AS BIGINT)"
+            ).alias("deff_kish_ppm"),
+            F.expr(
+                "CAST(CAST(n_alloc AS DECIMAL(38,0)) * 1000000"
+                " DIV (CAST(n_alloc AS DECIMAL(38,0)) * varfac"
+                " DIV (CAST(big_n AS DECIMAL(38,0)) * big_n)) AS BIGINT)"
+            ).alias("ess"),
+        )
+        .orderBy("scheme")
+    )

@@ -1075,3 +1075,45 @@ def test_vocab_coverage_block_formula_matches_ranked_scan(counts, eps_ppm):
             got = prior_sizes + k
             break
     assert got == ref
+
+
+# --- q386: Kish design-effect identities -------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    strata=st.lists(st.integers(1, 10**9), min_size=1, max_size=30),
+    n=st.integers(1, 10**6),
+)
+def test_kish_deff_lower_bound(strata, n):
+    """q386's deff = n·Σ(N_h²/a_h)/N² is ≥ 1 for ANY allocation with
+    Σa_h = n (Cauchy-Schwarz), with equality at exact proportional
+    allocation — the invariant that makes deff a penalty factor. The
+    integer-scaled form floors each term at 1e6 scale, so the scaled
+    statistic can undershoot 1e6 by at most H (one unit of floor
+    slack per stratum)."""
+    from fractions import Fraction
+
+    h = len(strata)
+    big_n = sum(strata)
+    # q386's regime: the budget never exceeds the population (and at
+    # least one unit per stratum); outside it the floor-slack bound
+    # below would scale with n/N instead of being O(1) ppm
+    n = max(h, min(n, big_n))
+    # any feasible allocation: min-1 floor + proportional remainder
+    rest = n - h
+    base = [1 + rest * nh // big_n for nh in strata]
+    left = n - sum(base)
+    order = sorted(
+        range(h), key=lambda i: (-(rest * strata[i] % big_n), i)
+    )
+    for i in order[:left]:
+        base[i] += 1
+    assert sum(base) == n
+    exact = Fraction(n) * sum(Fraction(nh * nh, a) for nh, a in zip(strata, base)) / (big_n * big_n)
+    assert exact >= 1
+    varfac_scaled = sum(nh * nh * 1000000 // a for nh, a in zip(strata, base))
+    deff_ppm = n * varfac_scaled // (big_n * big_n)
+    # per-term floor loses < 1 each: varfac >= 1e6*exact - H, and with
+    # n <= N, H <= N the scaled statistic undershoots by at most 2
+    assert deff_ppm >= 1000000 - 2

@@ -86,7 +86,8 @@ ALLOW: dict[str, set[str]] = {
     "q379_temperature_mixture": {"global_window"},  # |sources|-row census (ordered cumulative denominators — the q288 no-unordered-float-total rule)
     "q383_vocab_coverage_curve": {"global_window"},  # vocab-bounded frequency frame (rank + cumulative mass over groupBy(s) output, never rows)
     "q384_neyman_allocation": {"global_window"},  # |source x lang| strata frame (ordered weight cumulative + largest-remainder rank)
-    "q385_hdr_quantile_sketch": {"global_window"},  # bounded bucket histogram CDF + value-domain counting CDF (the q374/q257 idiom)
+    "q385_hdr_quantile_sketch": {"global_window"},  # bounded bucket-histogram CDF (<= 64<<3 rows); the exact side's window is PARTITIONED per quantile over one located bucket
+    "q386_kish_design_effect": {"global_window"},  # |source x lang| strata frame, twice (both schemes' cumulative + largest-remainder rank)
 }
 
 
