@@ -647,11 +647,14 @@ def q384_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan onto |source×lang| keys; everything downstream (cumulative,
     ranking, largest-remainder) runs on the bounded strata frame."""
     d = load_table(spark, "documents", sf_dir)
+    # bounded strata frame with multiple consumers (weight cumulative,
+    # total via the cum max, quota, remainder ranking) — pin it or
+    # every consumer re-scans documents (plan audit caught 4 scans)
     strata = d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_h"),
         F.sum("n_chars").cast("bigint").alias("s1"),
         F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("s2"),
-    )
+    ).localCheckpoint(eager=True)
     w_expr = (
         "sqrt(CAST(CAST(n_h AS DECIMAL(38,0)) * s2"
         " - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE))"
