@@ -126,7 +126,22 @@ def main() -> int:
         # intermediates (MinHash signatures, component frontiers) leave
         # them resident; across 200+ queries the leak crowds the block
         # store and the run's tail pays for it in GC. Periodically drop
-        # everything and re-pin the base tables.
+        # everything and re-pin the base tables. clearCache() does NOT
+        # free localCheckpoint blocks (RDD-level persists outside the
+        # CacheManager, reclaimed only when GC fires the
+        # ContextCleaner's weak refs — the bench_scale lesson), so
+        # force a JVM GC too: without it the pin-heavy alphabetical
+        # cluster (q330/q331/q332...) pays the accumulated block-store
+        # pressure in-suite while measuring 0.5-0.6x of its battery
+        # value solo (the r9/r10 wobble ledgers).
+        # checkpoint blocks need only a GC (their refs die with the
+        # loop iteration), so collect often; the full drop-and-repin
+        # stays at the coarser cadence to bound untimed wall cost.
+        if (i + 1) % 10 == 0:
+            try:
+                spark._jvm.System.gc()
+            except Exception:
+                pass  # hygiene is best-effort
         if (i + 1) % 40 == 0:
             spark.catalog.clearCache()
             for df in pinned:
