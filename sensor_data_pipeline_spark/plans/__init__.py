@@ -33,87 +33,85 @@ from sensor_data_pipeline_spark.plans import frontier6  # noqa: F401,E402
 # representatives each — rather than whatever import order produced.
 # Everything else follows in original registration order.
 _DRIVER_WINDOW = [
-    # ROUND-10 ROTATION (policy: VERDICT r7 item 5, unchanged): 8
-    # forced family reps + 42 fresh slots. Fresh slots were generated
-    # with `python tools/window_rotation.py 42` at r10 start against
-    # the 50/50-green CORRECTNESS_r09 artifact and match the plan
-    # committed in the r9 window verbatim: the 13 never-checked r9
-    # entrants jump the queue (q364-q377 minus q368, which rode the
-    # r9 similarity-canary slot and came back green), then the
-    # staleness queue in (last-green-round, query-number) order —
-    # the last four r1-vintage rows (q130, q131, q133, q134 — q130
-    # was displaced by q368 in r9) and the front of the r2 block.
-    # When this window lands green, cumulative driver coverage closes
-    # at 369/369 (every registered query has at least one green
-    # driver row) and the oldest remaining evidence is r2.
+    # ROUND-11 ROTATION (policy: VERDICT r7 item 5, unchanged): 8
+    # forced family reps + 42 fresh slots. Fresh slots regenerated
+    # with `python tools/window_rotation.py 42` at r11 start against
+    # the 50/50-green CORRECTNESS_r10 artifact and match the r10
+    # enumerate-ahead plan: the 9 never-checked r10 entrants
+    # (q378-q386) jump the queue, then the staleness queue in
+    # (last-green-round, query-number) order — the r2 block, then
+    # the front of the r3 block through q95. When this window lands
+    # green, cumulative driver coverage closes at 378/378 (every
+    # registered query has at least one green driver row) and the
+    # oldest remaining evidence is r3.
     #
-    # R11 WINDOW PLAN (enumerate-ahead discipline, VERDICT r9 item
+    # R12 WINDOW PLAN (enumerate-ahead discipline, VERDICT r9 item
     # 7): assuming this window lands green, the next 42 fresh slots
-    # are pure staleness queue — any round-10 entrants registered
-    # below (q378+) jump it first, exactly as the r9 entrants did
+    # are pure staleness queue — any round-11 entrants registered
+    # below (q387+) jump it first, exactly as the r10 entrants did
     # here. Generated via `python tools/window_rotation.py 84 |
-    # tail -42` at r10 start:
-    #   q49, q50, q66, q74, q83, q86, q51, q52, q53, q80, q94, q67,
-    #   q69, q70, q96, q89, q90, q91, q92, q93, q136, q137 (r2
-    #   vintage), then q151, q199, q207, q150, q191, q54, q56, q62,
-    #   q73, q76, q95, q100, q112, q68, q162, q170, q183, q200,
-    #   q71, q72 (r3 vintage).
-    # Regenerate with `python tools/window_rotation.py 42` at r11
-    # start in case any r10 row comes back red (a red row keeps its
+    # tail -42` at r11 start:
+    #   q100, q112, q68, q162, q170, q183, q200, q71, q72, q144,
+    #   q107, q109, q110, q152, q153, q111, q203, q204, q158, q161,
+    #   q163, q164, q166, q168, q173, q174, q175, q176, q181, q192,
+    #   q208, q211, q223, q226, q232 (r3 vintage), then q222, q220,
+    #   q221, q297, q218, q219, q271 (r4 vintage).
+    # Regenerate with `python tools/window_rotation.py 42` at r12
+    # start in case any r11 row comes back red (a red row keeps its
     # old last-green round and re-enters by staleness).
     # --- forced family repeats (proven canaries) ---
-    "q114_custom_source",  # source rep (r3-r9 green, 7-round canary)
-    "q215_media_phash_neardup",  # multimodal rep (r4-r9 green)
-    "q243_disorder_profile",  # time rep (r4-r9 green)
-    "q287_stream_nearest_match",  # streaming rep (r4/r6-r9 green)
-    "q260_stream_tws_delta",  # stateful rep (r4/r6-r9 green)
-    "q117_group_zscore",  # udf rep (r3/r5-r9 green)
-    "q65_array_map_funcs",  # functions rep (r5-r9 green)
-    "q194_incremental_rollup",  # cdc rep (r6-r9 green)
-    # --- never-checked: the 13 r9 entrants ---
-    "q364_banding_containment_calibration",
-    "q365_blocklist_scrub_census",
-    "q366_blocklist_redaction_checksum",
-    "q367_hll_distinct_sketch",
-    "q369_langid_confusion",
-    "q370_intradoc_repetition",
-    "q371_novelty_decay_curve",
-    "q372_countmin_freq_sketch",
-    "q373_maxsim_group_retrieval",
-    "q374_conformal_quality_gate",
-    "q375_roc_operating_points",
-    "q376_hll_incremental_update",
-    "q377_snapshot_cdc_extract",
-    # --- staleness queue: last r1-vintage rows, then the r2 front ---
-    "q130_bitwise_aggregates",
-    "q131_ordered_string_agg",
-    "q133_null_safe_join",
-    "q134_keyset_pagination",
-    "q01_pricing_summary",
-    "q12_window_lag_delta",
-    "q20_register_decode",
-    "q21_json_extract",
-    "q22_sentinel_default",
-    "q23_corrupt_routing",
-    "q24_iso8601_roundtrip",
-    "q25_explode_filter",
-    "q26_signflip_sessions",
-    "q27_session_rate_eta",
-    "q28_staleness_sentinel",
-    "q29_asof_join",
-    "q30_tumbling_window",
-    "q31_wire_roundtrip",
-    "q113_asof_cogrouped",
-    "q138_asof_forward",
-    "q40_dedup_exact",
-    "q41_dedup_jaccard",
-    "q42_dedup_minhash_lsh",
-    "q43_dedup_simhash",
-    "q44_doc_fingerprint",
-    "q45_token_stats",
-    "q46_quality_score",
-    "q47_lang_signal",
-    "q48_cosine_topk",
+    "q114_custom_source",  # source rep (r3-r10 green, 8-round canary)
+    "q215_media_phash_neardup",  # multimodal rep (r4-r10 green)
+    "q243_disorder_profile",  # time rep (r4-r10 green)
+    "q287_stream_nearest_match",  # streaming rep (r4/r6-r10 green)
+    "q260_stream_tws_delta",  # stateful rep (r4/r6-r10 green)
+    "q117_group_zscore",  # udf rep (r3/r5-r10 green)
+    "q65_array_map_funcs",  # functions rep (r5-r10 green)
+    "q194_incremental_rollup",  # cdc rep (r6-r10 green)
+    # --- never-checked: the 9 r10 entrants ---
+    "q378_hll_error_calibration",
+    "q379_temperature_mixture",
+    "q380_unseen_mass_estimate",
+    "q381_salting_plan",
+    "q382_partition_sizing_advisor",
+    "q383_vocab_coverage_curve",
+    "q384_neyman_allocation",
+    "q385_hdr_quantile_sketch",
+    "q386_kish_design_effect",
+    # --- staleness queue: the r2 block, then the r3 front ---
+    "q49_lsh_bucket_ann",
+    "q50_embedding_neardup",
+    "q66_ivf_ann",
+    "q74_dedup_components",
+    "q83_token_shards",
+    "q86_minhash_calibration",
+    "q51_media_decode_stats",
+    "q52_image_resize_plan",
+    "q53_video_frame_sample",
+    "q80_grouped_agg_udf",
+    "q94_udtf_expand",
+    "q67_stream_watermark_window",
+    "q69_stream_dedup",
+    "q70_stream_static_join",
+    "q96_stream_stream_join",
+    "q89_profile",
+    "q90_merge_upsert",
+    "q91_scd2_history",
+    "q92_funnel",
+    "q93_ann_recall",
+    "q136_stable_id_assignment",
+    "q137_block_dedup_audit",
+    "q151_http_poll_source",
+    "q199_custom_stream_drain",
+    "q207_stream_cdc_apply",
+    "q150_neardup_lsh_recall",
+    "q191_banded_dedup_clusters",
+    "q54_audio_features",
+    "q56_salted_join",
+    "q62_approx_aggs",
+    "q73_subtokens_map_lookup",
+    "q76_range_frame_window",
+    "q95_variant_json",
 ]
 
 
