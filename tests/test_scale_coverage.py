@@ -118,6 +118,16 @@ def test_committed_battery_regressions_are_wobbled():
 
     battery = _load_json("BATTERY.json")
     assert battery.get("queries"), "BATTERY.json missing — run tools/battery.py"
+    # A battery without guard fields is a clobbered or hand-written
+    # artifact (ADVICE r10, medium): from round 10 on there is always
+    # a previous committed battery, so tools/battery.py always writes
+    # host_factor_vs_prev + regressions_vs_prev — their absence means
+    # the gate below would pass vacuously, so fail loudly instead.
+    assert "host_factor_vs_prev" in battery and "regressions_vs_prev" in battery, (
+        "BATTERY.json lacks guard fields (host_factor_vs_prev / "
+        "regressions_vs_prev) — it was not written by tools/battery.py "
+        "against the previous committed battery; re-run tools/battery.py"
+    )
     missing = unwobbled(battery, _load_json("WOBBLE.json"))
     assert not missing, (
         f"battery regressions without a bound solo-wobble entry: {missing} — "

@@ -34,15 +34,21 @@ def main() -> int:
         os.environ["SPARK_GRAFT_SF_DIR"] = sys.argv[1]
     prev = battery_guard.load("BATTERY.json")
 
-    os.environ["BENCH_ARTIFACT"] = "BATTERY.json"
+    # Run bench against a STAGING artifact: a failed or interrupted
+    # run must never clobber the committed BATTERY.json baseline with
+    # a guard-field-less file (which would make the wobble gate pass
+    # vacuously — ADVICE r10, medium). BATTERY.json is replaced only
+    # after rc == 0 AND the guard fields are computed.
+    staging = "BATTERY.staging.json"
+    os.environ["BENCH_ARTIFACT"] = staging
     import bench
 
     rc = bench.main()
     if rc:
-        print("bench reported failures; BATTERY.json left without guard fields")
+        print(f"bench reported failures; BATTERY.json untouched ({staging} kept)")
         return rc
 
-    with open(os.path.join(ROOT, "BATTERY.json")) as f:
+    with open(os.path.join(ROOT, staging)) as f:
         new = json.load(f)
     if prev.get("queries"):
         hf, regr = battery_guard.regressions_vs_prev(prev["queries"], new["queries"])
@@ -58,6 +64,7 @@ def main() -> int:
         )
     with open(os.path.join(ROOT, "BATTERY.json"), "w") as f:
         json.dump(new, f, indent=1, sort_keys=True)
+    os.remove(os.path.join(ROOT, staging))
     shutil.copyfile(
         os.path.join(ROOT, "BATTERY.json"), os.path.join(ROOT, "BENCH_FULL.json")
     )

@@ -47,12 +47,16 @@ MIN_PREV_SEC = 1.0
 
 
 def host_factor(prev_queries: dict, now_queries: dict) -> float:
-    """Median now/prev ratio over shared queries — the battery-level
-    host-weather factor. 1.0 when there is no usable overlap."""
+    """Median now/prev ratio over shared queries with prev >=
+    MIN_PREV_SEC — the battery-level host-weather factor, computed
+    over the SAME population the flags are drawn from (ADVICE r10:
+    sub-second queries' noisy ratios would otherwise skew the factor
+    every real flag is adjusted by). 1.0 when there is no usable
+    overlap."""
     ratios = [
         now_queries[q] / prev_queries[q]
         for q in prev_queries
-        if q in now_queries and prev_queries[q] > 0
+        if q in now_queries and prev_queries[q] >= MIN_PREV_SEC
     ]
     return median(ratios) if ratios else 1.0
 

@@ -120,9 +120,24 @@ def main() -> int:
     # 1.25x the previous battery's level = interference; anything
     # else needs a human look and is recorded as "regression-check".
     battery_path = os.path.join(ROOT, "BATTERY.json")
-    if os.path.exists(battery_path) and sf_dir.rstrip("/").endswith("sf0.1"):
+    battery = {}
+    if os.path.exists(battery_path):
         with open(battery_path) as f:
             battery = json.load(f)
+    # Ledger only for runs at the battery's own scale factor — compare
+    # the RECORDED sf (bench.infer_sf on both paths), not a string
+    # suffix, so symlinked/copied fixture dirs still bind (ADVICE r10).
+    from bench import infer_sf
+
+    sf_match = battery and infer_sf(os.path.realpath(sf_dir)) == battery.get("sf")
+    if battery and not sf_match:
+        print(
+            f"WOBBLE.json ledger NOT written: sf_dir {sf_dir} (sf="
+            f"{infer_sf(os.path.realpath(sf_dir))}) does not match the "
+            f"battery's sf={battery.get('sf')} — the gate needs a run at "
+            "the battery's scale"
+        )
+    if sf_match:
         flag = battery.get("regressions_vs_prev", {}).get(name)
         prev_level = flag["prev"] if flag else battery["queries"].get(name)
         verdict = (
