@@ -10,7 +10,8 @@ Two paths:
 - **sign-LSH bucketed** (the scale path): bucket both sides by the
   sign pattern of leading dimensions and join on bucket id, so each
   query only scores its bucket's corpus slice. Recall < 1 by design;
-  multi-probe (flipping one bit) is available via ``n_probe_bits``.
+  query-adaptive multi-probe (flipping the least-confident sign bits
+  one at a time) is :func:`sign_lsh_multiprobe_candidates`.
 """
 
 from __future__ import annotations
@@ -87,6 +88,68 @@ def lsh_bucket_topk(
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
         .select("query_id", "bucket", "match_id", F.col("cos_r").alias("cosine"), "rk")
+    )
+
+
+def sign_lsh_multiprobe_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_probes: int = 3,
+) -> DataFrame:
+    """Multi-probe sign-LSH candidate generation (Lv et al., VLDB 2007,
+    applied to the sign/hyperplane family): each QUERY probes its home
+    bucket (probe_rank 0) plus the ``n_probes`` buckets reached by
+    flipping the single LEAST-CONFIDENT sign bit — the dimensions with
+    the smallest \\|value\\|, where a near neighbor most plausibly landed
+    on the other side of the hyperplane. Probing multiplies recall
+    without extra index tables: the corpus side keeps exactly ONE
+    bucket id per vector, and only the (tiny) query side fans out
+    ``n_probes + 1``-fold, so the join stays an equi-join keyed on the
+    same uniform bucket id as :func:`lsh_bucket_topk`.
+
+    Returns (query_id, match_id, probe_rank): probe_rank 0 = home
+    bucket, r >= 1 = found via the r-th flip. A corpus vector lives in
+    exactly one bucket, so (query, match) pairs are already distinct
+    across probes. Filter ``probe_rank <= t`` to evaluate a probe
+    budget t (recall-vs-probes audits).
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("match_id"),
+        sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    # least-confident dims first: sort (|value|, dim) structs — the
+    # dim field breaks exact-|value| ties deterministically, and the
+    # struct sort is mirrored field-for-field by the DuckDB oracles
+    flips = F.expr(
+        f"slice(array_sort(transform(sequence(0, {n_bits - 1}), "
+        f"i -> struct(abs(element_at({vec_col}, i + 1)) AS a, i AS i))), "
+        f"1, {n_probes})"
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        sign_lsh_bucket(F.col(vec_col), n_bits).alias("home"),
+        flips.alias("_flips"),
+    )
+    probes = q.select(
+        "query_id",
+        F.explode(
+            F.concat(
+                F.array(F.struct(F.lit(0).alias("pr"), F.col("home").alias("pb"))),
+                F.expr(
+                    "transform(_flips, (f, r) -> "
+                    "struct(r + 1 AS pr, home ^ shiftleft(1, f.i) AS pb))"
+                ),
+            )
+        ).alias("p"),
+    ).select("query_id", F.col("p.pr").alias("probe_rank"), F.col("p.pb").alias("bucket"))
+    return (
+        probes.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", F.col("probe_rank").cast("bigint").alias("probe_rank"))
     )
 
 

@@ -26,6 +26,7 @@ from sensor_data_pipeline_spark.plans import frontier3  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import frontier4  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import frontier5  # noqa: F401,E402
 from sensor_data_pipeline_spark.plans import frontier6  # noqa: F401,E402
+from sensor_data_pipeline_spark.plans import frontier7  # noqa: F401,E402
 
 # Driver-window ordering: the driver's CORRECTNESS check covers the
 # FIRST 50 registered queries, so the first 50 must span every

@@ -1117,3 +1117,76 @@ def test_kish_deff_lower_bound(strata, n):
     # per-term floor loses < 1 each: varfac >= 1e6*exact - H, and with
     # n <= N, H <= N the scaled statistic undershoots by at most 2
     assert deff_ppm >= 1000000 - 2
+
+
+# --- q387: entropy/CE/KL Gibbs inequality (pure Python) --------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    cs=st.lists(st.integers(1, 500), min_size=1, max_size=20),
+    c0_extra=st.lists(st.integers(0, 500), min_size=1, max_size=20),
+)
+def test_entropy_ce_kl_identities(cs, c0_extra):
+    """KL(p||q) >= 0 with equality iff p == q (Gibbs), CE = H + KL, and
+    the q387 '(all)' row's KL is exactly 0.0 in FLOAT arithmetic too —
+    every term is p*ln(1.0) with bit-identical operands, which is the
+    query's built-in float-path canary."""
+    import math
+
+    k = min(len(cs), len(c0_extra))
+    cs, c0_extra = cs[:k], c0_extra[:k]
+    c0 = [a + b for a, b in zip(cs, c0_extra)]
+    n, n0 = sum(cs), sum(c0)
+    h = -sum(c / n * math.log(c / n) for c in cs)
+    ce = -sum(c / n * math.log(q / n0) for c, q in zip(cs, c0))
+    kl = sum(c / n * math.log((c / n) / (q / n0)) for c, q in zip(cs, c0))
+    assert kl >= -1e-12  # Gibbs, up to float noise
+    assert abs((h + kl) - ce) < 1e-9  # chain identity
+    # the '(all)' self-KL is EXACTLY zero bit-for-bit: ln of a ratio of
+    # identical doubles is ln(1.0) == 0.0
+    self_kl = sum(c / n * math.log((c / n) / (c / n)) for c in cs)
+    assert self_kl == 0.0
+
+
+# --- q393: footrule bounds + block-churn expectation -----------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.permutations(list(range(1, 41))))
+def test_footrule_bounds(perm):
+    """Spearman footrule of any permutation is between 0 and
+    floor(n^2/2) (Diaconis & Graham 1977), so the q393 ppm normalizer
+    2e6*F/n^2 is always in [0, 1e6]."""
+    n = len(perm)
+    f = sum(abs((i + 1) - r) for i, r in enumerate(perm))
+    assert 0 <= f <= n * n // 2
+    assert 0 <= f * 2000000 // (n * n) <= 1000000
+
+
+# --- q389: multi-probe candidate-set monotonicity --------------------------
+
+
+def test_multiprobe_candidates_monotone(spark):
+    """Probe depth t' > t can only ADD candidates (the home bucket is
+    probe_rank 0 and flips are disjoint extra buckets), so recall and
+    candidate count are monotone in the probe budget — the property
+    that makes the q389 recall-vs-probes table a tuning CURVE."""
+    from pyspark.sql import functions as F
+
+    from sensor_data_pipeline_spark.operators.similarity import (
+        sign_lsh_multiprobe_candidates,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4)
+    cand = sign_lsh_multiprobe_candidates(q, emb, n_bits=6, n_probes=3).collect()
+    by_depth = {
+        t: {(r["query_id"], r["match_id"]) for r in cand if r["probe_rank"] <= t}
+        for t in (0, 1, 2, 3)
+    }
+    assert by_depth[0] <= by_depth[1] <= by_depth[2] <= by_depth[3]
+    # pairs are distinct across probes: a corpus vector lives in
+    # exactly one bucket, so no (query, match) pair repeats
+    pairs = [(r["query_id"], r["match_id"], r["probe_rank"]) for r in cand]
+    assert len({(a, b) for a, b, _ in pairs}) == len(pairs)

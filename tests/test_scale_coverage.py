@@ -93,6 +93,75 @@ def test_exact_all_pairs_have_measured_production_counterparts():
     assert not missing, f"banded counterparts missing decade-2 evidence: {missing}"
 
 
+# --- per-round adversarial-sweep artifact gate (VERDICT r10 #6) ------------
+
+
+def test_sweep_artifact_covers_current_driver_window():
+    """The adversarial conf-sweep (7 shuffle partitions / AQE off /
+    broadcast off) must be COMMITTED evidence, not a claim: SWEEP.json
+    (written by tools/conf_sweep.py) has to cover every oracle-bearing
+    query in the CURRENT driver window with all three sweeps 'pass'.
+    Staleness is structural — rotating the window introduces queries
+    the artifact has no rows for, which fails coverage here until
+    `python tools/conf_sweep.py --window` is re-run (batches merge)."""
+    from sensor_data_pipeline_spark.plans import REGISTRY
+
+    sweep = _load_json("SWEEP.json")
+    assert sweep.get("queries"), (
+        "SWEEP.json missing — run `python tools/conf_sweep.py --window`"
+    )
+    n_sweeps = len(sweep.get("sweeps", []))
+    assert n_sweeps >= 3, f"SWEEP.json records only {n_sweeps} sweep configs"
+    window = [n for n in list(REGISTRY)[:50] if REGISTRY[n].oracle is not None]
+    rows = sweep["queries"]
+    missing = sorted(n for n in window if n not in rows)
+    assert not missing, (
+        f"driver-window queries without sweep rows: {missing} — run "
+        "`python tools/conf_sweep.py --window` (merges in batches)"
+    )
+    bad = sorted(
+        n
+        for n in window
+        if len(rows[n]) < n_sweeps or any(v != "pass" for v in rows[n].values())
+    )
+    assert not bad, f"driver-window queries with failed/partial sweeps: {bad}"
+
+
+def test_sweep_gate_fails_seeded_mutant(tmp_path, monkeypatch):
+    """The sweep gate must actually fire on a missing row and on a
+    recorded failure (mutant test, the battery-guard pattern)."""
+    import pytest as _pytest
+
+    from sensor_data_pipeline_spark.plans import REGISTRY
+
+    real = _load_json("SWEEP.json")
+    window = [n for n in list(REGISTRY)[:50] if REGISTRY[n].oracle is not None]
+
+    def run_with(doc):
+        path = tmp_path / "SWEEP.json"
+        path.write_text(json.dumps(doc))
+        orig = globals()["_load_json"]
+        monkeypatch.setitem(
+            globals(),
+            "_load_json",
+            lambda name: json.loads(path.read_text()) if name == "SWEEP.json" else orig(name),
+        )
+        try:
+            test_sweep_artifact_covers_current_driver_window()
+        finally:
+            monkeypatch.setitem(globals(), "_load_json", orig)
+
+    # a missing window row fails
+    pruned = {k: v for k, v in real["queries"].items() if k != window[0]}
+    with _pytest.raises(AssertionError, match="without sweep rows"):
+        run_with(dict(real, queries=pruned))
+    # a recorded failure fails
+    broken = dict(real["queries"])
+    broken[window[0]] = {t: "fail" for t in real["sweeps"]}
+    with _pytest.raises(AssertionError, match="failed/partial"):
+        run_with(dict(real, queries=broken))
+
+
 # --- committed-battery regression -> solo-wobble gate (VERDICT r9 #4) ------
 
 

@@ -59,6 +59,13 @@ ALLOW: dict[str, set[str]] = {
     # panel + corpus side), and collapsing them would audit the index
     # against itself
     "q93_ann_recall": {"rescan:embeddingsx4"},
+    # q389 is the same exact-vs-approx audit shape for multi-probe
+    # sign-LSH: the pinned candidate build reads embeddings twice
+    # (corpus buckets + the 8-row query panel's pushdown scan) and the
+    # exact baseline reads the same pair again — 4 scans, 2 of them
+    # panel-trivial, and collapsing them would audit the index against
+    # itself (the q93 rationale verbatim)
+    "q389_multiprobe_lsh_recall": {"rescan:embeddingsx4"},
     # ------------------------------------------------------------------
     # Bounded global windows. Round 6 found the global-window detector
     # had been DEAD since round 3 (Spark 4 prints a Window node's
