@@ -342,7 +342,15 @@ def q269_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes layer assignment partitioning-invariant; the oracle computes
     the same layers as EXCEPT level sets, which is the same semantics.
     Per layer: node count and an id checksum, so a single misplaced
-    frontier node flips the hash."""
+    frontier node flips the hash.
+
+    Pins are LAZY (eager=False, r11 optimization round, same change
+    and rationale as q302): plan truncation is identical, but the
+    hops execute as one composed action instead of 5 driver-blocking
+    jobs; every consumer (per-hop groupBy, final agg) materializes
+    all partitions, so the partial-materialization hazard does not
+    apply. Solo best-of-N at sf0.1: 2.90s -> 2.45s, bit-identical
+    output."""
     li = load_table(spark, "lineitem", sf_dir)
     sup = load_table(spark, "supplier", sf_dir)
     e = (
@@ -353,11 +361,11 @@ def q269_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # the symmetrized edge list is the loop invariant: every hop joins
-    # it, so pin it once (eager localCheckpoint, the q229/prefix-scan
+    # it, so pin it once (localCheckpoint, the q229/prefix-scan
     # discipline) instead of re-deriving distinct edges per hop
     eu = e.unionAll(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     dist = (
         sup.filter(F.col("s_suppkey") % 100 == 1)
         .select((F.col("s_suppkey") * 2 + 1).alias("node"))
@@ -377,7 +385,7 @@ def q269_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionAll(frontier)
             .groupBy("node")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return (
         dist.groupBy(F.col("d").cast("bigint").alias("dist"))
@@ -447,7 +455,19 @@ def q302_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: per round one hash join shuffle on src + one min
     combine — the standard Pregel-as-joins layout; rounds bound hops,
     and a real cluster would switch to delta-frontier joins once the
-    active set shrinks."""
+    active set shrinks.
+
+    The pins are LAZY (eager=False, r11 optimization round): the plan
+    truncation that kills the 2^k lineage blowup happens at build time
+    either way (localCheckpoint returns a LogicalRDD frame), but lazy
+    pins let all 6 rounds + the edge build execute as ONE composed
+    action instead of 8 driver-blocking jobs — the stages pipeline and
+    the scheduler overlaps round k's tail with round k+1's head (guide
+    §2.6). Safe here because every consumer (groupBy per round, final
+    orderBy) materializes ALL partitions — the partial-materialization
+    hazard that forces prefix.py's eager pin does not apply. Solo
+    best-of-N at sf0.1: 4.29s -> 3.97s (prototype session measured
+    3.71s -> 3.27s on a quieter host), bit-identical output."""
     li = load_table(spark, "lineitem", sf_dir)
     # pinned: the (order, supplier) incidence list feeds BOTH sides of
     # the co-supply self-join, and the symmetric edge union duplicates
@@ -457,7 +477,7 @@ def q302_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a = pairs.select("ok", F.col("s").alias("src"))
     b = pairs.select("ok", F.col("s").alias("dst"))
@@ -471,7 +491,7 @@ def q302_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         e0.select("src", "dst", w.alias("w"))
         .unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), w.alias("w")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dist = (
         li.sparkSession.range(_BF_SOURCE, _BF_SOURCE + 1)
@@ -486,6 +506,6 @@ def q302_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(relax)
             .groupBy("node")
             .agg(F.min("d").cast("bigint").alias("d"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return dist.select("node", F.col("d").alias("dist")).orderBy("node")

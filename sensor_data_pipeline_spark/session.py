@@ -41,6 +41,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing sizes post-shuffle partitions by SHUFFLE BYTES,
+        # which under-parallelizes stages whose work is dominated by
+        # post-shuffle fan-out (posting-list pair explosion, per-group
+        # array expansion): a 1 MB posting shuffle that explodes to
+        # millions of pair rows was coalesced to ONE task (measured:
+        # q41's pair stage ran 1/32 cores, 3.7s solo; at 64k it spreads
+        # and runs 1.4s). The floor is the LOCAL task-overhead tradeoff
+        # (a local task costs ~2-5 ms, so 64 KB of input is already
+        # worth a task); on a network cluster keep the 1 MB+ default —
+        # scheduling + fetch per task cost more than the parallelism
+        # wins — via SPARK_GRAFT_AQE_MIN_PARTITION=1m. Scale-adaptive
+        # either way: AQE still derives the partition COUNT from input
+        # size; this only moves the floor.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -522,14 +522,35 @@ def test_bm25_takeordered_and_broadcasts(spark):
 
 
 def test_semdedup_pairs_only_within_clusters(spark):
+    import pyspark.sql.classic.dataframe as dfmod  # Spark-4 classic override
+
     from sensor_data_pipeline_spark.plans.curation import q226_semdedup
 
-    plan = plan_of(q226_semdedup(spark, SF))
+    # r11: the multi-consumer frames (qz / centcell / assign / side) are
+    # localCheckpoint-pinned, so the argmin trees execute inside the pin
+    # builds — capture those plans the way tools/plan_summary.py does,
+    # and assert the shape properties across final plan + every pin.
+    pin_plans: list[str] = []
+    orig = dfmod.DataFrame.localCheckpoint
+
+    def capturing(df_self, *args, **kwargs):
+        pin_plans.append(df_self._jdf.queryExecution().executedPlan().toString())
+        return orig(df_self, *args, **kwargs)
+
+    dfmod.DataFrame.localCheckpoint = capturing
+    try:
+        plan = plan_of(q226_semdedup(spark, SF))
+    finally:
+        dfmod.DataFrame.localCheckpoint = orig
     # the only nested-loop is against broadcast (centroids / k scalar);
     # the pair join itself is hash-keyed on the cluster id
-    assert "CartesianProduct" not in plan
+    for p in [plan, *pin_plans]:
+        assert "CartesianProduct" not in p
     # argmin is a partial-aggregable min(struct), not a per-vector window
-    assert "partial_min" in plan
+    # (it now lives in the centcell/assign pin builds)
+    assert any("partial_min" in p for p in pin_plans)
+    # the pair join reads the pinned side table, not a recomputed tree
+    assert "Scan ExistingRDD" in plan
 
 
 def test_span_dedup_no_global_window(spark):
@@ -688,11 +709,11 @@ def test_bfs_khop_unrolled_single_dag(spark):
     from sensor_data_pipeline_spark.plans.iterative import q269_bfs_khop
 
     plan = plan_of(q269_bfs_khop(spark, SF))
-    # the hop loop materializes per-superstep (eager localCheckpoint:
-    # each distance table feeds both the next frontier filter and the
-    # min-union, so an unpinned plan doubles per hop) — the final plan
-    # therefore reads the checkpointed frontier, and the layer rollup
-    # combines map-side
+    # the hop loop materializes per-superstep (localCheckpoint, lazy
+    # since r11: each distance table feeds both the next frontier
+    # filter and the min-union, so an unpinned plan doubles per hop) —
+    # the final plan therefore reads the checkpointed frontier, and
+    # the layer rollup combines map-side
     assert "Scan ExistingRDD" in plan
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
