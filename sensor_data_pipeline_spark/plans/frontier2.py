@@ -683,7 +683,7 @@ def q344_decontamination_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         postings.filter(F.col("doc_id") % _DECON_MOD == 0)
         .select("wd", "gram")
         .distinct()
-        .localCheckpoint(eager=True)  # two consumers: flag join + census
+        .localCheckpoint(eager=False)  # two consumers: flag join + census (lazy, r11)
     )
     flagged = (
         postings.filter(F.col("doc_id") % _DECON_MOD != 0)
