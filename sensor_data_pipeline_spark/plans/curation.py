@@ -538,7 +538,7 @@ def q226_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides of the pair join). Unpinned, every consumer re-ran
     the ENTIRE upstream assignment pipeline (the plan held the
     quantize transform + both argmin trees 3x over, 132 Exchange
-    nodes); pinned it runs once (30 exchanges). Solo best-of-N at
+    nodes); pinned it runs once (10 Exchange mentions in the final plan). Solo best-of-N at
     sf0.1: 4.30s -> 2.78s with bit-identical output. This is the
     scale-correct shape too: at 100 TB the clustered/quantized table
     is materialized once and the O(N*64/2) pair stage reads it from
