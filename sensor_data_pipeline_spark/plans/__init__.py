@@ -34,31 +34,30 @@ from sensor_data_pipeline_spark.plans import frontier7  # noqa: F401,E402
 # representatives each — rather than whatever import order produced.
 # Everything else follows in original registration order.
 _DRIVER_WINDOW = [
-    # ROUND-11 ROTATION (policy: VERDICT r7 item 5, unchanged): 8
+    # ROUND-12 ROTATION (policy: VERDICT r7 item 5, unchanged): 8
     # forced family reps + 42 fresh slots. Fresh slots regenerated
-    # with `python tools/window_rotation.py 42` at r11 start against
-    # the 50/50-green CORRECTNESS_r10 artifact and match the r10
-    # enumerate-ahead plan: the 9 never-checked r10 entrants
-    # (q378-q386) jump the queue, then the staleness queue in
-    # (last-green-round, query-number) order — the r2 block, then
-    # the front of the r3 block through q95. When this window lands
-    # green, cumulative driver coverage closes at 378/378 (every
-    # registered query has at least one green driver row) and the
-    # oldest remaining evidence is r3.
+    # with `python tools/window_rotation.py 42` at r12 start against
+    # the 50/50-green CORRECTNESS_r11 artifact (all r11 rows landed
+    # green, so the output matches the r11 enumerate-ahead plan with
+    # the 7 never-checked r11 entrants q387-q393 jumping the queue,
+    # then the r3-vintage staleness queue through q232). When this
+    # window lands green, cumulative driver coverage closes at
+    # 385/385 (every registered query has at least one green driver
+    # row) and the oldest remaining evidence is r3.
     #
-    # R12 WINDOW PLAN (enumerate-ahead discipline, VERDICT r9 item
+    # R13 WINDOW PLAN (enumerate-ahead discipline, VERDICT r9 item
     # 7): assuming this window lands green, the next 42 fresh slots
-    # are pure staleness queue — any round-11 entrants registered
-    # below (q387+) jump it first, exactly as the r10 entrants did
-    # here. Generated via `python tools/window_rotation.py 84 |
-    # tail -42` at r11 start:
-    #   q100, q112, q68, q162, q170, q183, q200, q71, q72, q144,
-    #   q107, q109, q110, q152, q153, q111, q203, q204, q158, q161,
-    #   q163, q164, q166, q168, q173, q174, q175, q176, q181, q192,
-    #   q208, q211, q223, q226, q232 (r3 vintage), then q222, q220,
-    #   q221, q297, q218, q219, q271 (r4 vintage).
-    # Regenerate with `python tools/window_rotation.py 42` at r12
-    # start in case any r11 row comes back red (a red row keeps its
+    # are pure staleness queue — any round-12 entrants (none are
+    # planned; this is an optimization round) would jump it first.
+    # Generated via `python tools/window_rotation.py 84 | tail -42`
+    # at r12 start:
+    #   q222, q220, q221, q297, q218, q219, q271, q233, q259, q303,
+    #   q242, q122, q195, q212, q270, q277, q213, q214, q216, q217,
+    #   q224, q225, q229, q234, q235, q236, q238, q251, q252, q253,
+    #   q254, q255, q256, q257, q258, q272, q275, q290, q291, q293,
+    #   q294, q298 (all r4 vintage).
+    # Regenerate with `python tools/window_rotation.py 42` at r13
+    # start in case any r12 row comes back red (a red row keeps its
     # old last-green round and re-enters by staleness).
     # --- forced family repeats (proven canaries) ---
     "q114_custom_source",  # source rep (r3-r10 green, 8-round canary)
@@ -69,50 +68,50 @@ _DRIVER_WINDOW = [
     "q117_group_zscore",  # udf rep (r3/r5-r10 green)
     "q65_array_map_funcs",  # functions rep (r5-r10 green)
     "q194_incremental_rollup",  # cdc rep (r6-r10 green)
-    # --- never-checked: the 9 r10 entrants ---
-    "q378_hll_error_calibration",
-    "q379_temperature_mixture",
-    "q380_unseen_mass_estimate",
-    "q381_salting_plan",
-    "q382_partition_sizing_advisor",
-    "q383_vocab_coverage_curve",
-    "q384_neyman_allocation",
-    "q385_hdr_quantile_sketch",
-    "q386_kish_design_effect",
-    # --- staleness queue: the r2 block, then the r3 front ---
-    "q49_lsh_bucket_ann",
-    "q50_embedding_neardup",
-    "q66_ivf_ann",
-    "q74_dedup_components",
-    "q83_token_shards",
-    "q86_minhash_calibration",
-    "q51_media_decode_stats",
-    "q52_image_resize_plan",
-    "q53_video_frame_sample",
-    "q80_grouped_agg_udf",
-    "q94_udtf_expand",
-    "q67_stream_watermark_window",
-    "q69_stream_dedup",
-    "q70_stream_static_join",
-    "q96_stream_stream_join",
-    "q89_profile",
-    "q90_merge_upsert",
-    "q91_scd2_history",
-    "q92_funnel",
-    "q93_ann_recall",
-    "q136_stable_id_assignment",
-    "q137_block_dedup_audit",
-    "q151_http_poll_source",
-    "q199_custom_stream_drain",
-    "q207_stream_cdc_apply",
-    "q150_neardup_lsh_recall",
-    "q191_banded_dedup_clusters",
-    "q54_audio_features",
-    "q56_salted_join",
-    "q62_approx_aggs",
-    "q73_subtokens_map_lookup",
-    "q76_range_frame_window",
-    "q95_variant_json",
+    # --- never-checked: the 7 r11 entrants ---
+    "q387_source_entropy_typicality",
+    "q388_bigram_pmi_topk",
+    "q389_multiprobe_lsh_recall",
+    "q390_pretokenizer_fidelity",
+    "q391_dedup_keeper_manifest",
+    "q392_langid_ece_calibration",
+    "q393_epoch_order_audit",
+    # --- staleness queue: the r3 block ---
+    "q100_gap_fill",
+    "q112_sliding_window",
+    "q68_stream_sessionize",
+    "q162_stream_left_outer",
+    "q170_stream_session_window",
+    "q183_stream_observe_audit",
+    "q200_stream_recursive_ewma",
+    "q71_partition_pruning",
+    "q72_bucketed_join",
+    "q144_latency_priority_matrix",
+    "q107_repetition_gate",
+    "q109_cohort_retention",
+    "q110_cluster_representatives",
+    "q152_incremental_dedup",
+    "q153_leakage_free_split",
+    "q111_sql_text_interface",
+    "q203_recursive_cte_rollup",
+    "q204_polymorphic_udtf",
+    "q158_sequence_packing",
+    "q161_orc_roundtrip",
+    "q163_pii_redaction",
+    "q164_rolling_median",
+    "q166_cdc_compaction",
+    "q168_countmin_calibration",
+    "q173_corrupt_file_skip",
+    "q174_filter_funnel",
+    "q175_cdc_chunk_dedup",
+    "q176_kmv_sketch_merge",
+    "q181_interval_overlap_join",
+    "q192_heavy_hitters_mg",
+    "q208_pipeline_end_to_end",
+    "q211_pq_ann_recall",
+    "q223_bm25_retrieval",
+    "q226_semdedup",
+    "q232_tfidf_cosine_pairs",
 ]
 
 
