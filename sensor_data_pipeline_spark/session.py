@@ -24,6 +24,16 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
 
 
+def _resolve_aqe_floor(resolved_master: str) -> str | None:
+    """AQE coalescing minPartitionSize: explicit env override wins;
+    otherwise 64k on local[*] masters only, and None (= keep Spark's
+    cluster-safe 1m default) everywhere else."""
+    env = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION")
+    if env is not None:
+        return env
+    return "64k" if resolved_master.startswith("local") else None
+
+
 def get_spark(
     app_name: str = "sensor-data-pipeline-spark",
     master: str | None = None,
@@ -35,29 +45,31 @@ def get_spark(
     On a cluster, drop ``master`` and submit normally; these configs are
     master-agnostic.
     """
+    resolved_master = master or f"local[{DEFAULT_CPUS}]"
+    # AQE coalescing sizes post-shuffle partitions by SHUFFLE BYTES,
+    # which under-parallelizes stages whose work is dominated by
+    # post-shuffle fan-out (posting-list pair explosion, per-group
+    # array expansion): a 1 MB posting shuffle that explodes to
+    # millions of pair rows was coalesced to ONE task (measured:
+    # q41's pair stage ran 1/32 cores, 3.7s solo; at 64k it spreads
+    # and runs 1.4s). The floor is the LOCAL task-overhead tradeoff
+    # (a local task costs ~2-5 ms, so 64 KB of input is already
+    # worth a task); on a network cluster per-task cost (scheduler
+    # round-trip, shuffle fetch setup) is 10-100x higher, so Spark's
+    # 1m default is right there — the 64k floor therefore applies
+    # ONLY when the resolved master is local[*]; any other master
+    # keeps Spark's default unless SPARK_GRAFT_AQE_MIN_PARTITION
+    # overrides (a deployment that forgets the env var must get the
+    # cluster-safe value, not the bench-host one). Scale-adaptive
+    # either way: AQE still derives the partition COUNT from input
+    # size; this only moves the floor.
+    aqe_floor = _resolve_aqe_floor(resolved_master)
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{DEFAULT_CPUS}]")
+        .master(resolved_master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE coalescing sizes post-shuffle partitions by SHUFFLE BYTES,
-        # which under-parallelizes stages whose work is dominated by
-        # post-shuffle fan-out (posting-list pair explosion, per-group
-        # array expansion): a 1 MB posting shuffle that explodes to
-        # millions of pair rows was coalesced to ONE task (measured:
-        # q41's pair stage ran 1/32 cores, 3.7s solo; at 64k it spreads
-        # and runs 1.4s). The floor is the LOCAL task-overhead tradeoff
-        # (a local task costs ~2-5 ms, so 64 KB of input is already
-        # worth a task); on a network cluster keep the 1 MB+ default —
-        # scheduling + fetch per task cost more than the parallelism
-        # wins — via SPARK_GRAFT_AQE_MIN_PARTITION=1m. Scale-adaptive
-        # either way: AQE still derives the partition COUNT from input
-        # size; this only moves the floor.
-        .config(
-            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
-        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -80,6 +92,10 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/sdp_spark_warehouse") + "/managed",
         )
     )
+    if aqe_floor is not None:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", aqe_floor
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

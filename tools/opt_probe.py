@@ -1,7 +1,8 @@
 """Optimization-round probe: per-query solo measurement + plan capture.
 
 For each named query, replicates bench.py's environment exactly (same
-warmup, same base-table pins, same toPandas materialization) and then:
+warmup — page-cache read-through, no base-table .cache() since the r12
+methodology ruling — same toPandas materialization) and then:
 
 1. captures ``df.explain("formatted")`` to a file (for plans/r11/
    before/after evidence),
@@ -56,7 +57,9 @@ def main() -> int:
     spark = get_spark(app_name="opt-probe")
 
     # bench.py's warmup, verbatim in spirit: codegen compiler, shuffle
-    # machinery, Arrow/UDF worker pool, then the base-table pins
+    # machinery, Arrow/UDF worker pool, then the base-table page-cache
+    # warmup (read-through noop, NO .cache() — the r12 methodology
+    # ruling: timed queries compute from the parquet inputs)
     warm = spark.read.parquet(os.path.join(args.sf, "lineitem.parquet"))
     warm.groupBy("l_returnflag").agg(F.sum("l_quantity")).collect()
     from pyspark.sql.functions import pandas_udf
@@ -70,9 +73,7 @@ def main() -> int:
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
     ):
-        df = load_table(spark, t, args.sf)
-        df.cache()
-        df.count()
+        load_table(spark, t, args.sf).write.format("noop").mode("overwrite").save()
 
     def materialize(df) -> int:
         try:
@@ -108,6 +109,12 @@ def main() -> int:
             t2 = time.perf_counter()
             dfn.write.format("noop").mode("overwrite").save()
             noop_s = round(time.perf_counter() - t2, 3)
+        # per-query storage hygiene (ADVICE r11): drop caches the query
+        # created and GC the eager/lazy checkpoint blocks so a
+        # late-listed query is measured under the same storage headroom
+        # as an early one (clearCache does not free checkpoint blocks;
+        # the GC's ContextCleaner weak refs do)
+        spark.catalog.clearCache()
         try:
             spark._jvm.System.gc()
         except Exception:

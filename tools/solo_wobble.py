@@ -8,7 +8,7 @@ round's BENCH_r{N} shows a query slower than the previous round, this
 protocol decides "host weather vs real regression" (the caea762
 precedent):
 
-1. fresh session, bench.py's exact warmup + base-table pins,
+1. fresh session, bench.py's exact warmup + base-table read-through,
 2. one cold pass (per-query codegen), then 3 warm passes -> best-of-3,
 3. plan-digest diff against the committed PLAN_SUMMARY.json baseline
    (shape is scale-invariant; built at sf0.001 like the baseline).
@@ -72,7 +72,7 @@ def main() -> int:
             if base.get(k) != digest.get(k)}
 
     # bench.py's warmup, verbatim: codegen compiler, shuffle machinery,
-    # Arrow/Python worker pool, then the ten pinned base tables.
+    # Arrow/Python worker pool, then the ten base tables read through once.
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
@@ -87,11 +87,11 @@ def main() -> int:
 
     from sensor_data_pipeline_spark.sources.tables import load_table
 
+    # page-cache read-through only, NO .cache() — the r12 bench
+    # methodology ruling (timed queries compute from parquet inputs)
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
-        df = load_table(spark, t, sf_dir)
-        df.cache()
-        df.count()
+        load_table(spark, t, sf_dir).write.format("noop").mode("overwrite").save()
 
     def materialize(df) -> int:
         try:
