@@ -47,6 +47,13 @@ def composed_pins(spark: SparkSession):
     corpus-pass maps whose static 32-partition stages pipeline well;
     q332 / q269 / q226 LOSE (their pin stages profit from AQE's
     runtime broadcast conversion and coalescing) and stay unscoped.
+
+    Contract for scoped LAZY pins: every consumer must fully
+    materialize all partitions (collect/toPandas/noop write). A
+    partial consumer (limit/take) would silently trigger
+    LocalRDDCheckpointData's end-of-job fill-in job — correct output,
+    hidden re-execution. tests/test_plan_shapes.py::
+    test_lazy_pin_consumers_materialize_fully enforces it.
     """
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
@@ -522,7 +523,12 @@ def test_bm25_takeordered_and_broadcasts(spark):
 
 
 def test_semdedup_pairs_only_within_clusters(spark):
-    import pyspark.sql.classic.dataframe as dfmod  # Spark-4 classic override
+    from unittest.mock import patch
+
+    dfmod = pytest.importorskip(
+        "pyspark.sql.classic.dataframe",
+        reason="pin capture patches the Spark-4 classic (non-Connect) DataFrame",
+    )
 
     from sensor_data_pipeline_spark.plans.curation import q226_semdedup
 
@@ -530,6 +536,9 @@ def test_semdedup_pairs_only_within_clusters(spark):
     # localCheckpoint-pinned, so the argmin trees execute inside the pin
     # builds — capture those plans the way tools/plan_summary.py does,
     # and assert the shape properties across final plan + every pin.
+    # patch.object as a context manager (ADVICE r11): the class method
+    # is restored even if the build raises, and the patch is visibly
+    # scoped to the one build.
     pin_plans: list[str] = []
     orig = dfmod.DataFrame.localCheckpoint
 
@@ -537,11 +546,8 @@ def test_semdedup_pairs_only_within_clusters(spark):
         pin_plans.append(df_self._jdf.queryExecution().executedPlan().toString())
         return orig(df_self, *args, **kwargs)
 
-    dfmod.DataFrame.localCheckpoint = capturing
-    try:
+    with patch.object(dfmod.DataFrame, "localCheckpoint", capturing):
         plan = plan_of(q226_semdedup(spark, SF))
-    finally:
-        dfmod.DataFrame.localCheckpoint = orig
     # the only nested-loop is against broadcast (centroids / k scalar);
     # the pair join itself is hash-keyed on the cluster id
     for p in [plan, *pin_plans]:
@@ -551,6 +557,43 @@ def test_semdedup_pairs_only_within_clusters(spark):
     assert any("partial_min" in p for p in pin_plans)
     # the pair join reads the pinned side table, not a recomputed tree
     assert "Scan ExistingRDD" in plan
+
+
+# Queries carrying a lazy localCheckpoint pin (eager=False). Their
+# correctness does not depend on this list, but their PERFORMANCE
+# contract does: a lazy pin fills inside the consuming action, and a
+# partial consumer (limit/take — LocalLimit stops each partition
+# early) would silently trigger LocalRDDCheckpointData's end-of-job
+# fill-in job, re-running the pin build after the query "finished"
+# (ADVICE r11). Every consumer below must therefore fully materialize:
+# the final plan may not contain a limit-class node.
+# (TakeOrderedAndProject is fine — per-partition top-k reads every
+# row — and is asserted present for q223 above; plain CollectLimit /
+# GlobalLimit are the hazard.)
+_LAZY_PIN_QUERIES = [
+    "q235_equidepth_histogram",
+    "q236_span_dedup_audit",
+    "q269_bfs_khop",
+    "q302_bellman_ford",
+    "q326_prefix_filter_simjoin",
+    "q332_weighted_minhash_lsh",
+    "q335_rouge_candidate_f1",
+    "q336_matryoshka_recall",
+    "q344_decontamination_curve",
+]
+
+
+def test_lazy_pin_consumers_materialize_fully(spark):
+    from sensor_data_pipeline_spark.plans import REGISTRY
+
+    for name in _LAZY_PIN_QUERIES:
+        plan = plan_of(REGISTRY[name].spark(spark, SF))
+        for node in ("CollectLimit", "GlobalLimit", "LocalLimit"):
+            assert node not in plan, (
+                f"{name}: {node} consumer over a lazy localCheckpoint pin "
+                "— partial materialization triggers the end-of-job "
+                "fill-in job; make the pin eager or drop the limit"
+            )
 
 
 def test_span_dedup_no_global_window(spark):
